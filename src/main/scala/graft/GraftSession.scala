@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory for the graft engine.
+ *
+ * The reference (yifeif/presto-on-ray, presto-mgr.py / nodes.py) manages a
+ * Presto coordinator + N worker JVMs as Ray actors; on Spark the equivalent
+ * "cluster surface" is the SparkSession + cluster manager, so the library
+ * exposes a tuned session factory instead of process management.
+ *
+ * Scale posture (100 TB target):
+ *  - AQE on: runtime partition coalescing, skew-join splitting, and
+ *    runtime sort-merge→broadcast demotion replace hand-tuned DOP.
+ *  - shuffle.partitions is a default for local testing; on a real cluster
+ *    AQE coalesces from a high initial number, so we leave
+ *    `spark.sql.adaptive.coalescePartitions.initialPartitionNum` unset here
+ *    and let deployments size it (rule of thumb: 2-3x total cores).
+ *  - Broadcast threshold kept at default 10 MB: region/nation/supplier/part
+ *    style dims stay broadcast even at 100 TB fact scale.
+ */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) a session with graft defaults. */
+  def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(master, shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,354 @@
+package graft
+
+/**
+ * DuckDB-dialect oracle SQL for every SQL-expressible query in
+ * SparkEntry.queries. Discipline (see SURVEY.md §5): identical column
+ * aliases to the Spark plans, total ORDER BY, decimal-exact sums cast to
+ * double, BIGINT casts where DuckDB widens to HUGEINT, dates as strings.
+ */
+object OracleSql {
+
+  // CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) — exact, order-independent.
+  private def dsum(x: String, s: Int = 2) = s"CAST(SUM(CAST($x AS DECIMAL(18,$s))) AS DOUBLE)"
+  private def davg(x: String, s: Int = 4) = s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$s))) AS DOUBLE) / COUNT($x) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "q01_agg_groupby" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsum("l_quantity")} AS sum_qty,
+        ${dsum("l_extendedprice")} AS sum_base_price,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+        ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+        ${davg("l_quantity")} AS avg_qty,
+        ${davg("l_extendedprice")} AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_inner" -> s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20""",
+
+    "q04_join_outer" -> s"""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+        COALESCE(${dsum("o_totalprice")}, 0.0) AS big_total
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+      WHERE c_custkey < 200
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "q05_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+
+    "q06_join_anti" -> """
+      SELECT p_partkey, p_name, p_brand FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      ORDER BY p_partkey""",
+
+    "q07_star_join" -> s"""
+      SELECT n_name, ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q08_agg_distinct" -> """
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q10_percentile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q11_window_rank" -> """
+      SELECT * FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+          CAST(row_number() OVER w AS INTEGER) AS rn,
+          CAST(rank() OVER w AS INTEGER) AS rk,
+          CAST(dense_rank() OVER w AS INTEGER) AS drk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      ) t WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+
+    "q12_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS DOUBLE) AS running_total,
+        lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q13_setops" -> """
+      WITH hi_bal AS (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 8000),
+        urgent AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'both' AS tag, id FROM (SELECT id FROM hi_bal INTERSECT SELECT id FROM urgent) a
+      UNION ALL
+      SELECT 'only_bal' AS tag, id FROM (SELECT id FROM hi_bal EXCEPT SELECT id FROM urgent) b
+      ORDER BY tag, id""",
+
+    "q14_rollup" -> s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS prio,
+        COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, prio""",
+
+    "q15_topn" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q16_case_pivot" -> """
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+        COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN NULL ELSE 1 END) AS other,
+        COUNT(*) AS total
+      FROM orders GROUP BY 1 ORDER BY yr""",
+
+    "q17_string_funcs" -> """
+      SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg,
+        substr(c_name, 1, 8) AS prefix,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        concat_ws('|', c_mktsegment, c_name) AS joined,
+        lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
+        regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        trim('  x  ') AS trimmed
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
+
+    "q18_date_funcs" -> """
+      SELECT o_orderkey,
+        CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+        CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+        CAST(extract(isodow FROM o_orderdate) - 1 AS INTEGER) AS wd,
+        CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS age_days
+      FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey""",
+
+    "q19_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+        abs(l_extendedprice * -1.0) AS abs_price,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        round(l_quantity / 7.0, 1) AS qty_sevenths,
+        round(sqrt(l_quantity), 6) AS sqrt_qty,
+        round(pow(l_discount, 2), 6) AS disc_sq,
+        round(ln(l_extendedprice), 6) AS ln_price,
+        l_orderkey % 7 AS mod7,
+        CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn
+      FROM lineitem WHERE l_orderkey < 400
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q20_subquery_scalar" -> s"""
+      SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        AND l_quantity < 0.2 * (
+          SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l2.l_quantity) AS DOUBLE)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+
+    "q21_subquery_in" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 450000
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey""",
+
+    "q22_exists_correlated" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q23_having" -> s"""
+      SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ${dsum("l_quantity")} > 150
+      ORDER BY total_qty DESC, l_orderkey LIMIT 50""",
+
+    "q24_cte" -> """
+      WITH big_orders AS (
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+      ),
+      per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM big_orders GROUP BY o_custkey
+      )
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS n_cust,
+             CAST(SUM(n_big) AS BIGINT) AS total_big,
+             CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY segment""",
+
+    "q25_unnest" -> """
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 20
+      ) t GROUP BY word ORDER BY word""",
+
+    "q26_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus,
+        CAST(extract(year FROM l_shipdate) AS INTEGER) AS yr
+      FROM lineitem ORDER BY l_returnflag, l_linestatus, yr""",
+
+    "q27_nulls_order" -> """
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS st2
+      FROM orders WHERE o_orderkey < 500
+      ORDER BY st ASC NULLS FIRST, o_orderkey""",
+
+    "q28_cross_join" -> """
+      SELECT r_name, o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+      ORDER BY r_name, o_orderstatus""",
+
+    "q29_array_agg" -> """
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names,
+        COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q30_tpch_q6" -> s"""
+      SELECT ${dsum("l_extendedprice * l_discount", 6)} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q31_self_join" -> """
+      SELECT a.o_custkey AS ck, COUNT(*) AS pairs
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      WHERE a.o_custkey < 100 GROUP BY 1 ORDER BY ck""",
+
+    "q32_conditional_null" -> s"""
+      SELECT l_returnflag,
+        ${dsum("l_extendedprice")} / NULLIF(${dsum("l_quantity")}, 0.0) AS price_per_unit,
+        CASE WHEN ${dsum("l_quantity")} = 0 THEN 'empty' ELSE 'ok' END AS flag
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "e01_tumbling_window" -> s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY hour_start""",
+
+    "e02_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ), s AS (
+        SELECT user_id,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM g
+      )
+      SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id""",
+
+    "e03_topk_users" -> s"""
+      SELECT event_type, user_id, total, rn FROM (
+        SELECT event_type, user_id, ${dsum("value", 6)} AS total,
+          CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY ${dsum("value", 6)} DESC, user_id) AS INTEGER) AS rn
+        FROM events GROUP BY event_type, user_id
+      ) t WHERE rn <= 5 ORDER BY event_type, rn""",
+
+    "t01_langid" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      SELECT doc_id, lang,
+        CASE
+          WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+          WHEN (${occ(" der ")} + ${occ(" und ")} + ${occ(" das ")} + ${occ(" nicht ")}) > (${occ(" le ")} + ${occ(" la ")} + ${occ(" les ")} + ${occ(" est ")})
+           AND (${occ(" der ")} + ${occ(" und ")} + ${occ(" das ")} + ${occ(" nicht ")}) > (${occ(" el ")} + ${occ(" los ")} + ${occ(" que ")} + ${occ(" una ")})
+           AND (${occ(" der ")} + ${occ(" und ")} + ${occ(" das ")} + ${occ(" nicht ")}) > 0 THEN 'de'
+          WHEN (${occ(" le ")} + ${occ(" la ")} + ${occ(" les ")} + ${occ(" est ")}) > (${occ(" el ")} + ${occ(" los ")} + ${occ(" que ")} + ${occ(" una ")})
+           AND (${occ(" le ")} + ${occ(" la ")} + ${occ(" les ")} + ${occ(" est ")}) > 0 THEN 'fr'
+          WHEN (${occ(" el ")} + ${occ(" los ")} + ${occ(" que ")} + ${occ(" una ")}) > 0 THEN 'es'
+          ELSE 'en'
+        END AS pred
+      FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) d
+      ORDER BY doc_id"""
+    },
+
+    "t02_quality_score" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      SELECT doc_id, n_tokens, n_punct, round(score, 6) AS score FROM (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+          LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+          + LEAST(1.0, (${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")}) * 10.0 / len(string_split_regex(trim(text), '\s+'))) * 0.3
+          + CASE WHEN CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 8.0
+                 THEN 0.2 ELSE 0.0 END AS score
+        FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents) d
+      ) t ORDER BY doc_id"""
+    },
+
+    "t03_token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id""",
+
+    "d01_dedup_exact" -> """
+      SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY h""",
+
+    "d04_ngram_jaccard" -> """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+      FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ws FROM documents) a
+      JOIN (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ws FROM documents) b
+        ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a"""
+  )
+}

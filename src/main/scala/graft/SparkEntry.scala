@@ -1,13 +1,106 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.{Events, Relational}
+import graft.text.TextAnalysis
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational core (Presto SQL surface)
+    "q01_agg_groupby" -> (Relational.q01 _),
+    "q02_filter_project" -> (Relational.q02 _),
+    "q03_join_inner" -> (Relational.q03 _),
+    "q04_join_outer" -> (Relational.q04 _),
+    "q05_join_semi" -> (Relational.q05 _),
+    "q06_join_anti" -> (Relational.q06 _),
+    "q07_star_join" -> (Relational.q07 _),
+    "q08_agg_distinct" -> (Relational.q08 _),
+    "q09_approx_distinct" -> (Relational.q09 _),
+    "q10_percentile" -> (Relational.q10 _),
+    "q11_window_rank" -> (Relational.q11 _),
+    "q12_window_running" -> (Relational.q12 _),
+    "q13_setops" -> (Relational.q13 _),
+    "q14_rollup" -> (Relational.q14 _),
+    "q15_topn" -> (Relational.q15 _),
+    "q16_case_pivot" -> (Relational.q16 _),
+    "q17_string_funcs" -> (Relational.q17 _),
+    "q18_date_funcs" -> (Relational.q18 _),
+    "q19_math_funcs" -> (Relational.q19 _),
+    "q20_subquery_scalar" -> (Relational.q20 _),
+    "q21_subquery_in" -> (Relational.q21 _),
+    "q22_exists_correlated" -> (Relational.q22 _),
+    "q23_having" -> (Relational.q23 _),
+    "q24_cte" -> (Relational.q24 _),
+    "q25_unnest" -> (Relational.q25 _),
+    "q26_distinct" -> (Relational.q26 _),
+    "q27_nulls_order" -> (Relational.q27 _),
+    "q28_cross_join" -> (Relational.q28 _),
+    "q29_array_agg" -> (Relational.q29 _),
+    "q30_tpch_q6" -> (Relational.q30 _),
+    "q31_self_join" -> (Relational.q31 _),
+    "q32_conditional_null" -> (Relational.q32 _),
+    // Events
+    "e01_tumbling_window" -> (Events.tumbling _),
+    "e02_sessionize" -> (Events.sessionize _),
+    "e03_topk_users" -> (Events.topkUsers _),
+    // Text analysis
+    "t01_langid" -> (TextAnalysis.langid _),
+    "t02_quality_score" -> (TextAnalysis.quality _),
+    "t03_token_count" -> (TextAnalysis.tokens _),
+    "t04_fingerprint" -> (TextAnalysis.fingerprint _),
+    // Dedup
+    "d01_dedup_exact" -> (Dedup.exact _),
+    "d02_dedup_minhash" -> (Dedup.minhashLsh _),
+    "d03_dedup_simhash" -> (Dedup.simhash _),
+    "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d05_dedup_embedding" -> (Dedup.embeddingDedup _),
+    // Similarity search
+    "a01_knn_brute" -> (Ann.bruteForce _),
+    "a02_knn_ivf" -> (Ann.ivf _),
+    // Multimodal
+    "m01_multimodal_meta" -> (Multimodal.features _)
+  )
+
+  /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →
+    * driver records rows-only checks for those). */
+  def oracleSql: Map[String, String] = OracleSql.sql ++ Map(
+    "a01_knn_brute" -> """
+      WITH px AS (
+        SELECT vec_id AS probe_id, i, CAST(e AS DOUBLE) AS pe
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) t
+      ), cx AS (
+        SELECT vec_id AS cand_id, i, CAST(e AS DOUBLE) AS ce
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+      ), pairs AS (
+        SELECT probe_id, cand_id,
+          CAST(SUM(CAST(pe * ce AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(pe * pe AS DECIMAL(30,15))) AS DOUBLE) AS pp,
+          CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+        FROM px JOIN cx ON px.i = cx.i
+        GROUP BY probe_id, cand_id
+      )
+      SELECT probe_id, cand_id, cos_sim, rn FROM (
+        SELECT probe_id, cand_id,
+          round(dot / (sqrt(pp) * sqrt(cc)), 4) AS cos_sim,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY round(dot / (sqrt(pp) * sqrt(cc)), 4) DESC, cand_id)
+            AS INTEGER) AS rn
+        FROM pairs
+      ) t WHERE rn <= 10 ORDER BY probe_id, rn"""
+  )
 }

@@ -1,0 +1,81 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/**
+ * Similarity search over embedding columns (array<float>).
+ *
+ * a01 is the exact baseline: broadcast the (small) probe set against the
+ * full corpus — one scan, no shuffle of the corpus, cosine via the native
+ * codegen expression; ranking is a per-probe top-k window.
+ *
+ * a02 is the scale path: IVF-style cell pruning. Vectors are assigned to
+ * their nearest centroid once (broadcast centroids); probes only scan the
+ * top-2 nearest cells, cutting the scan ~5x here and ~nlist/nprobe at
+ * 100 TB. Centroids here are a deterministic sample (every 50th vector);
+ * swapping in k-means centroids changes recall, not the topology.
+ */
+object Ann {
+
+  private val K = 10
+
+  /** a01: brute-force exact cosine top-k for probe vectors (vec_id < 5). */
+  def bruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4).as("cos_sim"))
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= K)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** a02: IVF-style ANN — nearest-centroid cell assignment, probe top-2 cells. */
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+    // Assign every vector to its nearest centroid (broadcast centroids).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("cent_emb")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+
+    // Probes scan only their 2 nearest cells.
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val probeCells = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("probe_emb"), col("cent_id"),
+        GraftFunctions.cosineSim(col("probe_emb"), col("cent_emb")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
+
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4).as("cos_sim"))
+      .select(col("probe_id"), col("cand_id"), col("cos_sim"),
+        row_number().over(wTop).as("rn"))
+      .filter(col("rn") <= K)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+}

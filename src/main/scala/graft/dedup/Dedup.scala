@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/**
+ * Deduplication operators for LLM training-data pipelines.
+ *
+ * Scale design: every near-dup algorithm is LSH-banded — candidate pairs
+ * are only formed *within* a (band, bucket-hash) group after a hash
+ * shuffle, never via a global cross join, so cost is O(n · k) hashing +
+ * bounded per-bucket pair expansion. This is the standard web-scale
+ * (Common-Crawl-size) dedup topology and survives 100 TB.
+ */
+object Dedup {
+
+  /** Word tokens of the lower-cased text. */
+  private def words(c: Column): Column = split(lower(c), "\\s+")
+
+  /** d01: exact dedup — group by content hash, keep the min doc_id. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+
+  private val MinhashK = 128
+  private val Bands = 16
+  private val RowsPerBand = MinhashK / Bands
+
+  /** Per-doc (doc_id, sig) with the 128-perm MinHash signature. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = expr(
+      """transform(sequence(0, greatest(size(split(lower(text), '\\s+')) - 3, 0)),
+        |  i -> concat_ws(' ', split(lower(text), '\\s+')[i],
+        |                 split(lower(text), '\\s+')[i+1],
+        |                 split(lower(text), '\\s+')[i+2]))""".stripMargin)
+    docs.select(col("doc_id"),
+      GraftFunctions.minhashSig(sh, MinhashK).as("sig"))
+  }
+
+  /** Band rows: (doc_id, band, band_hash) — Bands rows per doc. */
+  def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+      .as(Seq("band", "band_hash")))
+
+  /**
+   * d02: MinHash-LSH near-dup summary. Each doc reports how many LSH
+   * candidate partners it has (docs sharing ≥1 of 16 bands of its 128-perm
+   * signature) and whether it is a near-dup candidate.
+   */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val bands = minhashBands(sigs)
+    val partners = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    sigs.select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        (coalesce(col("n_candidates"), lit(0L)) > 0).as("is_dup_candidate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * d03: SimHash near-dup summary. 64-bit SimHash; candidates share one of
+   * four 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ some block equal);
+   * verified with hamming ≤ 3.
+   */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        GraftFunctions.simhash64(split(lower(col("text")), "\\s+")).as("sh"))
+    val blocks = sigs.select(col("doc_id"), col("sh"), posexplode(
+        expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
+      .as(Seq("blk", "blk_val")))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.blk_val") === col("b.blk_val") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.sh").as("sh_a"),
+        col("b.doc_id").as("partner"), col("b.sh").as("sh_b"))
+      .distinct()
+      .filter(GraftFunctions.hamming64(col("sh_a"), col("sh_b")) <= 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    sigs.select(col("doc_id"), col("sh"))
+      .join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh").as("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * d04: exact word-set (1-gram) Jaccard over adjacent-id pairs — the
+   * verification kernel that LSH candidates are piped through at scale
+   * (kept SQL-expressible here so the DuckDB oracle replays it).
+   */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(
+          size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))), 6).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  /**
+   * d05: embedding near-dup via random-hyperplane LSH. 16 sign bits from
+   * fixed pseudo-random planes bucket the vectors; cosine (custom codegen
+   * expression) is evaluated only within buckets.
+   */
+  def embeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val nPlanes = 16
+    val rnd = new java.util.Random(42)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val bit: Int => Column = p => {
+      val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }
+    val emb = Tables.embeddings(s, d)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      (0 until nPlanes).map(bit).reduce(_ + _).as("bucket"))
+    val mates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("mate"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+    val perVec = mates.filter(col("cos") >= 0.95)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_neardup"))
+    bucketed.select(col("vec_id"), col("bucket"))
+      .join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.GraftBridge
+
+/**
+ * Typed Column facade over the graft native expressions — usable directly
+ * from the DataFrame API without any registration, mirroring
+ * `org.apache.spark.sql.functions`.
+ */
+object GraftFunctions {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  /** Cosine similarity of two array<float> embedding columns. */
+  def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** k-permutation MinHash signature (array<bigint>) of an array<string>. */
+  def minhashSig(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** Normalized rolling-hash fingerprint (bigint) of a string column. */
+  def fingerprint64(text: Column): Column = c(RollingFingerprint(e(text)))
+
+  /** Hamming distance between two bigint bit-vectors. */
+  def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
+
+  /** SQL registration (same names) for `spark.sql` users; idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    register("cosine_sim", args => CosineSimilarity(args(0), args(1)))
+    register("minhash_sig", args => MinHashSignature(args(0),
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    register("simhash64", args => SimHash64(args.head))
+    register("fingerprint64", args => RollingFingerprint(args.head))
+    register("hamming64", args => Hamming64(args(0), args(1)))
+  }
+}
+
+/**
+ * SparkSessionExtensions entry point:
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes the
+ * graft function family available in every session of a deployment.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions", "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions", "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions", "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo("graft.functions", "fingerprint64"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo("graft.functions", "hamming64"),
+      (args: Seq[Expression]) => Hamming64(args(0), args(1))))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the hot paths the built-in function
+ * library can't express efficiently: vector cosine, one-pass MinHash
+ * signatures, SimHash, and rolling fingerprints.
+ *
+ * All of them generate code that calls the static kernels in [[Kernels]]
+ * (single JIT-friendly call per row, no boxing, no UDF serialization) and
+ * stay inside whole-stage codegen spans.
+ */
+
+/** Shared per-row kernels. Static so generated code can call them. */
+object Kernels {
+  /** 64-bit avalanche mix (splitmix64 finalizer) — stable across JVMs. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF8 bytes, then mixed — deterministic string hash. */
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Cosine similarity over two float vectors, accumulated in double. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
+   * One-pass k-permutation MinHash via double hashing:
+   * sig_j = min over shingles of (h1 + j*h2) (Kirsch-Mitzenmacher).
+   * O(|shingles| * 2 hashes + |shingles| * k adds) per row.
+   */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        val h1 = hash64(s, 0x9e3779b97f4a7c15L)
+        val h2 = hash64(s, 0x2545f4914f6cdd1dL) | 1L
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < sig(j)) sig(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token strings (weighted by occurrence). */
+  def simhash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0x6a09e667f3bcc908L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Rolling polynomial (Rabin-Karp style) 64-bit fingerprint of a string,
+    * case/whitespace-normalized. */
+  def fingerprint(s: UTF8String): Long = {
+    val t = s.toString.toLowerCase.replaceAll("\\s+", " ").trim
+    var h = 1125899906842597L
+    var i = 0
+    while (i < t.length) {
+      h = 31L * h + t.charAt(i)
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** cosine_sim(array<float>, array<float>) -> double */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(array<string>, k) -> array<bigint> */
+case class MinHashSignature(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.minhash(in.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhash($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** simhash64(array<string>) -> bigint */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.simhash(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** fingerprint64(string) -> bigint (normalized rolling hash) */
+case class RollingFingerprint(child: Expression)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.fingerprint(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fingerprint($c)")
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+/** hamming64(bigint, bigint) -> int */
+case class Hamming64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hamming64($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+}

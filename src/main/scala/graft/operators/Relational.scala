@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/**
+ * Relational query surface — the Presto 0.248 SQL capabilities the
+ * reference cluster serves (yifeif/presto-on-ray README.md:96 `presto:test>
+ * select * from user`), re-expressed as declarative Spark DataFrame plans
+ * so Catalyst/Tungsten pick physical strategies (broadcast vs sort-merge,
+ * partial aggregation, whole-stage codegen).
+ *
+ * Determinism discipline for the DuckDB oracle: monetary aggregates are
+ * summed as DECIMAL (exact, order-independent) then cast to double; every
+ * query has a total ORDER BY; dates are emitted as strings.
+ */
+object Relational {
+
+  /** Exact order-independent sum: cast to decimal, sum, back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Order-independent avg: exact decimal sum / non-null count. */
+  private def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)).cast("double")
+
+  // --- q01: multi-aggregate groupBy (TPC-H Q1 shape) --------------------
+  def q01(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- q02: filter + projection pushdown --------------------------------
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // --- q03: 3-way inner join + agg + top-n (TPC-H Q3 shape) -------------
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  // --- q04: left outer join with null-producing side --------------------
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("big_total"))
+      .filter(col("c_custkey") < 200)
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- q05: left-semi join (EXISTS) -------------------------------------
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- q06: left-anti join (NOT EXISTS) ---------------------------------
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+
+  // --- q07: 5-way star join, dims broadcast (TPC-H Q5 shape) ------------
+  def q07(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val supplier = Tables.supplier(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- q08: COUNT(DISTINCT) ---------------------------------------------
+  def q08(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q09: approx_count_distinct (HLL; rows-only oracle) ---------------
+  def q09(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
+  // --- q10: exact percentile (continuous) per group ---------------------
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+      .orderBy(col("l_returnflag"))
+
+  // --- q11: ranking window functions ------------------------------------
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  // --- q12: running sum + lag over ordered partitions -------------------
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // --- q13: set operations ----------------------------------------------
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val hiBal = Tables.customer(s, d).filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey").as("id"))
+    val urgentCust = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("id")).distinct()
+    val both = hiBal.intersect(urgentCust).withColumn("tag", lit("both"))
+    val onlyBal = hiBal.except(urgentCust).withColumn("tag", lit("only_bal"))
+    both.unionAll(onlyBal).select(col("tag"), col("id")).orderBy(col("tag"), col("id"))
+  }
+
+  // --- q14: ROLLUP with grouping sets -----------------------------------
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("prio"))
+
+  // --- q15: global top-n (TakeOrderedAndProject) ------------------------
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  // --- q16: CASE WHEN conditional aggregation (manual pivot) ------------
+  def q16(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+        count(when(col("o_orderpriority") === "2-HIGH", 1)).as("high"),
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(null))
+          .otherwise(1)).as("other"),
+        count(lit(1)).as("total"))
+      .orderBy(col("yr"))
+
+  // --- q17: string function family --------------------------------------
+  def q17(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        lower(col("c_mktsegment")).as("lo_seg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy(col("c_custkey"))
+
+  // --- q18: date/time function family -----------------------------------
+  def q18(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 800)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekday(col("o_orderdate")).as("wd"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q19: math function family ----------------------------------------
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 400)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") * lit(-1.0)).as("abs_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        round(col("l_quantity") / 7.0, 1).as("qty_sevenths"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        (col("l_orderkey") % 7).as("mod7"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // --- q20: correlated scalar subquery (TPC-H Q17 shape) ----------------
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+    // Decorrelated: per-part avg quantity joined back (what Catalyst does
+    // to the correlated form under the hood).
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(davg(col("l_quantity"), 2).as("avg_qty"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  // --- q21: IN uncorrelated subquery ------------------------------------
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val buildingCust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .join(buildingCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // --- q22: correlated EXISTS (TPC-H Q4 shape) --------------------------
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- q23: HAVING (TPC-H Q18 shape) ------------------------------------
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+      .limit(50)
+
+  // --- q24: CTEs via SQL (WITH, reused subplan) -------------------------
+  def q24(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("""
+      WITH big_orders AS (
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+      ),
+      per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM big_orders GROUP BY o_custkey
+      )
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS n_cust,
+             CAST(SUM(n_big) AS BIGINT) AS total_big,
+             CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY segment
+    """)
+  }
+
+  // --- q25: UNNEST/explode of split arrays ------------------------------
+  def q25(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  // --- q26: SELECT DISTINCT multi-column --------------------------------
+  def q26(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("yr"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("yr"))
+
+  // --- q27: NULLIF/COALESCE + explicit null ordering --------------------
+  def q27(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("none")).as("st2"))
+      .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+
+  // --- q28: cross join ---------------------------------------------------
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val statuses = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+    Tables.region(s, d)
+      .crossJoin(statuses)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  // --- q29: array_agg + array functions (string-joined for stable hash) -
+  def q29(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  // --- q30: selective scan-aggregate (TPC-H Q6 shape) -------------------
+  def q30(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+
+  // --- q31: self-join ----------------------------------------------------
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_custkey") < 100)
+    val a = o.select(col("o_custkey").as("ck"), col("o_orderkey").as("k1"))
+    val b = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("k2"))
+    a.join(b, col("ck") === col("ck2") && col("k1") < col("k2"))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy(col("ck"))
+  }
+
+  // --- q32: division-safe conditional aggregates ------------------------
+  def q32(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("l_returnflag"),
+        (col("sum_price") / nullif(col("sum_qty"), lit(0.0))).as("price_per_unit"),
+        when(col("sum_qty") === 0, lit("empty")).otherwise(lit("ok")).as("flag"))
+      .orderBy(col("l_returnflag"))
+}

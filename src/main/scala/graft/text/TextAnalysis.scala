@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/**
+ * Text-analysis operators for LLM training-data pipelines: language ID,
+ * quality scoring, token counting, fingerprinting. All built from
+ * codegen'd builtins (no UDFs) so they run inside whole-stage codegen over
+ * arbitrarily many partitions.
+ */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in `padded` (space-padded text), as double. */
+  private def occ(padded: Column, marker: String): Column =
+    (length(padded) - length(replace(padded, lit(marker), lit("")))) /
+      lit(marker.length)
+
+  /**
+   * t01: heuristic language ID. Marker-stopword voting (de/fr/es) + CJK
+   * codepoint detection (zh), defaulting to en. Deliberately simple and
+   * SQL-expressible so the oracle can replay it; real-corpus accuracy is
+   * exercised in TextAnalysisSpec with genuine multilingual sentences.
+   */
+  def langid(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val de = occ(padded, " der ") + occ(padded, " und ") + occ(padded, " das ") + occ(padded, " nicht ")
+    val fr = occ(padded, " le ") + occ(padded, " la ") + occ(padded, " les ") + occ(padded, " est ")
+    val es = occ(padded, " el ") + occ(padded, " los ") + occ(padded, " que ") + occ(padded, " una ")
+    val zh = length(col("text")) - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(zh > 0, "zh")
+          .when(de > fr && de > es && de > 0, "de")
+          .when(fr > es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("en").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02: quality score from length, stopword share, and avg token length. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stops = occ(padded, " the ") + occ(padded, " a ") + occ(padded, " and ") + occ(padded, " of ")
+    val avgTok = (length(col("text")) - (nTokens - lit(1))).cast("double") / nTokens
+    val score =
+      least(lit(1.0), nTokens.cast("double") / lit(100.0)) * lit(0.5) +
+      least(lit(1.0), stops * lit(10.0) / nTokens) * lit(0.3) +
+      when(avgTok.between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTokens.as("n_tokens"), punct.as("n_punct"),
+        round(score, 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03: token counting — whitespace tokens and a BPE-ish regex
+    * (letter-runs | single digits | single punctuation). */
+  def tokens(s: SparkSession, d: String): DataFrame = {
+    val ws = size(split(trim(col("text")), "\\s+"))
+    val bpe = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+        round(length(col("text")).cast("double") / ws, 6).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t04: 64-bit rolling-hash document fingerprint (custom codegen
+    * expression); groups identical-after-normalization documents. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), GraftFunctions.fingerprint64(col("text")).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+}
