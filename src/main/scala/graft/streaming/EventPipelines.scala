@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** One event row as consumed by the streaming pipelines. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Running session state for mapGroupsWithState sessionization. */
+case class SessionState(nSessions: Long, nEvents: Long, lastTsMicros: Long)
+case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+/**
+ * Structured Streaming forms of the event analytics (batch equivalents:
+ * graft.operators.Events — oracle-verified). readStream → transform →
+ * writeStream; the same code runs against Kafka/files at scale by swapping
+ * the source. Watermarks bound state so 100 TB/day streams don't grow
+ * state unboundedly.
+ */
+object EventPipelines {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark.
+    * Identical logical shape to Events.tumbling. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_events"), col("total_value"), col("n_users_approx"))
+
+  /** Stateful sessionization: per-user session counting with a 30-minute
+    * gap, via mapGroupsWithState.
+    *
+    * `timeout` defaults to NoTimeout (deterministic micro-batch quiescence
+    * — required for processAllAvailable-style tests); production streams
+    * should pass ProcessingTimeTimeout so idle users' state is evicted
+    * (with it, timeout sweeps keep triggering batches, which is correct
+    * but never quiesces). */
+  def sessionize(events: Dataset[Event],
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              tsMicros - st.lastTsMicros > 1800L * 1000000L
+            st = SessionState(
+              st.nSessions + (if (newSession) 1 else 0),
+              st.nEvents + 1, tsMicros)
+          }
+          state.update(st)
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+            state.setTimeoutDuration("1 hour")
+          }
+          SessionUpdate(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Convenience: start the tumbling pipeline into an in-memory sink. */
+  def startTumblingToMemory(events: DataFrame, queryName: String) =
+    tumbling(events).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

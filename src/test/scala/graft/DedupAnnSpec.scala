@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+
+class DedupAnnSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val docsWithDups = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about distributed query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup of 1
+    (5L, "yet another unrelated document mentioning vectors and embeddings here")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH flags exact and near duplicates, not unrelated docs") {
+    val sigs = Dedup.minhashSignatures(docsWithDups)
+    val bands = Dedup.minhashBands(sigs)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)), s"exact dup pair must collide in all bands: $cands")
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L)),
+      s"near-dup should share at least one band: $cands")
+    assert(!cands.contains((3L, 5L)), s"unrelated docs must not be candidates: $cands")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    docsWithDups.createOrReplaceTempView("dup_docs")
+    val res = docsWithDups
+      .groupBy(md5(lower(trim($"text"))).as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n"))
+      .collect()
+    assert(res.length == 4) // 1&4 merge
+    assert(res.find(_.getAs[Long]("n") == 2).get.getAs[Long]("keeper") == 1L)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint ≈ 0") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val ws = docs.select($"doc_id", array_distinct(split(lower($"text"), "\\s+")).as("ws"))
+    val j = ws.as("a").join(ws.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        (size(array_intersect($"a.ws", $"b.ws")).cast("double") /
+          size(array_union($"a.ws", $"b.ws"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("a01 brute-force knn: rank-1 neighbor of each probe is itself") {
+    val rows = Ann.bruteForce(spark, sf).filter($"rn" === 1).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("cand_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    }
+  }
+
+  test("a02 IVF recall: top-1 matches brute force for all probes") {
+    val brute = Ann.bruteForce(spark, sf).filter($"rn" === 1)
+      .select($"probe_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ann.ivf(spark, sf).filter($"rn" === 1)
+      .select($"probe_id", $"cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // self-match (cos=1) lives in the probe's own best cell, so IVF must find it
+    assert(ivf == brute)
+  }
+
+  test("d05 embedding LSH buckets are stable and bounded") {
+    val res = graft.dedup.Dedup.embeddingDedup(spark, sf).collect()
+    assert(res.nonEmpty)
+    val buckets = res.map(_.getAs[Long]("bucket")).distinct
+    assert(buckets.forall(b => b >= 0 && b < (1L << 16)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.Kernels
+
+class ExpressionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("cosine_sim: exact values on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f), -1.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(cosineSim($"a", $"b").as("c"), $"expected").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine_sim survives whole-stage codegen over a real table") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val self = emb.select(cosineSim($"embedding", $"embedding").as("c"))
+    val got = self.agg(min($"c"), max($"c")).head()
+    assert(math.abs(got.getDouble(0) - 1.0) < 1e-9 && math.abs(got.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("minhash_sig: identical inputs → identical sigs; similar inputs share most entries") {
+    val a = (1 to 100).map(i => s"shingle$i")
+    val b = a.updated(5, "changedA").updated(50, "changedB") // 98% overlap
+    val c = (1 to 100).map(i => s"other$i")                  // disjoint
+    val df = Seq(("a", a), ("a2", a), ("b", b), ("c", c)).toDF("id", "sh")
+    val sigs = df.select($"id", minhashSig($"sh", 128).as("sig")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a") == sigs("a2"))
+    val simAB = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 128.0
+    val simAC = sigs("a").zip(sigs("c")).count { case (x, y) => x == y } / 128.0
+    assert(simAB > 0.85, s"expected high minhash agreement for 98% jaccard, got $simAB")
+    assert(simAC < 0.15, s"expected low agreement for disjoint sets, got $simAC")
+  }
+
+  test("simhash64: near-identical docs are close in hamming, unrelated far") {
+    val a = (1 to 200).map(i => s"w$i")
+    val b = a.updated(10, "x")
+    val c = (1 to 200).map(i => s"z$i")
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "toks")
+    val m = df.select($"id", simhash64($"toks").as("sh")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Kernels.hamming64(m("a"), m("b")) <= 6)
+    assert(Kernels.hamming64(m("a"), m("c")) >= 20)
+  }
+
+  test("fingerprint64 normalizes case and whitespace") {
+    val df = Seq("Hello  World", "hello world", "HELLO\tWORLD", "goodbye world")
+      .toDF("t")
+    val fps = df.select(fingerprint64($"t")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(0) != fps(3))
+  }
+
+  test("SQL registration via GraftFunctions.install and via extensions class") {
+    graft.functions.GraftFunctions.install(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c, " +
+        "hamming64(7L, 0L) AS h, fingerprint64('a b') = fingerprint64('A  B') AS same").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 3)
+    assert(r.getBoolean(2))
+  }
+}

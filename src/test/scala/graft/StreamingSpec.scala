@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventPipelines}
+
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling window matches batch aggregation semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 10:45:00"), 2, "view", 5.0),
+      Event(3, ts("2024-01-01 11:10:00"), 1, "click", 2.5))
+    val q = EventPipelines.startTumblingToMemory(input.toDF(), "tumbling_test")
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM tumbling_test ORDER BY hour_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[String]("hour_start") == "2024-01-01 10:00:00")
+      assert(out(0).getAs[Long]("n_events") == 2)
+      assert(math.abs(out(0).getAs[Double]("total_value") - 15.0) < 1e-9)
+      assert(out(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.sessionize(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("sess_test").start()
+    try {
+      // batch 1: two events 10 min apart → one session
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: 2 hours later → second session for same user
+      input.addData(Event(3, ts("2024-01-01 11:30:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM sess_test WHERE user_id = 7 ORDER BY n_events DESC").collect()
+      assert(rows.head.getAs[Long]("n_sessions") == 2)
+      assert(rows.head.getAs[Long]("n_events") == 3)
+    } finally q.stop()
+  }
+}

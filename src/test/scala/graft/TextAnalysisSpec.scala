@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends GraftSpec {
+  import spark.implicits._
+
+  // Replays TextAnalysis.langid's scoring on a standalone text column.
+  private def predict(texts: Seq[String]): Seq[String] = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    def occ(m: String) =
+      (length(concat(lit(" "), lower($"text"), lit(" "))) -
+        length(replace(concat(lit(" "), lower($"text"), lit(" ")), lit(m), lit("")))) / lit(m.length)
+    val de = occ(" der ") + occ(" und ") + occ(" das ") + occ(" nicht ")
+    val fr = occ(" le ") + occ(" la ") + occ(" les ") + occ(" est ")
+    val es = occ(" el ") + occ(" los ") + occ(" que ") + occ(" una ")
+    val zh = length($"text") - length(regexp_replace($"text", "[\\x{4e00}-\\x{9fff}]", ""))
+    df.select($"id", when(zh > 0, "zh")
+        .when(de > fr && de > es && de > 0, "de")
+        .when(fr > es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("en").as("pred"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+  }
+
+  test("langid heuristic identifies real multilingual sentences") {
+    val preds = predict(Seq(
+      "the cat sat on the mat and looked at the dog",
+      "der hund und die katze spielen nicht in das haus",
+      "le chat est sur la table et les enfants regardent",
+      "el perro corre por los campos y una casa que brilla",
+      "今天天气很好我们去公园散步"
+    ))
+    assert(preds == Seq("en", "de", "fr", "es", "zh"))
+  }
+
+  test("token counts on a known string") {
+    val df = Seq("Hello world, 42 tests pass!").toDF("text")
+    val r = df.select(
+      size(split(trim($"text"), "\\s+")).as("ws"),
+      size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("bpe"))
+      .head()
+    assert(r.getInt(0) == 5)
+    // Hello, world, ",", 4, 2, tests, pass, "!" → 8
+    assert(r.getInt(1) == 8)
+  }
+
+  test("quality score is within [0,1] over the corpus and deterministic") {
+    val a = graft.text.TextAnalysis.quality(spark, sf).collect()
+    val b = graft.text.TextAnalysis.quality(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("fingerprint groups normalized-identical docs across the corpus") {
+    val res = graft.text.TextAnalysis.fingerprint(spark, sf).collect()
+    assert(res.nonEmpty)
+    // deterministic across runs
+    val res2 = graft.text.TextAnalysis.fingerprint(spark, sf).collect()
+    assert(res.sameElements(res2))
+  }
+}
