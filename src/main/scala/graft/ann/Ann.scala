@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,33 +40,38 @@ object Ann {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  /** a02: IVF-style ANN — nearest-centroid cell assignment, probe top-2 cells. */
+  /**
+   * a02: IVF-style ANN — nearest-centroid cell assignment, probe top-2
+   * cells. The centroid set is the IVF index's `nlist` (bounded, fits any
+   * driver — here a deterministic sample; k-means would change recall,
+   * not topology), so assignment is a *narrow projection* against literal
+   * centroid vectors: per-cell similarity array → array_max argmax. No
+   * crossJoin, no shuffle — at 100 TB the corpus is scanned exactly once
+   * to tag cells.
+   */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val centroids: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
 
-    // Assign every vector to its nearest centroid (broadcast centroids).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("cent_emb")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // (sim, cent_id) structs compare lexicographically → array_max = argmax.
+    def simStructs(v: Column): Column = array(centroids.map { case (id, ce) =>
+      struct(
+        GraftFunctions.cosineSim(v, typedLit(ce)).as("sim"),
+        lit(id).as("cent_id"))
+    }: _*)
 
-    // Probes scan only their 2 nearest cells.
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      array_max(simStructs(col("embedding"))).getField("cent_id").as("cell"))
+
+    // Probes keep their 2 best cells: sort the same struct array descending.
     val probeCells = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-      .crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("probe_emb"), col("cent_id"),
-        GraftFunctions.cosineSim(col("probe_emb"), col("cent_emb")).as("sim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        simStructs(col("embedding")).as("cells"))
+      .select(col("probe_id"), col("probe_emb"),
+        explode(expr("slice(transform(reverse(array_sort(cells)), c -> c.cent_id), 1, 2)")).as("cell"))
 
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))

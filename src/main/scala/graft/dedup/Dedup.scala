@@ -31,22 +31,44 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = MinhashK / Bands
 
-  /** Per-doc (doc_id, sig) with the 128-perm MinHash signature. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = expr(
-      """transform(sequence(0, greatest(size(split(lower(text), '\\s+')) - 3, 0)),
-        |  i -> concat_ws(' ', split(lower(text), '\\s+')[i],
-        |                 split(lower(text), '\\s+')[i+1],
-        |                 split(lower(text), '\\s+')[i+2]))""".stripMargin)
-    docs.select(col("doc_id"),
-      GraftFunctions.minhashSig(sh, MinhashK).as("sig"))
-  }
+  /** Per-doc (doc_id, sig) with the 128-perm MinHash signature. The word
+    * array is materialized once per row before shingling (a repeated
+    * `split()` inside the transform lambda would re-run the regex per
+    * shingle — ~200x more CPU at corpus scale). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("shingles"))
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"))
 
   /** Band rows: (doc_id, band, band_hash) — Bands rows per doc. */
   def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
       .as(Seq("band", "band_hash")))
+
+  /** Max docs per LSH bucket before the bucket is dropped as degenerate.
+    * At corpus scale a boilerplate-text bucket otherwise emits O(n²) pairs;
+    * dropping is standard (the docs still collide in other bands). */
+  private val MaxBucket = 1000
+
+  /** Pairs (a < b) of docs sharing an LSH bucket. One signature pass, one
+    * hash shuffle on (band, band_hash), pair expansion bounded per bucket —
+    * never a self-join (which would recompute signatures per side) and
+    * never a cross join. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |       y -> struct(least(ids[i], y) AS a, greatest(ids[i], y) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
 
   /**
    * d02: MinHash-LSH near-dup summary. Each doc reports how many LSH
@@ -55,17 +77,12 @@ object Dedup {
    */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
-    val bands = minhashBands(sigs)
-    val partners = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
-      .distinct()
+    val pairs = lshCandidatePairs(minhashBands(sigs))
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    sigs.select(col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"))
       .join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
@@ -82,18 +99,28 @@ object Dedup {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
         GraftFunctions.simhash64(split(lower(col("text")), "\\s+")).as("sh"))
-    val blocks = sigs.select(col("doc_id"), col("sh"), posexplode(
+    // Pigeonhole buckets: same groupBy/collect_list topology as minhash LSH
+    // (struct packs (doc_id, sh) so hamming verification needs no re-join).
+    val blocks = sigs.select(struct(col("doc_id"), col("sh")).as("rec"), posexplode(
         expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
       .as(Seq("blk", "blk_val")))
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") &&
-        col("a.blk_val") === col("b.blk_val") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("a.sh").as("sh_a"),
-        col("b.doc_id").as("partner"), col("b.sh").as("sh_b"))
+    val pairs = blocks
+      .groupBy(col("blk"), col("blk_val"))
+      .agg(collect_list(col("rec")).as("recs"))
+      .filter(size(col("recs")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(recs) - 2),
+          |  i -> transform(slice(recs, i + 2, size(recs) - i - 1),
+          |       y -> struct(
+          |         least(recs[i].doc_id, y.doc_id) AS a,
+          |         greatest(recs[i].doc_id, y.doc_id) AS b,
+          |         recs[i].sh AS sh_a, y.sh AS sh_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"), col("p.sh_a"), col("p.sh_b"))
       .distinct()
       .filter(GraftFunctions.hamming64(col("sh_a"), col("sh_b")) <= 3)
+    val cand = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_near"))
     sigs.select(col("doc_id"), col("sh"))
@@ -139,12 +166,22 @@ object Dedup {
     val emb = Tables.embeddings(s, d)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       (0 until nPlanes).map(bit).reduce(_ + _).as("bucket"))
-    val mates = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("mate"),
-        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
-    val perVec = mates.filter(col("cos") >= 0.95)
+    // same bucket→collect_list→bounded-pair topology as the text LSH paths
+    val pairs = bucketed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("recs"))
+      .filter(size(col("recs")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(recs) - 2),
+          |  i -> transform(slice(recs, i + 2, size(recs) - i - 1),
+          |       y -> struct(recs[i].vec_id AS a, y.vec_id AS b,
+          |                   recs[i].embedding AS ea, y.embedding AS eb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"),
+        GraftFunctions.cosineSim(col("p.ea"), col("p.eb")).as("cos"))
+      .filter(col("cos") >= 0.95)
+    val perVec = pairs.select(col("a").as("vec_id"))
+      .unionAll(pairs.select(col("b").as("vec_id")))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_neardup"))
     bucketed.select(col("vec_id"), col("bucket"))
       .join(perVec, Seq("vec_id"), "left")

@@ -133,8 +133,8 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        approx_count_distinct(col("l_partkey"), 0.023).as("approx_parts"),  // Presto approx_distinct default stderr
+        approx_count_distinct(col("l_suppkey"), 0.023).as("approx_supps"))
       .orderBy(col("l_returnflag"))
 
   // --- q10: exact percentile (continuous) per group ---------------------
