@@ -64,7 +64,8 @@ object OracleSql {
 
     "q06_join_anti" -> """
       SELECT p_partkey, p_name, p_brand FROM part
-      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_partkey = p_partkey AND l_quantity > 45)
       ORDER BY p_partkey""",
 
     "q07_star_join" -> s"""
@@ -267,6 +268,31 @@ object OracleSql {
         ${dsum("l_extendedprice")} / NULLIF(${dsum("l_quantity")}, 0.0) AS price_per_unit,
         CASE WHEN ${dsum("l_quantity")} = 0 THEN 'empty' ELSE 'ok' END AS flag
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q33_json" -> """
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+      FROM events WHERE event_id < 2000 ORDER BY event_id""",
+
+    "q34_bitwise" -> """
+      SELECT o_orderkey,
+        o_orderkey & 255 AS b_and,
+        o_orderkey | 16 AS b_or,
+        xor(o_orderkey, 255) AS b_xor,
+        o_orderkey << 2 AS b_shl,
+        o_orderkey >> 2 AS b_shr,
+        CAST(bit_count(o_orderkey) AS INTEGER) AS b_cnt
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+
+    "q35_url" -> """
+      SELECT c_custkey,
+        lower(c_mktsegment) || '.example.com' AS host,
+        '/c/' || c_custkey AS path,
+        'seg=' || lower(c_mktsegment) || '&id=' || c_custkey AS query,
+        CAST(c_custkey AS VARCHAR) AS id_param
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
 
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -50,6 +50,9 @@ object SparkEntry {
     "q30_tpch_q6" -> (Relational.q30 _),
     "q31_self_join" -> (Relational.q31 _),
     "q32_conditional_null" -> (Relational.q32 _),
+    "q33_json" -> (Relational.q33 _),
+    "q34_bitwise" -> (Relational.q34 _),
+    "q35_url" -> (Relational.q35 _),
     // Events
     "e01_tumbling_window" -> (Events.tumbling _),
     "e02_sessionize" -> (Events.sessionize _),

@@ -93,7 +93,8 @@ object Relational {
   // --- q06: left-anti join (NOT EXISTS) ---------------------------------
   def q06(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
-      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
       .orderBy(col("p_partkey"))
 
@@ -402,6 +403,47 @@ object Relational {
       .groupBy(col("ck"))
       .agg(count(lit(1)).as("pairs"))
       .orderBy(col("ck"))
+  }
+
+  // --- q33: JSON extraction (Presto json_extract family) ----------------
+  def q33(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+      .orderBy(col("event_id"))
+
+  // --- q34: bitwise function family --------------------------------------
+  def q34(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("o_orderkey").bitwiseOR(lit(16L)).as("b_or"),
+        col("o_orderkey").bitwiseXOR(lit(255L)).as("b_xor"),
+        shiftleft(col("o_orderkey"), 2).as("b_shl"),
+        shiftright(col("o_orderkey"), 2).as("b_shr"),
+        bit_count(col("o_orderkey")).as("b_cnt"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q35: URL function family (Presto url_extract_*) -------------------
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), lower(col("c_mktsegment")),
+      lit(".example.com/c/"), col("c_custkey"),
+      lit("?seg="), lower(col("c_mktsegment")), lit("&id="), col("c_custkey"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(
+        col("c_custkey"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("id")).as("id_param"))
+      .orderBy(col("c_custkey"))
   }
 
   // --- q32: division-safe conditional aggregates ------------------------

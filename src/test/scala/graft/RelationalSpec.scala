@@ -31,9 +31,9 @@ class RelationalSpec extends GraftSpec {
     assert(semi == urgentCusts)
     val parts = graft.sources.Tables.part(spark, sf).count()
     val anti = Relational.q06(spark, sf).count()
-    val withSales = graft.sources.Tables.lineitem(spark, sf)
-      .select("l_partkey").distinct().count()
-    assert(anti == parts - withSales)
+    val withBigSales = graft.sources.Tables.lineitem(spark, sf)
+      .filter("l_quantity > 45").select("l_partkey").distinct().count()
+    assert(anti == parts - withBigSales)
   }
 
   test("q13 set ops: both + only_bal = hi_bal customer count") {

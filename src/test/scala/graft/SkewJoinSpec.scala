@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+import graft.sources.Tables
+
+class SkewJoinSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    // simulate skew: 5k rows hammering one key + uniform tail
+    val large = (Seq.fill(5000)(1L) ++ (2L to 500L)).toDF("k")
+      .withColumn("v", monotonically_increasing_id())
+    val small = (1L to 500L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    val plain = large.join(small, Seq("k"))
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k", salts = 8)
+
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("k").count().orderBy("k").collect().toSeq
+    val b = salted.groupBy("k").count().orderBy("k").collect().toSeq
+    assert(a == b)
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+  }
+
+  test("key histogram surfaces the hot key") {
+    val events = Tables.events(spark, sf)
+    val hist = SkewJoin.keyHistogram(events, "event_type", topN = 5).collect()
+    assert(hist.nonEmpty && hist.length <= 5)
+    val counts = hist.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
+}
