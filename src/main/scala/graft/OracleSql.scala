@@ -294,6 +294,46 @@ object OracleSql {
         CAST(c_custkey AS VARCHAR) AS id_param
       FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
 
+    "q36_width_bucket" -> s"""
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 AS bucket,
+        COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q37_map_agg" -> """
+      SELECT o_orderstatus,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_cnt,
+        CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_keys
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q39_global_avg_filter" -> """
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS DOUBLE) FROM customer)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+
+    "q40_pivot" -> """
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      FROM orders GROUP BY 1 ORDER BY yr""",
+
+    "e04_moving_avg" -> """
+      SELECT user_id, event_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS mov_avg
+      FROM events WHERE user_id < 10
+      ORDER BY user_id, event_id""",
+
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,

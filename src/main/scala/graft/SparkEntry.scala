@@ -53,10 +53,15 @@ object SparkEntry {
     "q33_json" -> (Relational.q33 _),
     "q34_bitwise" -> (Relational.q34 _),
     "q35_url" -> (Relational.q35 _),
+    "q36_width_bucket" -> (Relational.q36 _),
+    "q37_map_agg" -> (Relational.q37 _),
+    "q39_global_avg_filter" -> (Relational.q39 _),
+    "q40_pivot" -> (Relational.q40 _),
     // Events
     "e01_tumbling_window" -> (Events.tumbling _),
     "e02_sessionize" -> (Events.sessionize _),
     "e03_topk_users" -> (Events.topkUsers _),
+    "e04_moving_avg" -> (Events.movingAvg _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

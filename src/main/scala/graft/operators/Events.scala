@@ -44,6 +44,19 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** e04: moving average over a bounded ROWS frame (last 4 events/user). */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("value"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** e03: per-event-type top-5 users by summed value (window top-k). */
   def topkUsers(s: SparkSession, d: String): DataFrame = {
     val agg = Tables.events(s, d)

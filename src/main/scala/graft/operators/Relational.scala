@@ -446,6 +446,50 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  // --- q36: width_bucket histogram binning --------------------------------
+  def q36(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+
+  // --- q37: map_agg equivalent (map_from_entries + element_at) -----------
+  def q37(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(collect_list(struct(col("o_orderpriority"), col("cnt")))).as("m"))
+      .select(
+        col("o_orderstatus"),
+        coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("urgent_cnt"),
+        size(col("m")).as("n_keys"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q39: filter vs global aggregate + NOT EXISTS (TPC-H Q22 shape) ----
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- q40: pivot (groupBy.pivot with fixed value set) --------------------
+  def q40(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("yr"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
