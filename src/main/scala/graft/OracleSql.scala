@@ -305,6 +305,23 @@ object OracleSql {
         CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_keys
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "q38_try_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+        l_extendedprice / NULLIF(l_quantity - 24.0, 0.0) AS div_guarded,
+        TRY_CAST(regexp_extract(l_returnflag, '([0-9]+)', 1) AS DOUBLE) AS bad_cast,
+        l_orderkey + 1 AS safe_add
+      FROM lineitem WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "t05_normalize" -> """
+      SELECT doc_id,
+        array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          w -> w NOT IN ('the', 'a', 'and', 'of')), ' ') AS cleaned,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+           - len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               w -> w NOT IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS n_removed
+      FROM documents ORDER BY doc_id""",
+
     "q39_global_avg_filter" -> """
       SELECT c_custkey, c_acctbal FROM customer
       WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS DOUBLE) FROM customer)

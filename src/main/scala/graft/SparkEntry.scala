@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_url" -> (Relational.q35 _),
     "q36_width_bucket" -> (Relational.q36 _),
     "q37_map_agg" -> (Relational.q37 _),
+    "q38_try_funcs" -> (Relational.q38 _),
     "q39_global_avg_filter" -> (Relational.q39 _),
     "q40_pivot" -> (Relational.q40 _),
     // Events
@@ -67,6 +68,7 @@ object SparkEntry {
     "t02_quality_score" -> (TextAnalysis.quality _),
     "t03_token_count" -> (TextAnalysis.tokens _),
     "t04_fingerprint" -> (TextAnalysis.fingerprint _),
+    "t05_normalize" -> (TextAnalysis.normalize _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),

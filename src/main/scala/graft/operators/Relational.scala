@@ -135,7 +135,8 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.023).as("approx_parts"),  // Presto approx_distinct default stderr
-        approx_count_distinct(col("l_suppkey"), 0.023).as("approx_supps"))
+        approx_count_distinct(col("l_suppkey"), 0.023).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50_price"))
       .orderBy(col("l_returnflag"))
 
   // --- q10: exact percentile (continuous) per group ---------------------
@@ -465,6 +466,18 @@ object Relational {
         coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("urgent_cnt"),
         size(col("m")).as("n_keys"))
       .orderBy(col("o_orderstatus"))
+
+  // --- q38: TRY-semantics arithmetic/casts (Presto TRY) -------------------
+  def q38(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - lit(24.0)).as("div_guarded"),
+        try_to_number(regexp_extract(col("l_returnflag"), "([0-9]+)", 1), lit("999"))
+          .cast("double").as("bad_cast"),
+        try_add(col("l_orderkey"), lit(1L)).as("safe_add"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // --- q39: filter vs global aggregate + NOT EXISTS (TPC-H Q22 shape) ----
   def q39(s: SparkSession, d: String): DataFrame = {

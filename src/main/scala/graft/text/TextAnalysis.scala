@@ -70,6 +70,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t05: text normalization — lower-case, stopword removal, whitespace
+    * collapse. The cleaning kernel every corpus pipeline runs before
+    * shingling/fingerprinting; pure codegen'd array lambdas. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val kept = filter(words, w => !w.isin("the", "a", "and", "of"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(kept, " ").as("cleaned"),
+        (size(words) - size(kept)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

@@ -58,6 +58,20 @@ class ExpressionsSpec extends GraftSpec {
     assert(fps(0) != fps(3))
   }
 
+  test("SelfHammingRule folds hamming64(x, x) to a literal during optimization") {
+    graft.plans.Rules.install(spark)
+    // parquet-backed (a LocalRelation would be eagerly evaluated anyway)
+    val t = graft.sources.Tables.orders(spark, sf)
+    val df = t.select(hamming64($"o_orderkey", $"o_orderkey").as("h"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("hamming"), s"expression should fold away:\n$opt")
+    assert(df.collect().map(_.getInt(0)).forall(_ == 0))
+    // guard: non-deterministic inputs must keep the expression
+    val nd = t.select(hamming64((rand() * 100).cast("long"), (rand() * 100).cast("long")))
+      .queryExecution.optimizedPlan.toString
+    assert(nd.toLowerCase.contains("hamming"), s"rule must not fire on rand():\n$nd")
+  }
+
   test("SQL registration via GraftFunctions.install and via extensions class") {
     graft.functions.GraftFunctions.install(spark)
     val r = spark.sql(

@@ -12,7 +12,10 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object GraftSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.get("local[4]", shufflePartitions = 4)
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
