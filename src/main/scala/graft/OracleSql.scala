@@ -351,6 +351,14 @@ object OracleSql {
       FROM events WHERE user_id < 10
       ORDER BY user_id, event_id""",
 
+    "q41_max_by" -> """
+      SELECT o_orderstatus,
+        arg_max(o_orderkey, o_totalprice * 100000 + o_orderkey) AS best_order,
+        arg_min(o_orderkey, o_totalprice * 100000 + o_orderkey) AS worst_order,
+        max(o_totalprice) AS max_price,
+        min(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,

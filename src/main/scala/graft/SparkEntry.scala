@@ -58,6 +58,7 @@ object SparkEntry {
     "q38_try_funcs" -> (Relational.q38 _),
     "q39_global_avg_filter" -> (Relational.q39 _),
     "q40_pivot" -> (Relational.q40 _),
+    "q41_max_by" -> (Relational.q41 _),
     // Events
     "e01_tumbling_window" -> (Events.tumbling _),
     "e02_sessionize" -> (Events.sessionize _),

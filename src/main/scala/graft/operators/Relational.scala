@@ -503,6 +503,21 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy(col("yr"))
 
+  // --- q41: max_by / min_by (Presto signature aggregates) -----------------
+  // Tie-break folded into the ordering value (price*1e5 + key) because the
+  // oracle's arg_max takes scalars only; key deltas (≥1) dwarf double ulp.
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val ord = col("o_totalprice") * lit(100000.0) + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), ord).as("best_order"),
+        min_by(col("o_orderkey"), ord).as("worst_order"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
