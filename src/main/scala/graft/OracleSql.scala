@@ -429,6 +429,26 @@ object OracleSql {
         round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6) AS chars_per_token
       FROM documents ORDER BY doc_id""",
 
+    "c01_curation" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      WITH scored AS (
+        SELECT doc_id, lang, text,
+          LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+          + LEAST(1.0, (${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")}) * 10.0 / len(string_split_regex(trim(text), '\s+'))) * 0.3
+          + CASE WHEN CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 8.0
+                 THEN 0.2 ELSE 0.0 END AS score_raw
+        FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) d
+      ), kept AS (
+        SELECT * FROM scored WHERE score_raw >= 0.5
+      ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))
+      )
+      SELECT k.doc_id, k.lang, round(k.score_raw, 6) AS score
+      FROM kept k JOIN keepers USING (doc_id)
+      ORDER BY doc_id"""
+    },
+
     "d01_dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY h""",

@@ -76,6 +76,8 @@ object SparkEntry {
     "d03_dedup_simhash" -> (Dedup.simhash _),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d05_dedup_embedding" -> (Dedup.embeddingDedup _),
+    "d06_dedup_clusters" -> (Dedup.minhashClusters _),
+    "c01_curation" -> (graft.pipeline.Curation.curate _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -90,6 +90,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d06: near-dup clusters — LSH candidate pairs resolved into connected
+    * components; every doc labeled with its component's min doc_id. */
+  def minhashClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = lshCandidatePairs(minhashBands(minhashSignatures(docs)))
+    Clustering.connectedComponents(docs.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * d03: SimHash near-dup summary. 64-bit SimHash; candidates share one of
    * four 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ some block equal);

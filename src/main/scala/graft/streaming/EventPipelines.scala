@@ -71,6 +71,13 @@ object EventPipelines {
       }
   }
 
+  /** Stream-static enrichment join: a streaming event feed joined to a
+    * (broadcastable) dimension table — the standard lookup-join topology;
+    * the dim is re-read per micro-batch so slowly-changing dims stay
+    * fresh without restarting the query. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   /** Convenience: start the tumbling pipeline into an in-memory sink. */
   def startTumblingToMemory(events: DataFrame, queryName: String) =
     tumbling(events).writeStream

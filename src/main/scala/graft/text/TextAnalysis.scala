@@ -41,20 +41,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** t02: quality score from length, stopword share, and avg token length. */
-  def quality(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val nTokens = size(split(trim(col("text")), "\\s+"))
-    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+  /** Quality score of a text column in [0,1]: token-count saturation,
+    * stopword share, and average token length band. Reused by t02 and the
+    * curation pipeline (same arithmetic as the SQL oracle). */
+  def qualityScore(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val nTokens = size(split(trim(text), "\\s+"))
     val stops = occ(padded, " the ") + occ(padded, " a ") + occ(padded, " and ") + occ(padded, " of ")
-    val avgTok = (length(col("text")) - (nTokens - lit(1))).cast("double") / nTokens
-    val score =
-      least(lit(1.0), nTokens.cast("double") / lit(100.0)) * lit(0.5) +
+    val avgTok = (length(text) - (nTokens - lit(1))).cast("double") / nTokens
+    least(lit(1.0), nTokens.cast("double") / lit(100.0)) * lit(0.5) +
       least(lit(1.0), stops * lit(10.0) / nTokens) * lit(0.3) +
       when(avgTok.between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
+  }
+
+  /** t02: quality score from length, stopword share, and avg token length. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
     Tables.documents(s, d)
       .select(col("doc_id"), nTokens.as("n_tokens"), punct.as("n_punct"),
-        round(score, 6).as("score"))
+        round(qualityScore(col("text")), 6).as("score"))
       .orderBy(col("doc_id"))
   }
 

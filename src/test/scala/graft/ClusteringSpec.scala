@@ -1,0 +1,32 @@
+package graft
+
+import graft.dedup.Clustering
+
+class ClusteringSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("connected components labels chains, merges, and singletons correctly") {
+    val ids = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singleton 4 and 7; edge 6-7 merges late
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("no edges → every doc is its own cluster") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(ids, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  test("curation keeps only above-threshold, deduplicated docs") {
+    val out = graft.pipeline.Curation.curate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("score") >= 0.5))
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+}

@@ -31,6 +31,23 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join looks up the dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventPipelines.enriched(input.toDF(), dim).writeStream
+      .outputMode("append").format("memory").queryName("enrich_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 9, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enrich_test ORDER BY user_id")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("gold"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
