@@ -449,6 +449,30 @@ object OracleSql {
       ORDER BY doc_id"""
     },
 
+    "q42_promo_ratio" -> s"""
+      SELECT CAST(100.0 *
+        ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+        / ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS DOUBLE) AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""",
+
+    "c02_corpus_stats" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(CAST(SUM(CAST(
+          LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+          + LEAST(1.0, (${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")}) * 10.0 / len(string_split_regex(trim(text), '\s+'))) * 0.3
+          + CASE WHEN CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 8.0
+                 THEN 0.2 ELSE 0.0 END AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_score,
+        CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+      FROM (SELECT source, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) d
+      GROUP BY source, lang
+      ORDER BY source, lang"""
+    },
+
     "d01_dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY h""",

@@ -78,6 +78,8 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.embeddingDedup _),
     "d06_dedup_clusters" -> (Dedup.minhashClusters _),
     "c01_curation" -> (graft.pipeline.Curation.curate _),
+    "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
+    "q42_promo_ratio" -> (Relational.q42 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -518,6 +518,18 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  // --- q42: conditional-revenue ratio (TPC-H Q14 shape) -------------------
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6) /
+        dsum(disc, 6)).as("promo_revenue"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

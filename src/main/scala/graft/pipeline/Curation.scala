@@ -15,6 +15,23 @@ import graft.text.TextAnalysis
  */
 object Curation {
 
+  /** c02: corpus reporting — per (source, lang) doc counts, mean quality,
+    * token totals. The rollup a pipeline publishes after each curation run. */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"), nTokens.as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("score").cast(DecimalType(18, 8))).cast("double") / count(lit(1)))
+          .as("avg_score"),
+        sum(col("n_tok").cast("long")).as("total_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** c01: curated corpus (doc_id, lang, score) after quality + dedup. */
   def curate(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d)
