@@ -359,6 +359,23 @@ object OracleSql {
         min(o_totalprice) AS min_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "q43_window_dist" -> """
+      SELECT o_orderkey,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd
+      FROM orders WHERE o_custkey < 30
+      WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q44_stats_agg" -> """
+      SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,

@@ -80,6 +80,8 @@ object SparkEntry {
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
     "q42_promo_ratio" -> (Relational.q42 _),
+    "q43_window_dist" -> (Relational.q43 _),
+    "q44_stats_agg" -> (Relational.q44 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

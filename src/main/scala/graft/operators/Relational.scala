@@ -530,6 +530,34 @@ object Relational {
         dsum(disc, 6)).as("promo_revenue"))
   }
 
+  // --- q43: distribution window functions ---------------------------------
+  // A partition-less window forces a single-task sort — correct for the
+  // bounded slice taken here; a full-corpus global ntile at 100 TB would
+  // instead be computed from a distributed sort + rank arithmetic.
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .select(col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // --- q44: statistical aggregates (stddev/variance/corr/covar) ----------
+  // Rounded: merge-order of the streaming moments differs between engines
+  // at ~1e-12 relative; rounding absorbs it (values are O(1)-O(1e4)).
+  def q44(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+      .orderBy(col("l_returnflag"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
