@@ -376,6 +376,29 @@ object OracleSql {
         round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q45_interval" -> """
+      SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus_days,
+        strftime(o_orderdate - INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS minus_hours,
+        strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_month
+      FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+
+    "q47_like_patterns" -> """
+      SELECT p_partkey, p_name,
+        p_name LIKE '%red%' AS has_red,
+        p_name ILIKE 'SMALL%' AS starts_small,
+        regexp_matches(p_name, '^[a-z]+ (bolt|widget)$') AS is_bw
+      FROM part
+      WHERE p_name LIKE '%red%' OR p_name ILIKE 'SMALL%'
+         OR regexp_matches(p_name, '^[a-z]+ (bolt|widget)$')
+      ORDER BY p_partkey""",
+
+    "t06_bigrams" -> """
+      SELECT bg, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents) t
+      ) u GROUP BY bg ORDER BY n DESC, bg LIMIT 50""",
+
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,

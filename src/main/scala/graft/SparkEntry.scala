@@ -70,6 +70,7 @@ object SparkEntry {
     "t03_token_count" -> (TextAnalysis.tokens _),
     "t04_fingerprint" -> (TextAnalysis.fingerprint _),
     "t05_normalize" -> (TextAnalysis.normalize _),
+    "t06_bigrams" -> (TextAnalysis.bigrams _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -82,6 +83,8 @@ object SparkEntry {
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
+    "q45_interval" -> (Relational.q45 _),
+    "q47_like_patterns" -> (Relational.q47 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

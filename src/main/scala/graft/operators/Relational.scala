@@ -558,6 +558,27 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
       .orderBy(col("l_returnflag"))
 
+  // --- q45: INTERVAL arithmetic -------------------------------------------
+  def q45(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate") + expr("INTERVAL 3 DAYS"), "yyyy-MM-dd HH:mm:ss").as("plus_days"),
+        date_format(col("o_orderdate") - expr("INTERVAL 2 HOURS"), "yyyy-MM-dd HH:mm:ss").as("minus_hours"),
+        date_format(col("o_orderdate") + expr("INTERVAL 1 MONTH"), "yyyy-MM-dd HH:mm:ss").as("plus_month"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q47: LIKE / ILIKE / RLIKE pattern matching -------------------------
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        col("p_name").like("%red%").as("has_red"),
+        col("p_name").ilike("SMALL%").as("starts_small"),
+        col("p_name").rlike("^[a-z]+ (bolt|widget)$").as("is_bw"))
+      .filter(col("has_red") || col("starts_small") || col("is_bw"))
+      .orderBy(col("p_partkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

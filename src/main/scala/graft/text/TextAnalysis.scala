@@ -89,6 +89,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t06: corpus-wide top bigram frequencies — the n-gram statistics pass
+    * of corpus analysis (language modeling priors, boilerplate detection).
+    * One scan, words materialized once, bigrams via index transform. */
+  def bigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(lower(col("text")), "\\s+").as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(50)
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
