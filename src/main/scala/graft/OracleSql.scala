@@ -399,6 +399,23 @@ object OracleSql {
         FROM (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents) t
       ) u GROUP BY bg ORDER BY n DESC, bg LIMIT 50""",
 
+    "q48_nested_agg" -> """
+      SELECT o_custkey, n FROM (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+      ) pc
+      WHERE n > (SELECT AVG(cnt) FROM (
+        SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey) t)
+      ORDER BY o_custkey""",
+
+    "q49_values_join" -> s"""
+      SELECT tier, COUNT(*) AS n_cust, ${dsum("c_acctbal")} AS total_bal
+      FROM customer
+      JOIN (VALUES ('AUTOMOBILE', 'retail'), ('BUILDING', 'industrial'),
+                   ('FURNITURE', 'retail'), ('HOUSEHOLD', 'retail'),
+                   ('MACHINERY', 'industrial')) AS tiers(c_mktsegment, tier)
+        USING (c_mktsegment)
+      GROUP BY tier ORDER BY tier""",
+
     "e01_tumbling_window" -> s"""
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         COUNT(*) AS n_events, ${dsum("value", 6)} AS total_value,

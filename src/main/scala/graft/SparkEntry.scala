@@ -85,9 +85,12 @@ object SparkEntry {
     "q44_stats_agg" -> (Relational.q44 _),
     "q45_interval" -> (Relational.q45 _),
     "q47_like_patterns" -> (Relational.q47 _),
+    "q48_nested_agg" -> (Relational.q48 _),
+    "q49_values_join" -> (Relational.q49 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),
+    "a03_knn_join" -> (Ann.knnJoin _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _)
   )

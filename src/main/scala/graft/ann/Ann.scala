@@ -41,6 +41,43 @@ object Ann {
   }
 
   /**
+   * a03: all-pairs KNN join — every vector's top-3 neighbors among its
+   * LSH bucket mates (16 random-hyperplane sign bits). The scale topology
+   * for "nearest neighbor per corpus row": bucket shuffle + bounded
+   * in-bucket ranking, never an n² cross join; recall grows with multiple
+   * hash tables (one here).
+   */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val nPlanes = 16
+    val rnd = new java.util.Random(7)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val bit: Int => Column = p => {
+      val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }
+    val bucketed = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      (0 until nPlanes).map(bit).reduce(_ + _).as("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id"))
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("recs"))
+      .filter(size(col("recs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(recs, r ->
+          |  transform(filter(recs, o -> o.vec_id != r.vec_id),
+          |            o -> struct(r.vec_id AS vec_id, o.vec_id AS nbr_id,
+          |                        r.embedding AS ea, o.embedding AS eb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.nbr_id").as("nbr_id"),
+        round(GraftFunctions.cosineSim(col("p.ea"), col("p.eb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /**
    * a02: IVF-style ANN — nearest-centroid cell assignment, probe top-2
    * cells. The centroid set is the IVF index's `nlist` (bounded, fits any
    * driver — here a deterministic sample; k-means would change recall,

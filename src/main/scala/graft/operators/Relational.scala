@@ -579,6 +579,31 @@ object Relational {
       .filter(col("has_red") || col("starts_small") || col("is_bw"))
       .orderBy(col("p_partkey"))
 
+  // --- q48: aggregate-of-aggregate nested subquery ------------------------
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val avgN = perCust.agg(avg(col("n")).as("avg_n"))
+    perCust.crossJoin(broadcast(avgN))
+      .filter(col("n") > col("avg_n"))
+      .select(col("o_custkey"), col("n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // --- q49: inline VALUES / literal table join ----------------------------
+  def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      ("AUTOMOBILE", "retail"), ("BUILDING", "industrial"),
+      ("FURNITURE", "retail"), ("HOUSEHOLD", "retail"),
+      ("MACHINERY", "industrial")).toDF("c_mktsegment", "tier")
+    Tables.customer(s, d)
+      .join(broadcast(tiers), Seq("c_mktsegment"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("tier"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
