@@ -1,4 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep sbt from printing "[success] Total time..." after a run: the driver
+// captures only the tail of stdout and Bench's JSON line must stay inside it.
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "prestoonrayspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

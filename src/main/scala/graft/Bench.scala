@@ -38,9 +38,12 @@ object Bench {
       System.gc()
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Compact line: the harness keeps only the last ~2000 chars of stdout,
+    // so 3-decimal times + short sf keep the whole JSON inside that window.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -295,7 +295,9 @@ object OracleSql {
       FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
 
     "q36_width_bucket" -> s"""
-      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 AS bucket,
+      -- Clamp exactly like Spark's width_bucket(x, 0, 500000, 10): values
+      -- beyond the top bound land in bucket 11, negatives in bucket 0.
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1, 0), 11) AS bucket,
         COUNT(*) AS n, ${dsum("o_totalprice")} AS total
       FROM orders GROUP BY 1 ORDER BY bucket""",
 
@@ -353,8 +355,8 @@ object OracleSql {
 
     "q41_max_by" -> """
       SELECT o_orderstatus,
-        arg_max(o_orderkey, o_totalprice * 100000 + o_orderkey) AS best_order,
-        arg_min(o_orderkey, o_totalprice * 100000 + o_orderkey) AS worst_order,
+        arg_max(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS best_order,
+        arg_min(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS worst_order,
         max(o_totalprice) AS max_price,
         min(o_totalprice) AS min_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

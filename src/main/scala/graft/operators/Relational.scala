@@ -504,10 +504,13 @@ object Relational {
       .orderBy(col("yr"))
 
   // --- q41: max_by / min_by (Presto signature aggregates) -----------------
-  // Tie-break folded into the ordering value (price*1e5 + key) because the
-  // oracle's arg_max takes scalars only; key deltas (≥1) dwarf double ulp.
+  // Tie-break folded into the ordering value (price*1e9 + key) because the
+  // oracle's arg_max takes scalars only. 1e9 keeps both terms exact and
+  // non-overlapping in a double: 2-decimal prices < 1e6 map to multiples of
+  // 1e7 (so price*1e9 <= 1e15 < 2^53... price deltas are >= 0.01*1e9 = 1e7)
+  // while keys stay < 9e6 — a key can never outweigh a price difference.
   def q41(s: SparkSession, d: String): DataFrame = {
-    val ord = col("o_totalprice") * lit(100000.0) + col("o_orderkey")
+    val ord = col("o_totalprice") * lit(1000000000.0) + col("o_orderkey")
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(

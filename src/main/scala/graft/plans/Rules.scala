@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -15,11 +15,18 @@ import graft.functions.Hamming64
  * always 0), so the per-row popcount — and potentially the evaluation of x
  * itself — folds to a literal. This shape appears when dedup pipelines join
  * candidate tables back to themselves and compare signatures.
+ *
+ * Null semantics: Hamming64 is null-intolerant, so hamming64(NULL, NULL) is
+ * NULL (e.g. signatures arriving through an outer join). Folding to a bare 0
+ * would change results for nullable inputs — those fold to
+ * IF(x IS NULL, NULL, 0) instead, which still skips the XOR/popcount and
+ * the (possibly expensive) second evaluation of x.
  */
 object SelfHammingRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case Hamming64(a, b) if a.deterministic && a.semanticEquals(b) =>
-      Literal(0, IntegerType)
+      if (a.nullable) If(IsNull(a), Literal(null, IntegerType), Literal(0, IntegerType))
+      else Literal(0, IntegerType)
   }
 }
 

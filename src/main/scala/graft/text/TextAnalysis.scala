@@ -95,6 +95,9 @@ object TextAnalysis {
   def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(split(lower(col("text")), "\\s+").as("w"))
+      // 0/1-token docs: sequence(0,-1) yields the DESCENDING [0,-1] in Spark,
+      // which would emit spurious NULL bigrams — drop them before expanding.
+      .filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
       .groupBy(col("bg"))
