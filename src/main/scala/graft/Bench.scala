@@ -39,11 +39,14 @@ object Bench {
       name -> math.min(once(), once())
     }
     // Compact line: the harness keeps only the last ~2000 chars of stdout,
-    // so 3-decimal times + short sf keep the whole JSON inside that window.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // so centisecond precision with stripped trailing zeros keeps the whole
+    // JSON inside that window even as the query inventory grows.
+    def fmt(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -536,6 +536,133 @@ object OracleSql {
       SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY h""",
 
+    "q50_edit_distance" -> """
+      SELECT p_partkey, p_name,
+        CAST(levenshtein(p_name, 'promo burnished copper') AS INTEGER) AS dist_ref,
+        CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist_bt
+      FROM part WHERE p_partkey < 500 ORDER BY p_partkey""",
+
+    "q51_bool_agg" -> """
+      SELECT o_orderstatus,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q52_regr" -> """
+      SELECT l_returnflag,
+        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q53_window_frame" -> """
+      SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER wf AS first_price,
+        last_value(o_totalprice) OVER wf AS last_price,
+        nth_value(o_totalprice, 2) OVER wf AS second_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt AS DOUBLE) AS trail3_sum
+      FROM orders WHERE o_custkey < 50
+      WINDOW
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q54_setops_all" -> """
+      WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 5000 AND l_quantity > 30),
+           b AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 5000 AND l_returnflag = 'R')
+      SELECT 'except_all' AS tag, l_orderkey, COUNT(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'intersect_all' AS tag, l_orderkey, COUNT(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t GROUP BY l_orderkey
+      ORDER BY tag, l_orderkey""",
+
+    "q55_higher_order" -> """
+      WITH g AS (
+        SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS arr
+        FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        array_to_string(arr, ',') AS qty_str,
+        CAST(list_sum(list_transform(arr, x -> x * 2)) AS DOUBLE) AS doubled_sum,
+        CAST(len(list_filter(arr, x -> x > 30)) AS INTEGER) AS n_big,
+        CAST(list_sum(list_transform(arr, x -> x * x)) AS DOUBLE) AS sumsq
+      FROM g ORDER BY l_orderkey""",
+
+    "q56_cube" -> s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS prio,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, prio, gid""",
+
+    "q57_cust_dist" -> """
+      SELECT c_count, custdist FROM (
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+          GROUP BY c_custkey) t1
+        GROUP BY c_count) t2
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q58_nation_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(extract(year FROM l_shipdate) AS INTEGER) AS yr,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey AND n1.n_name < n2.n_name
+      GROUP BY supp_nation, cust_nation, yr
+      ORDER BY supp_nation, cust_nation, yr""",
+
+    "q59_or_of_ands" -> s"""
+      SELECT ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+        COUNT(*) AS n
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND (
+        (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) OR
+        (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR
+        (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""",
+
+    "q60_base_convert" -> """
+      SELECT o_orderkey,
+        hex(o_orderkey) AS okey_hex,
+        bin(o_orderkey) AS okey_bin,
+        to_base(o_orderkey, 36) AS okey_b36,
+        printf('ORD-%06d', o_orderkey) AS okey_fmt,
+        translate(o_orderstatus, 'FOP', 'fop') AS status_lc,
+        lpad(o_orderpriority, 15, '.') AS prio_pad
+      FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+
+    "q61_string_agg" -> """
+      SELECT o_orderstatus,
+        array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+        COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q62_string_parts" -> """
+      SELECT c_custkey,
+        split_part(c_name, '#', 2) AS name_num,
+        CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        reverse(c_name) AS name_rev,
+        repeat('*', CAST(c_nationkey % 5 + 1 AS INTEGER)) AS stars
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
+
+    "q63_calendar" -> """
+      SELECT o_orderkey,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+      FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

@@ -87,6 +87,20 @@ object SparkEntry {
     "q47_like_patterns" -> (Relational.q47 _),
     "q48_nested_agg" -> (Relational.q48 _),
     "q49_values_join" -> (Relational.q49 _),
+    "q50_edit_distance" -> (Relational.q50 _),
+    "q51_bool_agg" -> (Relational.q51 _),
+    "q52_regr" -> (Relational.q52 _),
+    "q53_window_frame" -> (Relational.q53 _),
+    "q54_setops_all" -> (Relational.q54 _),
+    "q55_higher_order" -> (Relational.q55 _),
+    "q56_cube" -> (Relational.q56 _),
+    "q57_cust_dist" -> (Relational.q57 _),
+    "q58_nation_volume" -> (Relational.q58 _),
+    "q59_or_of_ands" -> (Relational.q59 _),
+    "q60_base_convert" -> (Relational.q60 _),
+    "q61_string_agg" -> (Relational.q61 _),
+    "q62_string_parts" -> (Relational.q62 _),
+    "q63_calendar" -> (Relational.q63 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -607,6 +607,185 @@ object Relational {
       .orderBy(col("tier"))
   }
 
+  // --- q50: edit-distance similarity (Presto levenshtein_distance) -------
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit("promo burnished copper")).as("dist_ref"),
+        levenshtein(col("p_brand"), col("p_type")).as("dist_bt"))
+      .orderBy(col("p_partkey"))
+
+  // --- q51: boolean aggregates (Presto bool_and/bool_or/count_if) ---------
+  def q51(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        count_if(col("o_totalprice") > 200000).as("n_big"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q52: linear-regression aggregates (Presto regr_slope/intercept) ----
+  // Rounded: streaming-moment merge order differs across engines at ~1e-12
+  // relative; slope/intercept are O(1e2..1e4) so 4dp absorbs it.
+  def q52(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // --- q53: value-position window functions with explicit frames ----------
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val trail = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(trail)
+          .cast("double").as("trail3_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // --- q54: multiset set ops (EXCEPT ALL / INTERSECT ALL) ------------------
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 5000 && col("l_quantity") > 30).select(col("l_orderkey"))
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 5000 && col("l_returnflag") === "R").select(col("l_orderkey"))
+    val ea = a.exceptAll(b).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+    val ia = a.intersectAll(b).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+    ea.unionByName(ia).select(col("tag"), col("l_orderkey"), col("n"))
+      .orderBy(col("tag"), col("l_orderkey"))
+  }
+
+  // --- q55: higher-order array lambdas (transform/filter/aggregate) -------
+  def q55(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 300)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+      .select(col("l_orderkey"),
+        array_join(col("arr"), ",").as("qty_str"),
+        expr("aggregate(transform(arr, x -> x * 2), 0D, (acc, x) -> acc + x)").as("doubled_sum"),
+        expr("size(filter(arr, x -> x > 30))").as("n_big"),
+        expr("aggregate(transform(arr, x -> x * x), 0D, (acc, x) -> acc + x)").as("sumsq"))
+      .orderBy(col("l_orderkey"))
+
+  // --- q56: CUBE grouping sets with grouping_id ---------------------------
+  def q56(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("status"), col("prio"), col("gid"))
+
+  // --- q57: customer order-count distribution (TPC-H Q13 shape) -----------
+  // The left join keeps zero-order customers; the second aggregation builds
+  // the histogram of per-customer counts.
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val nonUrgent = Tables.orders(s, d).filter(!col("o_orderpriority").startsWith("1"))
+    Tables.customer(s, d)
+      .join(nonUrgent, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // --- q58: nation-pair trade volume (TPC-H Q7 shape) ----------------------
+  // Two aliases of the same dim joined independently (supplier vs customer
+  // nation); both broadcast — the fact table never shuffles for the dims.
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
+  // --- q59: OR-of-ANDs predicate (TPC-H Q19 shape) -------------------------
+  // The disjunction of conjunctions exercises Catalyst's CNF conversion:
+  // the common l_partkey=p_partkey stays a join key and the brand/size/qty
+  // bounds partially push to both scans.
+  def q59(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n"))
+
+  // --- q60: base conversion + string formatting (Presto to_base/format) ----
+  def q60(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        hex(col("o_orderkey")).as("okey_hex"),
+        bin(col("o_orderkey")).as("okey_bin"),
+        conv(col("o_orderkey").cast("string"), 10, 36).as("okey_b36"),
+        format_string("ORD-%06d", col("o_orderkey")).as("okey_fmt"),
+        translate(col("o_orderstatus"), "FOP", "fop").as("status_lc"),
+        lpad(col("o_orderpriority"), 15, ".").as("prio_pad"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q61: sorted listagg per group (Presto array_agg→array_join) ---------
+  def q61(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q62: string splitting/position functions (Presto split_part) --------
+  def q62(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        reverse(col("c_name")).as("name_rev"),
+        expr("repeat('*', int(c_nationkey % 5 + 1))").as("stars"))
+      .orderBy(col("c_custkey"))
+
+  // --- q63: calendar arithmetic (datediff/last_day/add_months/quarter) -----
+  def q63(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"))
+      .orderBy(col("o_orderkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
