@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Invariant specs for the q50+ function-family queries (the DuckDB oracle
+  * pins exact values at sf0.01; these pin structural properties at sf0.001
+  * so `sbt test` catches regressions without the oracle). */
+class Relational2Spec extends GraftSpec {
+
+  test("q50: edit distance bounded below by length difference") {
+    Relational.q50(spark, sf).collect().foreach { r =>
+      val name = r.getAs[String]("p_name")
+      val ref = "promo burnished copper"
+      val d = r.getAs[Int]("dist_ref")
+      assert(d >= math.abs(name.length - ref.length) && d <= math.max(name.length, ref.length))
+    }
+  }
+
+  test("q51: count_if bounded by group size; bool aggs consistent") {
+    val byStatus = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.q51(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_big")
+      assert(n >= 0 && n <= byStatus(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("q52: regression n matches group sizes and r2 in [0,1]") {
+    val sizes = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.q52(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n") == sizes(r.getAs[String]("l_returnflag")))
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q53: full-frame first/last constant per partition; nth null iff singleton") {
+    val rows = Relational.q53(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, part) =>
+      assert(part.map(_.getAs[Double]("first_price")).distinct.length == 1)
+      assert(part.map(_.getAs[Double]("last_price")).distinct.length == 1)
+      val secondNull = part.head.isNullAt(part.head.fieldIndex("second_price"))
+      assert(secondNull == (part.length < 2))
+    }
+  }
+
+  test("q54: except_all + intersect_all multiplicities reconstruct side a") {
+    val rows = Relational.q54(spark, sf).collect()
+    val byTag = rows.groupBy(_.getAs[String]("tag"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n")).sum }
+    val aCount = Tables.lineitem(spark, sf)
+      .filter("l_orderkey < 5000 and l_quantity > 30").count()
+    // |a EXCEPT ALL b| + |a INTERSECT ALL b| == |a| (multiset identity)
+    assert(byTag.getOrElse("except_all", 0L) + byTag.getOrElse("intersect_all", 0L) == aCount)
+  }
+
+  test("q56: cube contains all four grouping-id levels and a correct grand total") {
+    val rows = Relational.q56(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("gid")).toSet == Set(0, 1, 2, 3))
+    val grand = rows.filter(r => r.getAs[Int]("gid") == 3)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.orders(spark, sf).count())
+  }
+
+  test("q57: distribution accounts for every customer and every kept order") {
+    val rows = Relational.q57(spark, sf).collect()
+    val nCust = rows.map(_.getAs[Long]("custdist")).sum
+    assert(nCust == Tables.customer(spark, sf).count())
+    val nOrders = rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val kept = o.join(c, o("o_custkey") === c("c_custkey"))
+      .filter("o_orderpriority not like '1%'").count()
+    assert(nOrders == kept)
+  }
+
+  test("q58: nation pairs are strictly ordered (no self/dup pairs)") {
+    Relational.q58(spark, sf).collect().foreach { r =>
+      assert(r.getAs[String]("supp_nation") < r.getAs[String]("cust_nation"))
+    }
+  }
+
+  test("q60: hex/bin/base36 all decode back to the order key") {
+    Relational.q60(spark, sf).collect().take(50).foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      assert(java.lang.Long.parseLong(r.getAs[String]("okey_hex"), 16) == k)
+      assert(java.lang.Long.parseLong(r.getAs[String]("okey_bin"), 2) == k)
+      assert(java.lang.Long.parseLong(r.getAs[String]("okey_b36").toLowerCase, 36) == k)
+      assert(r.getAs[String]("okey_fmt") == f"ORD-$k%06d")
+    }
+  }
+
+  test("q61/q62/q63: listagg sorted; split_part extracts; quarter in range") {
+    Relational.q61(spark, sf).collect().foreach { r =>
+      val ps = r.getAs[String]("prios").split(",")
+      assert(ps.sorted.sameElements(ps))
+    }
+    Relational.q62(spark, sf).collect().take(20).foreach { r =>
+      assert(r.getAs[String]("name_num").forall(_.isDigit))
+      assert(r.getAs[Int]("hash_pos") > 0)
+    }
+    Relational.q63(spark, sf).collect().foreach { r =>
+      val q = r.getAs[Int]("qtr")
+      assert(q >= 1 && q <= 4)
+    }
+  }
+}
