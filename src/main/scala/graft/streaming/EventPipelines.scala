@@ -14,6 +14,10 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 case class SessionState(nSessions: Long, nEvents: Long, lastTsMicros: Long)
 case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Open-session state for flatMapGroupsWithState session flushing. */
+case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
 /**
  * Structured Streaming forms of the event analytics (batch equivalents:
  * graft.operators.Events — oracle-verified). readStream → transform →
@@ -77,6 +81,60 @@ object EventPipelines {
     * fresh without restarting the query. */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
+  /** Stream-stream interval join: attribute each click to the same user's
+    * views in the preceding 30 minutes. Watermarks on BOTH sides bound the
+    * join state (each side buffers only rows newer than the other side's
+    * watermark minus the interval) — without them state grows forever. */
+  def clickAttribution(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v, expr(
+      """user_id = v_user_id AND
+         view_ts BETWEEN click_ts - INTERVAL 30 MINUTES AND click_ts"""))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Watermarked streaming dedup by event_id: exactly-once-shaped ingestion
+    * in the face of at-least-once sources. State holds only ids within the
+    * watermark horizon, so it stays bounded at any stream volume. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** flatMapGroupsWithState sessionization that EMITS each session as it
+    * closes (gap > 30 min), keeping only the open session in state — the
+    * session-log topology (vs sessionize's running per-user counters). */
+  def sessionFlush(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(o) if t - o.lastMs > gapMs =>
+                closed += ClosedSession(userId, o.nEvents, o.startMs, o.lastMs)
+                open = Some(OpenSession(t, t, 1))
+              case Some(o) =>
+                open = Some(OpenSession(o.startMs, t, o.nEvents + 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
 
   /** Convenience: start the tumbling pipeline into an in-memory sink. */
   def startTumblingToMemory(events: DataFrame, queryName: String) =

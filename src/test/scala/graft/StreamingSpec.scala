@@ -48,6 +48,63 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to recent views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventPipelines.clickAttribution(clicks.toDF(), views.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_test").start()
+    try {
+      views.addData(
+        Event(10, ts("2024-01-01 09:45:00"), 1, "view", 1.0),  // within 30 min
+        Event(11, ts("2024-01-01 08:00:00"), 1, "view", 1.0),  // too old
+        Event(12, ts("2024-01-01 09:50:00"), 2, "view", 1.0))  // other user
+      clicks.addData(Event(20, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM attr_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops re-delivered event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.dedupStream(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // at-least-once redelivery of event 1 in a later micro-batch
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_test").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits sessions as they close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.sessionFlush(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("flush_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 5, "click", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      // nothing closed yet — first session still open
+      assert(spark.sql("SELECT count(*) FROM flush_test").head().getLong(0) == 0)
+      // a 2h-later event closes session 1 (2 events) and opens session 2
+      input.addData(Event(3, ts("2024-01-01 11:30:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM flush_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 5L && rows.head.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
