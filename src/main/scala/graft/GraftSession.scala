@@ -27,6 +27,10 @@ object GraftSession {
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Graft extension point: native function family + optimizer rules in
+      // every session this factory creates (same mechanism a deployment
+      // uses via --conf spark.sql.extensions).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -663,6 +663,68 @@ object OracleSql {
         strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
       FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
 
+    "q64_trig_math" -> """
+      SELECT o_orderkey,
+        round(sin(o_totalprice / 100000.0), 6) AS sin_p,
+        round(atan2(o_totalprice, CAST(o_orderkey AS DOUBLE)), 6) AS atan2_pk,
+        round(degrees(o_totalprice / 100000.0), 6) AS deg_p,
+        round(log10(o_totalprice), 6) AS log10_p,
+        round(cbrt(o_totalprice), 6) AS cbrt_p,
+        round(exp(o_totalprice / 500000.0), 6) AS exp_p
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+
+    "q65_array_funcs" -> """
+      WITH g AS (
+        SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS arr
+        FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        CAST(COALESCE(list_position(arr, 25), 0) AS BIGINT) AS pos25,
+        COALESCE(array_to_string(list_slice(arr, 2, 3), ','), '') AS mid2,
+        array_to_string(list_sort(list_distinct(arr)), ',') AS uniq,
+        list_contains(arr, 30) AS has30,
+        CAST(len(arr) AS INTEGER) AS n
+      FROM g ORDER BY l_orderkey""",
+
+    "q66_regex" -> raw"""
+      SELECT c_custkey,
+        regexp_replace(c_name, '(Customer)#(\d+)', '\2@\1') AS swapped,
+        regexp_extract(c_name, '#(\d+)', 1) AS num_part,
+        CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS n_zeros
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
+
+    "q67_char_predicates" -> """
+      SELECT p_partkey,
+        CAST(ascii(substring(p_name, 1, 1)) AS INTEGER) AS first_code,
+        chr(CAST(p_partkey % 26 + 65 AS INTEGER)) AS letter,
+        contains(p_name, 'red') AS has_red,
+        starts_with(p_name, 'small') AS is_small,
+        ends_with(p_name, 'bolt') AS is_bolt
+      FROM part WHERE p_partkey < 300 ORDER BY p_partkey""",
+
+    "q68_histogram" -> """
+      SELECT o_orderstatus, to_json(histogram(o_orderpriority)) AS prio_hist
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q69_min_supplier" -> """
+      WITH li AS (SELECT l_partkey, l_suppkey, l_extendedprice
+                  FROM lineitem WHERE l_partkey < 100),
+           m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+                 FROM li GROUP BY l_partkey)
+      SELECT li.l_partkey, MIN(m.min_price) AS min_price,
+        MIN(li.l_suppkey) AS best_supp
+      FROM li JOIN m ON li.l_partkey = m.l_partkey
+        AND li.l_extendedprice = m.min_price
+      GROUP BY li.l_partkey ORDER BY li.l_partkey""",
+
+    "q70_multi_exists" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey < 500
+        AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F' AND o_totalprice > 300000)
+      ORDER BY c_custkey""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

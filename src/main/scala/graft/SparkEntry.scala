@@ -101,6 +101,13 @@ object SparkEntry {
     "q61_string_agg" -> (Relational.q61 _),
     "q62_string_parts" -> (Relational.q62 _),
     "q63_calendar" -> (Relational.q63 _),
+    "q64_trig_math" -> (Relational.q64 _),
+    "q65_array_funcs" -> (Relational.q65 _),
+    "q66_regex" -> (Relational.q66 _),
+    "q67_char_predicates" -> (Relational.q67 _),
+    "q68_histogram" -> (Relational.q68 _),
+    "q69_min_supplier" -> (Relational.q69 _),
+    "q70_multi_exists" -> (Relational.q70 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

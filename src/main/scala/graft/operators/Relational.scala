@@ -786,6 +786,98 @@ object Relational {
         date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"))
       .orderBy(col("o_orderkey"))
 
+  // --- q64: transcendental math (trig/log/exp families) -------------------
+  // Rounded 6dp: Java StrictMath and C libm agree to ~2 ulp; rounding
+  // absorbs the cross-runtime last-digit jitter.
+  def q64(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        round(sin(col("o_totalprice") / 100000.0), 6).as("sin_p"),
+        round(atan2(col("o_totalprice"), col("o_orderkey").cast("double")), 6).as("atan2_pk"),
+        round(degrees(col("o_totalprice") / 100000.0), 6).as("deg_p"),
+        round(log10(col("o_totalprice")), 6).as("log10_p"),
+        round(cbrt(col("o_totalprice")), 6).as("cbrt_p"),
+        round(exp(col("o_totalprice") / 500000.0), 6).as("exp_p"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q65: array function family (position/slice/distinct/contains) ------
+  def q65(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+      .select(col("l_orderkey"),
+        array_position(col("arr"), 25).as("pos25"),
+        array_join(slice(col("arr"), 2, 2), ",").as("mid2"),
+        array_join(array_distinct(col("arr")), ",").as("uniq"),
+        array_contains(col("arr"), 30).as("has30"),
+        size(col("arr")).as("n"))
+      .orderBy(col("l_orderkey"))
+
+  // --- q66: regex capture groups / backreference replace ------------------
+  def q66(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "(Customer)#(\\d+)", "$2@$1").as("swapped"),
+        regexp_extract(col("c_name"), "#(\\d+)", 1).as("num_part"),
+        regexp_count(col("c_name"), lit("0")).as("n_zeros"))
+      .orderBy(col("c_custkey"))
+
+  // --- q67: char/ascii + containment predicates ---------------------------
+  def q67(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_code"),
+        expr("char(p_partkey % 26 + 65)").as("letter"),
+        contains(col("p_name"), lit("red")).as("has_red"),
+        startswith(col("p_name"), lit("small")).as("is_small"),
+        endswith(col("p_name"), lit("bolt")).as("is_bolt"))
+      .orderBy(col("p_partkey"))
+
+  // --- q68: histogram aggregate rendered as canonical JSON ----------------
+  // Presto histogram() returns map<K,bigint>; the map is built key-sorted
+  // so the JSON rendering is deterministic on both engines.
+  def q68(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .groupBy(col("o_orderstatus"))
+      .agg(to_json(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority"), col("count")))))).as("prio_hist"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q69: cheapest-supplier-per-part correlated min (TPC-H Q2 shape) ----
+  // partsupp doesn't exist in this schema; lineitem plays its role. The
+  // min-price subquery joins back on (partkey, price) — the classic
+  // decorrelated aggregate topology.
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 100)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val m = li.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+      .withColumnRenamed("l_partkey", "m_partkey")
+    li.join(m, col("l_partkey") === col("m_partkey") &&
+        col("l_extendedprice") === col("min_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("min_price")).as("min_price"), min(col("l_suppkey")).as("best_supp"))
+      .orderBy(col("l_partkey"))
+  }
+
+  // --- q70: combined EXISTS + NOT EXISTS (TPC-H Q21 shape) ----------------
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_custkey") < 500)
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    val bigF = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+    cust
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(bigF, col("c_custkey") === bigF("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
