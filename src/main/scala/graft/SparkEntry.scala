@@ -113,7 +113,9 @@ object SparkEntry {
     "a02_knn_ivf" -> (Ann.ivf _),
     "a03_knn_join" -> (Ann.knnJoin _),
     // Multimodal
-    "m01_multimodal_meta" -> (Multimodal.features _)
+    "m01_multimodal_meta" -> (Multimodal.features _),
+    "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
+    "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
   )
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

@@ -80,4 +80,52 @@ object Multimodal {
         col("width"), col("height"), col("decode_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** STUB resize: nearest-neighbor subsampling of the payload standing in
+    * for an image resize — keeps every stride-th byte so output size scales
+    * with the target dims, deterministically. */
+  private def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val w = math.min(targetW, r.meta.width)
+    val h = math.min(targetH, r.meta.height)
+    val inPixels = math.max(1, r.meta.width * r.meta.height)
+    val stride = math.max(1, inPixels / math.max(1, w * h))
+    val out = r.payload.indices.collect { case i if i % stride == 0 => r.payload(i) }
+    MediaRecord(r.doc_id, out.toArray, MediaMeta(r.meta.kind, w, h, out.length.toLong))
+  }
+
+  /** m02: resize pipeline — typed Dataset in, typed Dataset out, decoder
+    * stride computed from metadata; the scale-relevant property is that the
+    * transform is a narrow map (no shuffle) and output bytes shrink with
+    * the target resolution. */
+  def resized(s: SparkSession, d: String, targetW: Int = 16, targetH: Int = 12): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .mapPartitions(it => it.map(resizeStub(_, targetW, targetH)))
+      .select(col("doc_id"), col("meta.kind").as("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("payload")).as("n_bytes_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m03: frame sampling — treat the payload as F fixed-size frames and
+    * keep every k-th (the video keyframe-extraction topology). flatMap on
+    * the typed Dataset: one input row fans out to its sampled frames,
+    * still a narrow transform. */
+  def frameSample(s: SparkSession, d: String, frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("meta.kind") === "video")
+      .flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex
+          .collect { case (frame, idx) if idx % every == 0 =>
+            val mean = if (frame.isEmpty) 0.0
+              else frame.map(b => (b & 0xff).toDouble).sum / frame.length
+            (r.doc_id, idx, frame.length, mean)
+          }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_mean")
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+        round(col("frame_mean"), 4).as("frame_mean"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

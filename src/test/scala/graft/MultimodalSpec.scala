@@ -12,6 +12,30 @@ class MultimodalSpec extends GraftSpec {
     assert(first.meta.width >= 1 && first.meta.height >= 1)
   }
 
+  test("m02 resize shrinks payloads and clamps dims to the target") {
+    val rows = Multimodal.resized(spark, sf, targetW = 8, targetH = 6).collect()
+    assert(rows.nonEmpty)
+    val src = Multimodal.mediaTable(spark, sf).collect()
+      .map(r => r.doc_id -> r.payload.length).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") <= 8 && r.getAs[Int]("height") <= 6)
+      assert(r.getAs[Int]("n_bytes_out") <= src(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("m03 frame sampling keeps every k-th frame of video payloads only") {
+    val rows = Multimodal.frameSample(spark, sf, frameBytes = 64, every = 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 4 == 0)
+      assert(r.getAs[Int]("frame_bytes") <= 64)
+      val m = r.getAs[Double]("frame_mean")
+      assert(m >= 0.0 && m <= 255.0)
+    }
+    // only video-kind records contribute (doc_id % 3 == 2 in the fake table)
+    rows.foreach(r => assert(r.getAs[Long]("doc_id") % 3 == 2))
+  }
+
   test("partition-wise stub decode emits features for every record, deterministically") {
     val n = Multimodal.mediaTable(spark, sf).count()
     val a = Multimodal.features(spark, sf).collect()

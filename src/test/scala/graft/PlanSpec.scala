@@ -50,6 +50,20 @@ class PlanSpec extends GraftSpec {
       assert(plan.contains(op), s"$op not codegen'd:\n$plan"))
   }
 
+  test("q58: both nation dim aliases broadcast; fact never shuffles for dims") {
+    val plan = executedPlan(Relational.q58(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"nation aliases must both broadcast:\n$plan")
+  }
+
+  test("q59: OR-of-ANDs predicate partially pushes to the scans") {
+    val plan = executedPlan(Relational.q59(spark, sf))
+    // the disjunction itself must reach the parquet reader as an Or filter
+    // (it lands after the derived IsNotNull/bound filters in the list)
+    assert(plan.contains("Or(") && plan.contains("PushedFilters: ["),
+      s"no Or pushdown:\n$plan")
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)

@@ -49,6 +49,21 @@ class SourcesSpec extends GraftSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("Filter"))
   }
 
+  test("binaryFile source reads opaque payloads with file metadata") {
+    // the ingestion path for multimodal corpora: files on distributed
+    // storage → (path, length, content) rows, no decode on the scan
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.jpg"), Array[Byte](9, 8, 7))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val byName = df.collect().map(r =>
+      r.getAs[String]("path").split('/').last -> r.getAs[Array[Byte]]("content")).toMap
+    assert(byName("a.jpg").sameElements(Array[Byte](1, 2, 3, 4)))
+    assert(byName("b.jpg").sameElements(Array[Byte](9, 8, 7)))
+  }
+
   test("in-memory Dataset source") {
     val ds = Seq((1, "a"), (2, "b")).toDS()
     assert(ds.count() == 2)
