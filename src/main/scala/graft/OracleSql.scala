@@ -725,6 +725,53 @@ object OracleSql {
                       AND o_orderstatus = 'F' AND o_totalprice > 300000)
       ORDER BY c_custkey""",
 
+    "q71_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30_sum
+      FROM orders WHERE o_custkey < 30
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q72_unpivot" -> """
+      WITH wide AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+          COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        FROM orders GROUP BY 1)
+      SELECT yr, status, n FROM wide UNPIVOT INCLUDE NULLS (n FOR status IN (F, O, P))
+      ORDER BY yr, status""",
+
+    "q73_date_spine" -> s"""
+      WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                 TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m),
+      monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+          COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1)
+      SELECT strftime(spine.m, '%Y-%m-%d') AS month,
+        COALESCE(n_orders, 0) AS n_orders, COALESCE(total, 0.0) AS total
+      FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+      ORDER BY month""",
+
+    "q74_null_safe_join" -> """
+      WITH base AS (
+        SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp
+        FROM customer WHERE c_custkey < 200)
+      SELECT COALESCE(a.grp, -1) AS grp, COUNT(*) AS n_pairs
+      FROM base a JOIN base b ON a.grp IS NOT DISTINCT FROM b.grp
+      GROUP BY 1 ORDER BY grp""",
+
+    "q75_bit_agg" -> """
+      SELECT l_returnflag,
+        bit_and(l_orderkey) AS and_key,
+        bit_or(l_orderkey) AS or_key,
+        bit_xor(l_orderkey) AS xor_key
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

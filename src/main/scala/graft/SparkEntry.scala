@@ -108,6 +108,11 @@ object SparkEntry {
     "q68_histogram" -> (Relational.q68 _),
     "q69_min_supplier" -> (Relational.q69 _),
     "q70_multi_exists" -> (Relational.q70 _),
+    "q71_range_frame" -> (Relational.q71 _),
+    "q72_unpivot" -> (Relational.q72 _),
+    "q73_date_spine" -> (Relational.q73 _),
+    "q74_null_safe_join" -> (Relational.q74 _),
+    "q75_bit_agg" -> (Relational.q75 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

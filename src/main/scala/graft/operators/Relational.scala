@@ -878,6 +878,67 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  // --- q71: time-RANGE window frame (trailing 30 days by value) -----------
+  // RANGE (not ROWS) frames are tie-stable: all rows within the interval
+  // participate regardless of physical order, so a decimal sum is exact.
+  def q71(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE)""").as("trail30_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  // --- q72: UNPIVOT wide→long (Presto/ANSI UNPIVOT) -----------------------
+  def q72(s: SparkSession, d: String): DataFrame =
+    q40(s, d) // (yr, F, O, P) wide counts
+      .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy(col("yr"), col("status"))
+
+  // --- q73: generated date spine + left join (gap-filling calendar) -------
+  // The canonical "report every month even with zero activity" topology:
+  // the spine is generated (never scanned), the fact side aggregates before
+  // the join, so the join is spine-size × 1.
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1)
+      .select(explode(expr(
+        """sequence(TIMESTAMP '1995-01-01 00:00:00',
+                    TIMESTAMP '2001-08-01 00:00:00', INTERVAL 1 MONTH)""")).as("m"))
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    spine.join(monthly, Seq("m"), "left")
+      .select(date_format(col("m"), "yyyy-MM-dd").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("month"))
+  }
+
+  // --- q74: null-safe equality join (<=> / IS NOT DISTINCT FROM) ----------
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(0)).as("grp"))
+    val a = base.select(col("c_custkey").as("id_a"), col("grp").as("grp_a"))
+    val b = base.select(col("c_custkey").as("id_b"), col("grp").as("grp_b"))
+    a.join(b, col("grp_a") <=> col("grp_b"))
+      .groupBy(coalesce(col("grp_a"), lit(-1)).as("grp"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("grp"))
+  }
+
+  // --- q75: bitwise aggregates (bit_and/bit_or/bit_xor) -------------------
+  def q75(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_orderkey")).as("and_key"),
+        bit_or(col("l_orderkey")).as("or_key"),
+        bit_xor(col("l_orderkey")).as("xor_key"))
+      .orderBy(col("l_returnflag"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
