@@ -772,6 +772,24 @@ object OracleSql {
         bit_xor(l_orderkey) AS xor_key
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q76_grouping_sets" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, prio""",
+
+    "q77_latest_per_key" -> """
+      SELECT o_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS latest_date, o_totalprice
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1 ORDER BY o_custkey""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

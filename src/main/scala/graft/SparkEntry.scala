@@ -113,6 +113,8 @@ object SparkEntry {
     "q73_date_spine" -> (Relational.q73 _),
     "q74_null_safe_join" -> (Relational.q74 _),
     "q75_bit_agg" -> (Relational.q75 _),
+    "q76_grouping_sets" -> (Relational.q76 _),
+    "q77_latest_per_key" -> (Relational.q77 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

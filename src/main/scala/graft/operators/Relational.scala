@@ -939,6 +939,36 @@ object Relational {
         bit_xor(col("l_orderkey")).as("xor_key"))
       .orderBy(col("l_returnflag"))
 
+  // --- q76: explicit GROUPING SETS through the SQL front door --------------
+  // The engine's SQL surface (what the reference's presto CLI serves): a
+  // registered view + spark.sql, with grouping sets beyond rollup/cube.
+  def q76(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, prio""")
+  }
+
+  // --- q77: latest-record-per-key compaction (row_number = 1 idiom) --------
+  // The upsert/compaction pattern every incremental pipeline runs: keep the
+  // newest order per customer. TakeOrdered-per-key via ranked window.
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
