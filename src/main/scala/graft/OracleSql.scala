@@ -12,6 +12,21 @@ object OracleSql {
   private def dsum(x: String, s: Int = 2) = s"CAST(SUM(CAST($x AS DECIMAL(18,$s))) AS DOUBLE)"
   private def davg(x: String, s: Int = 4) = s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$s))) AS DOUBLE) / COUNT($x) AS DOUBLE)"
 
+  /** The SAME hyperplane constants the Spark LSH paths derive
+    * (java.util.Random is a specified, platform-stable PRNG), embedded as a
+    * VALUES table so DuckDB replays the exact bucketing. */
+  private def planesValues(seed: Long, nPlanes: Int = 16, dim: Int = 64): String = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    planes.zipWithIndex
+      .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+  }
+
+  /** Cosine over DOUBLE[] lists — same op order as the Spark kernel. */
+  private def cos(a: String, b: String) =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
   val sql: Map[String, String] = Map(
     "q01_agg_groupby" -> s"""
       SELECT l_returnflag, l_linestatus,
@@ -789,6 +804,77 @@ object OracleSql {
                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) t
       WHERE rn = 1 ORDER BY o_custkey""",
+
+    "d05_dedup_embedding" -> s"""
+      WITH planes(p, v) AS (VALUES ${planesValues(42)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      bucketed AS (
+        SELECT vec_id, emb,
+          (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, v) > 0
+                     THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+           FROM planes) AS bucket
+        FROM e),
+      ok_buckets AS (
+        SELECT bucket FROM bucketed GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+      near AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM bucketed a
+        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN ok_buckets o ON a.bucket = o.bucket
+        WHERE ${cos("a.emb", "b.emb")} >= 0.95),
+      cnt AS (
+        SELECT v AS vec_id, COUNT(*) AS n_neardup
+        FROM (SELECT ia AS v FROM near UNION ALL SELECT ib AS v FROM near) t
+        GROUP BY v)
+      SELECT b.vec_id, b.bucket, COALESCE(c.n_neardup, 0) AS n_neardup
+      FROM bucketed b LEFT JOIN cnt c USING (vec_id)
+      ORDER BY vec_id""",
+
+    "a03_knn_join" -> s"""
+      WITH planes(p, v) AS (VALUES ${planesValues(7)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      bucketed AS (
+        SELECT vec_id, emb,
+          (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, v) > 0
+                     THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+           FROM planes) AS bucket
+        FROM e),
+      pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+          round(${cos("a.emb", "b.emb")}, 4) AS cos_sim
+        FROM bucketed a
+        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+      SELECT vec_id, nbr_id, cos_sim, rn FROM (
+        SELECT vec_id, nbr_id, cos_sim,
+          CAST(row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos_sim DESC, nbr_id) AS INTEGER) AS rn
+        FROM pairs) t
+      WHERE rn <= 3 ORDER BY vec_id, rn""",
+
+    "a02_knn_ivf" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cent_id FROM cent
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cent_id DESC LIMIT 1) AS cell
+        FROM e),
+      probe_cells AS (
+        SELECT p.vec_id AS probe_id, p.emb AS pemb, c.cent_id AS cell
+        FROM e p, LATERAL (
+          SELECT cent_id FROM cent
+          ORDER BY ${cos("p.emb", "cemb")} DESC, cent_id DESC LIMIT 2) c
+        WHERE p.vec_id < 5),
+      cand AS (
+        SELECT pc.probe_id, a.vec_id AS cand_id,
+          round(${cos("pc.pemb", "a.emb")}, 4) AS cos_sim
+        FROM probe_cells pc JOIN assigned a ON a.cell = pc.cell)
+      SELECT probe_id, cand_id, cos_sim, rn FROM (
+        SELECT probe_id, cand_id, cos_sim,
+          CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rn
+        FROM cand) t
+      WHERE rn <= 10 ORDER BY probe_id, rn""",
 
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
