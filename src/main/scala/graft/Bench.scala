@@ -21,7 +21,11 @@ object Bench {
     // The comparison target is a warm, long-running Presto server process,
     // so one-time Catalyst planning + janino codegen compilation belongs to
     // startup, not per-query throughput.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for timing a subset in isolation.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -34,8 +38,11 @@ object Bench {
       once()
       // GC between queries: lets the ContextCleaner drop the previous
       // query's broadcasts/shuffles so their collection isn't billed to a
-      // later query (dominant noise source in a 94-execution JVM).
+      // later query (dominant noise source in a ~300-execution JVM). The
+      // cleaner runs async after the GC notices dead references — give it a
+      // beat to drain before the timed runs.
       System.gc()
+      Thread.sleep(100)
       name -> math.min(once(), once())
     }
     // Compact line: the harness keeps only the last ~2000 chars of stdout,

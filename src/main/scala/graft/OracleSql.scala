@@ -27,6 +27,78 @@ object OracleSql {
   private def cos(a: String, b: String) =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
+  // --- unsigned-64 arithmetic in HUGEINT (for replaying JVM long hashes) --
+  // (a*b) mod 2^64 without overflowing the signed 128-bit HUGEINT:
+  // split a into hi/lo 32-bit halves; each partial product stays < 2^96.
+  private val Two64 = "(CAST(1 AS HUGEINT) << 64)"
+  private def mulmod64(a: String, b: String): String =
+    s"((((($a) % 4294967296) * ($b)) % $Two64 + " +
+      s"(((($a) >> 32) * ($b)) % 4294967296) * 4294967296) % $Two64)"
+
+  private def u64(x: Long): String = java.lang.Long.toUnsignedString(x)
+
+  /** unsigned HUGEINT (0..2^64) → the signed BIGINT with the same bits. */
+  private def u2s(x: String): String =
+    s"CAST(($x) - CASE WHEN ($x) >= (CAST(1 AS HUGEINT) << 63) THEN $Two64 ELSE 0 END AS BIGINT)"
+
+  /** UTF-8 bytes of a string expr as a HUGEINT list, with the FNV-1a basis
+    * (offset ^ seed) prepended — the reduce-ready form of Kernels.hash64. */
+  private def fnvSeq(strExpr: String, seed: Long): String = {
+    val init = u64(0xcbf29ce484222325L ^ seed)
+    s"""list_concat([CAST($init AS HUGEINT)],
+        list_transform(range(0, CAST(octet_length(encode($strExpr)) AS INTEGER)),
+          i -> CAST(CAST('0x' || substr(hex(encode($strExpr)), 2*i+1, 2) AS INTEGER) AS HUGEINT)))"""
+  }
+
+  /** FNV-1a fold: h = (h XOR byte) * prime, all mod 2^64. */
+  private def fnvReduce(seqExpr: String): String =
+    s"list_reduce($seqExpr, (acc, x) -> ${mulmod64("xor(acc, x)", "1099511628211")})"
+
+  private val Mix1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+  private val Mix2 = "10723151780598845931" // 0x94d049bb133111eb
+
+  /** Replays Dedup.minhashSignatures → minhashBands → lshCandidatePairs:
+    * 3-word shingles, 128-perm double-hash MinHash (Kirsch-Mitzenmacher,
+    * SIGNED-long mins like the JVM kernel), 16 raw-slice band keys, bounded
+    * bucket pair expansion. Shared by the d02 and d06 oracles. */
+  private lazy val minhashCtes: String = {
+    val seedA = 0x9e3779b97f4a7c15L
+    val seedB = 0x2545f4914f6cdd1dL
+    raw"""sh AS (
+        SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 1)),
+            i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents) d),
+      a0 AS (SELECT doc_id, ${fnvReduce(fnvSeq("s", seedA))} AS ah0,
+                    ${fnvReduce(fnvSeq("s", seedB))} AS bh0 FROM sh),
+      a1 AS (SELECT doc_id, ${mulmod64("xor(ah0, ah0 >> 30)", Mix1)} AS az1,
+                    ${mulmod64("xor(bh0, bh0 >> 30)", Mix1)} AS bz1 FROM a0),
+      a2 AS (SELECT doc_id, ${mulmod64("xor(az1, az1 >> 27)", Mix2)} AS az2,
+                    ${mulmod64("xor(bz1, bz1 >> 27)", Mix2)} AS bz2 FROM a1),
+      hh AS (SELECT doc_id, xor(az2, az2 >> 31) AS h1u,
+                    (xor(bz2, bz2 >> 31) - (xor(bz2, bz2 >> 31) % 2) + 1) AS h2u
+             FROM a2),
+      sigj AS (
+        SELECT doc_id, jj.j AS j, MIN(${u2s(s"(h1u + jj.j * h2u) % $Two64")}) AS sv
+        FROM hh, (SELECT unnest(range(0, 128)) AS j) jj
+        GROUP BY doc_id, jj.j),
+      bandkeys AS (
+        SELECT doc_id, CAST(j // 8 AS INTEGER) AS band, list(sv ORDER BY j) AS key
+        FROM sigj GROUP BY doc_id, band),
+      ok AS (SELECT band, key FROM bandkeys
+             GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 1000),
+      pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bandkeys x
+        JOIN bandkeys y ON x.band = y.band AND x.key = y.key
+          AND x.doc_id < y.doc_id
+        JOIN ok o ON o.band = x.band AND o.key = x.key),
+      cnt AS (
+        SELECT v AS doc_id, COUNT(*) AS n_candidates
+        FROM (SELECT a AS v FROM pr UNION ALL SELECT b AS v FROM pr) t
+        GROUP BY 1)"""
+  }
+
   val sql: Map[String, String] = Map(
     "q01_agg_groupby" -> s"""
       SELECT l_returnflag, l_linestatus,
@@ -875,6 +947,161 @@ object OracleSql {
                ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rn
         FROM cand) t
       WHERE rn <= 10 ORDER BY probe_id, rn""",
+
+    // Replays Kernels.fingerprint exactly: lower/ws-normalize, rolling
+    // h = 31*h + utf16unit (mod 2^64), then the splitmix64 finalizer —
+    // all in HUGEINT with explicit mod-2^64 wraparound (the corpus is
+    // BMP-only, so UTF-16 units == codepoints == unicode()).
+    "t04_fingerprint" -> raw"""
+      WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          list_reduce(
+            list_concat([CAST(1125899906842597 AS HUGEINT)],
+              list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+            (acc, x) -> (acc * 31 + x) % $Two64) AS h
+        FROM n),
+      m1 AS (SELECT doc_id, ${mulmod64("xor(h, h >> 30)", "13787848793156543929")} AS z1 FROM r),
+      m2 AS (SELECT doc_id, ${mulmod64("xor(z1, z1 >> 27)", "10723151780598845931")} AS z2 FROM m1),
+      f AS (
+        SELECT doc_id,
+          CAST(xor(z2, z2 >> 31) -
+            CASE WHEN xor(z2, z2 >> 31) >= (CAST(1 AS HUGEINT) << 63)
+                 THEN $Two64 ELSE 0 END AS BIGINT) AS fp
+        FROM m2)
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+      FROM f ORDER BY doc_id""",
+
+    "d02_dedup_minhash" -> s"""
+      WITH $minhashCtes
+      SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,
+        COALESCE(c.n_candidates, 0) > 0 AS is_dup_candidate
+      FROM documents d LEFT JOIN cnt c USING (doc_id)
+      ORDER BY doc_id""",
+
+    "d06_dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (SELECT a AS src, b AS dst FROM pr
+                UNION ALL SELECT b, a FROM pr),
+      reach(v, u) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+      SELECT v AS doc_id, MIN(u) AS cluster
+      FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // Replays Kernels.simhash: per-token FNV-1a64+splitmix64 (seed
+    // 0x6a09e667f3bcc908), per-bit +1/-1 vote, sign → signature; then the
+    // 4×16-bit pigeonhole buckets, pair expansion, hamming≤3 verify.
+    "d03_dedup_simhash" -> {
+      val bitSums = (0 until 64)
+        .map(b => s"SUM(CASE WHEN (hu >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n          ")
+      val bitBuild = (0 until 64)
+        .map(b => s"(CASE WHEN b$b > 0 THEN (CAST(1 AS HUGEINT) << $b) ELSE CAST(0 AS HUGEINT) END)")
+        .mkString(" + ")
+      raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents),
+      f0 AS (SELECT doc_id, ${fnvReduce(fnvSeq("tok", 0x6a09e667f3bcc908L))} AS h0 FROM toks),
+      f1 AS (SELECT doc_id, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM f0),
+      f2 AS (SELECT doc_id, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM f1),
+      th AS (SELECT doc_id, xor(z2, z2 >> 31) AS hu FROM f2),
+      agg AS (
+        SELECT doc_id,
+          $bitSums
+        FROM th GROUP BY doc_id),
+      sigu AS (SELECT doc_id, ($bitBuild) AS shu FROM agg),
+      sig AS (SELECT doc_id, shu, ${u2s("shu")} AS sh FROM sigu),
+      blocks AS (
+        SELECT doc_id, b.blk, (shu >> (b.blk * 16)) & 65535 AS blk_val
+        FROM sig, (VALUES (0), (1), (2), (3)) b(blk)),
+      ok AS (
+        SELECT blk, blk_val FROM blocks
+        GROUP BY blk, blk_val HAVING COUNT(*) BETWEEN 2 AND 1000),
+      pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM blocks x
+        JOIN blocks y ON x.blk = y.blk AND x.blk_val = y.blk_val
+          AND x.doc_id < y.doc_id
+        JOIN ok o ON o.blk = x.blk AND o.blk_val = x.blk_val),
+      ham AS (
+        SELECT a, b FROM pr
+        JOIN sig sa ON sa.doc_id = pr.a
+        JOIN sig sb ON sb.doc_id = pr.b
+        WHERE bit_count(xor(sa.sh, sb.sh)) <= 3),
+      cand AS (
+        SELECT v AS doc_id, COUNT(*) AS n_near
+        FROM (SELECT a AS v FROM ham UNION ALL SELECT b AS v FROM ham) t
+        GROUP BY 1)
+      SELECT sig.doc_id, sig.sh AS simhash, COALESCE(cand.n_near, 0) AS n_near
+      FROM sig LEFT JOIN cand USING (doc_id)
+      ORDER BY doc_id"""
+    },
+
+    // Replays Multimodal.decodeStub: byte stats over the UTF-8 payload.
+    // Entropy sums in group order vs the kernel's byte-ascending order —
+    // double-add jitter ~1e-15, absorbed by the 4dp rounding.
+    "m01_multimodal_meta" -> """
+      WITH n AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      codes AS (
+        SELECT doc_id, unnest(list_transform(
+          range(0, CAST(octet_length(encode(text)) AS INTEGER)),
+          i -> CAST(CAST('0x' || substr(hex(encode(text)), 2*i+1, 2) AS INTEGER) AS INTEGER))) AS c
+        FROM documents),
+      hist AS (SELECT doc_id, c, COUNT(*) AS cnt FROM codes GROUP BY doc_id, c),
+      stats AS (
+        SELECT h.doc_id,
+          CAST(SUM(h.c * h.cnt) AS DOUBLE) / MAX(n.n_bytes) AS mean,
+          -SUM(((h.cnt / CAST(n.n_bytes AS DOUBLE)) *
+                ln(h.cnt / CAST(n.n_bytes AS DOUBLE))) / ln(2.0)) AS ent
+        FROM hist h JOIN n ON h.doc_id = n.doc_id
+        GROUP BY h.doc_id)
+      SELECT n.doc_id, n.n_bytes,
+        round(COALESCE(s.mean, 0.0), 4) AS byte_mean,
+        round(COALESCE(s.ent, 0.0), 4) AS byte_entropy,
+        CAST(n.doc_id % 64 + 1 AS INTEGER) AS width,
+        CAST(n.doc_id % 48 + 1 AS INTEGER) AS height,
+        n.n_bytes > 0 AS decode_ok
+      FROM n LEFT JOIN stats s USING (doc_id)
+      ORDER BY doc_id""",
+
+    // Replays Multimodal.resizeStub arithmetically: stride subsample count.
+    "m02_multimodal_resize" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(LEAST(16, doc_id % 64 + 1) AS INTEGER) AS width,
+        CAST(LEAST(12, doc_id % 48 + 1) AS INTEGER) AS height,
+        CAST(CASE WHEN nb = 0 THEN 0 ELSE (nb - 1) // stride + 1 END AS INTEGER) AS n_bytes_out
+      FROM (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+          GREATEST(1, ((doc_id % 64 + 1) * (doc_id % 48 + 1)) //
+            GREATEST(1, LEAST(16, doc_id % 64 + 1) * LEAST(12, doc_id % 48 + 1))) AS stride
+        FROM documents) t
+      ORDER BY doc_id""",
+
+    // Replays Multimodal.frameSample: 64-byte frames, every 4th kept.
+    "m03_frame_sample" -> """
+      WITH codes AS (
+        SELECT d.doc_id, i.i AS i,
+          CAST(CAST('0x' || substr(d.hx, 2*i.i+1, 2) AS INTEGER) AS INTEGER) AS c
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                CAST(octet_length(encode(text)) AS INTEGER) AS nb
+              FROM documents WHERE doc_id % 3 = 2) d,
+        LATERAL (SELECT unnest(range(0, d.nb)) AS i) i)
+      SELECT doc_id, CAST(frame AS INTEGER) AS frame_idx,
+        CAST(COUNT(*) AS INTEGER) AS frame_bytes,
+        round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS frame_mean
+      FROM (SELECT doc_id, i // 64 AS frame, c FROM codes) t
+      WHERE frame % 4 = 0
+      GROUP BY doc_id, frame
+      ORDER BY doc_id, frame_idx""",
 
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

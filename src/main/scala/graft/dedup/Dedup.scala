@@ -42,11 +42,14 @@ object Dedup {
         "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("shingles"))
       .select(col("doc_id"), GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"))
 
-  /** Band rows: (doc_id, band, band_hash) — Bands rows per doc. */
+  /** Band rows: (doc_id, band, band_key) — Bands rows per doc. The bucket
+    * key is the raw 8-value signature slice: grouping hashes it internally
+    * for the exchange anyway, and exact slice equality can't suffer
+    * cross-band hash collisions (and is replayable by the SQL oracle). */
   def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-      .as(Seq("band", "band_hash")))
+        expr(s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))"))
+      .as(Seq("band", "band_key")))
 
   /** Max docs per LSH bucket before the bucket is dropped as degenerate.
     * At corpus scale a boilerplate-text bucket otherwise emits O(n²) pairs;
@@ -54,12 +57,12 @@ object Dedup {
   private val MaxBucket = 1000
 
   /** Pairs (a < b) of docs sharing an LSH bucket. One signature pass, one
-    * hash shuffle on (band, band_hash), pair expansion bounded per bucket —
+    * hash shuffle on (band, band_key), pair expansion bounded per bucket —
     * never a self-join (which would recompute signatures per side) and
     * never a cross join. */
   def lshCandidatePairs(bands: DataFrame): DataFrame =
     bands
-      .groupBy(col("band"), col("band_hash"))
+      .groupBy(col("band"), col("band_key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
       .select(explode(expr(

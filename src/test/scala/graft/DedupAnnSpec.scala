@@ -20,7 +20,7 @@ class DedupAnnSpec extends GraftSpec {
     val bands = Dedup.minhashBands(sigs)
     val cands = bands.as("a")
       .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("x"), $"b.doc_id".as("y")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
