@@ -41,16 +41,15 @@ object Clustering {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("ncluster"))
+      // Carry the previous label through the checkpoint so the convergence
+      // check is a scan of the materialized frame, not another join job.
       val updated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(eager = true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), "doc_id")
-        .filter(col("u.cluster") =!= col("l.cluster"))
-        .limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("cluster") =!= col("prev")).limit(1).count()
+      labels = updated.select(col("doc_id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }

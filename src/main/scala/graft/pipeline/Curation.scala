@@ -32,17 +32,23 @@ object Curation {
       .orderBy(col("source"), col("lang"))
   }
 
-  /** c01: curated corpus (doc_id, lang, score) after quality + dedup. */
+  /** c01: curated corpus (doc_id, lang, score) after quality + dedup.
+    *
+    * One scan: score + content-hash in the same projection, then the text
+    * column is dropped BEFORE the dedup shuffle — only (doc_id, lang,
+    * score, h) move, never the document bodies. The keeper filter is a
+    * min-over-hash window on that slim frame (vs the groupBy+semi-join
+    * formulation, which scanned and scored the corpus twice). */
   def curate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("score_raw"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score_raw"),
+        md5(lower(trim(col("text")))).as("h"))
       .filter(col("score_raw") >= 0.5)
-    val keepers = scored
-      .groupBy(md5(lower(trim(col("text")))).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    scored.join(keepers, Seq("doc_id"), "left_semi")
+    scored
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("lang"), round(col("score_raw"), 6).as("score"))
       .orderBy(col("doc_id"))
   }
