@@ -974,6 +974,67 @@ object OracleSql {
       SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
       FROM f ORDER BY doc_id""",
 
+    "q78_tpch_q8" -> s"""
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        CAST(${dsum("CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+          / ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS DOUBLE) AS mkt_share
+      FROM lineitem, orders, customer, supplier, nation n1, region, nation n2
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+      GROUP BY yr ORDER BY yr""",
+
+    "q79_tpch_q10" -> s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM lineitem, orders, customer, nation
+      WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q80_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND p_brand != 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        AND p_size IN (1, 5, 9, 14, 19, 23, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q81_tpch_q20" -> s"""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem, part
+        WHERE l_partkey = p_partkey AND contains(p_name, 'red')
+        GROUP BY l_suppkey
+        HAVING ${dsum("l_quantity")} > 500)
+      ORDER BY s_suppkey""",
+
+    "q82_lag_defaults" -> """
+      SELECT event_id, user_id,
+        lag(value, 1, -1.0) OVER w AS prev_or_neg1,
+        lead(value, 1, -1.0) OVER w AS next_or_neg1,
+        lag(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS prev_click
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q83_json_arrays" -> """
+      SELECT o_orderkey,
+        CAST(json_array_length(json_extract(j, '$.ks')) AS INTEGER) AS n_elems,
+        json_extract_string(j, '$.ks[1]') AS second,
+        json_extract_string(j, '$.ks[2]') AS third
+      FROM (SELECT o_orderkey,
+              '{"ks":[' || o_orderkey || ',' || o_custkey || ',' || (o_custkey % 7) || ']}' AS j
+            FROM orders WHERE o_orderkey < 400) t
+      ORDER BY o_orderkey""",
+
     "d02_dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,

@@ -115,6 +115,12 @@ object SparkEntry {
     "q75_bit_agg" -> (Relational.q75 _),
     "q76_grouping_sets" -> (Relational.q76 _),
     "q77_latest_per_key" -> (Relational.q77 _),
+    "q78_tpch_q8" -> (Relational.q78 _),
+    "q79_tpch_q10" -> (Relational.q79 _),
+    "q80_tpch_q16" -> (Relational.q80 _),
+    "q81_tpch_q20" -> (Relational.q81 _),
+    "q82_lag_defaults" -> (Relational.q82 _),
+    "q83_json_arrays" -> (Relational.q83 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

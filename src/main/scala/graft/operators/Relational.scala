@@ -969,6 +969,99 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  // --- q78: market-share conditional ratio (TPC-H Q8 shape) ---------------
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val custNation = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg((dsum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)), 6) /
+        dsum(rev, 6)).as("mkt_share"))
+      .orderBy(col("yr"))
+  }
+
+  // --- q79: returned-item revenue ranking (TPC-H Q10 shape) ---------------
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(rev, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // --- q80: excluded-supplier distinct counting (TPC-H Q16 shape) ---------
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 100).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 49))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // --- q81: correlated half-sum IN subquery (TPC-H Q20 shape) -------------
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val bigShippers = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 500)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // --- q82: lag/lead with defaults and IGNORE NULLS -----------------------
+  def q82(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .withColumn("click_val",
+        when(col("event_type") === "click", col("value")))
+      .select(col("event_id"), col("user_id"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_or_neg1"),
+        lead(col("value"), 1, -1.0).over(w).as("next_or_neg1"),
+        lag(col("click_val"), 1, null, ignoreNulls = true).over(w).as("prev_click"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // --- q83: JSON array functions (length + indexed path extraction) -------
+  def q83(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .withColumn("j", concat(lit("{\"ks\":["), col("o_orderkey"), lit(","),
+        col("o_custkey"), lit(","), col("o_custkey") % 7, lit("]}")))
+      .select(col("o_orderkey"),
+        json_array_length(get_json_object(col("j"), "$.ks")).as("n_elems"),
+        get_json_object(col("j"), "$.ks[1]").as("second"),
+        get_json_object(col("j"), "$.ks[2]").as("third"))
+      .orderBy(col("o_orderkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
