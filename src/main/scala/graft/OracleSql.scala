@@ -1035,6 +1035,23 @@ object OracleSql {
             FROM orders WHERE o_orderkey < 400) t
       ORDER BY o_orderkey""",
 
+    "q84_explode_outer" -> """
+      WITH g AS (
+        SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS arr
+        FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+      SELECT g.l_orderkey, u.big_qty
+      FROM g LEFT JOIN LATERAL (
+        SELECT unnest(list_filter(arr, x -> x > 48)) AS big_qty) u ON TRUE
+      ORDER BY l_orderkey, big_qty""",
+
+    "q85_timezone" -> """
+      SELECT o_orderkey,
+        strftime(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)),
+          '%Y-%m-%d %H:%M:%S') AS ny_wall,
+        strftime(CAST(timezone('Asia/Tokyo', o_orderdate) AS TIMESTAMP),
+          '%Y-%m-%d %H:%M:%S') AS tokyo_as_utc
+      FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+
     "d02_dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,

@@ -121,6 +121,8 @@ object SparkEntry {
     "q81_tpch_q20" -> (Relational.q81 _),
     "q82_lag_defaults" -> (Relational.q82 _),
     "q83_json_arrays" -> (Relational.q83 _),
+    "q84_explode_outer" -> (Relational.q84 _),
+    "q85_timezone" -> (Relational.q85 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

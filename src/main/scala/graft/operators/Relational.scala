@@ -1062,6 +1062,29 @@ object Relational {
         get_json_object(col("j"), "$.ks[2]").as("third"))
       .orderBy(col("o_orderkey"))
 
+  // --- q84: explode_outer (null-preserving UNNEST) -------------------------
+  // Rows whose array filters to empty must survive with NULL — the outer
+  // unnest semantics Presto's CROSS JOIN UNNEST ... ON TRUE provides.
+  def q84(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+      .select(col("l_orderkey"),
+        explode_outer(filter(col("arr"), x => x > 48)).as("big_qty"))
+      .orderBy(col("l_orderkey"), col("big_qty"))
+
+  // --- q85: time-zone conversion (from/to UTC wall time) -------------------
+  def q85(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        date_format(from_utc_timestamp(col("o_orderdate"), "America/New_York"),
+          "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+        date_format(to_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"),
+          "yyyy-MM-dd HH:mm:ss").as("tokyo_as_utc"))
+      .orderBy(col("o_orderkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
