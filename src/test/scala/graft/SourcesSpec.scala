@@ -64,6 +64,18 @@ class SourcesSpec extends GraftSpec {
     assert(byName("b.jpg").sameElements(Array[Byte](9, 8, 7)))
   }
 
+  test("mergeSchema reads unify evolving parquet schemas") {
+    // schema evolution: a later batch adds a column; mergeSchema exposes
+    // the union with NULLs for the old files
+    val p = s"$tmp/evolve"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$p/d1")
+    Seq((2L, "b", 9.9)).toDF("id", "v1", "v2").write.parquet(s"$p/d2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$p/d1", s"$p/d2")
+    assert(df.columns.toSet == Set("id", "v1", "v2"))
+    val r1 = df.where("id = 1").head()
+    assert(r1.isNullAt(r1.fieldIndex("v2")))
+  }
+
   test("in-memory Dataset source") {
     val ds = Seq((1, "a"), (2, "b")).toDS()
     assert(ds.count() == 2)

@@ -105,6 +105,27 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands each micro-batch as parquet (production sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val q = EventPipelines.tumbling(input.toDF()).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$out/batch")
+      }
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+        Event(2, ts("2024-01-01 10:45:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$out/batch")
+      assert(landed.count() >= 1)
+      assert(landed.columns.contains("hour_start"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
