@@ -1052,6 +1052,26 @@ object OracleSql {
           '%Y-%m-%d %H:%M:%S') AS tokyo_as_utc
       FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
 
+    "q86_tpch_q11" -> s"""
+      SELECT l_partkey, ${dsum("l_extendedprice")} AS value
+      FROM lineitem GROUP BY l_partkey
+      HAVING ${dsum("l_extendedprice")} >
+        (SELECT ${dsum("l_extendedprice")} * 0.0007 FROM lineitem)
+      ORDER BY value DESC, l_partkey""",
+
+    "q87_ratio_to_report" -> s"""
+      SELECT o_orderstatus, total,
+        round(total / SUM(total) OVER (), 6) AS share
+      FROM (SELECT o_orderstatus, ${dsum("o_totalprice")} AS total
+            FROM orders GROUP BY o_orderstatus) t
+      ORDER BY o_orderstatus""",
+
+    "q88_width_bucket_array" -> s"""
+      SELECT CAST(len(list_filter([1000.0, 50000.0, 100000.0, 250000.0, 400000.0],
+               b -> b <= o_totalprice)) AS INTEGER) AS bucket,
+        COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+      FROM orders GROUP BY bucket ORDER BY bucket""",
+
     "d02_dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,

@@ -123,6 +123,9 @@ object SparkEntry {
     "q83_json_arrays" -> (Relational.q83 _),
     "q84_explode_outer" -> (Relational.q84 _),
     "q85_timezone" -> (Relational.q85 _),
+    "q86_tpch_q11" -> (Relational.q86 _),
+    "q87_ratio_to_report" -> (Relational.q87 _),
+    "q88_width_bucket_array" -> (Relational.q88 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

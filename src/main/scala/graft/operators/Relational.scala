@@ -1085,6 +1085,42 @@ object Relational {
           "yyyy-MM-dd HH:mm:ss").as("tokyo_as_utc"))
       .orderBy(col("o_orderkey"))
 
+  // --- q86: group share vs global-scalar HAVING (TPC-H Q11 shape) ---------
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val threshold = li.agg((dsum(col("l_extendedprice")) * lit(0.0007)).as("threshold"))
+    li.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("value"))
+      .crossJoin(broadcast(threshold))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  // --- q87: ratio-to-report (window over the AGGREGATED frame) ------------
+  // The global window runs on the tiny post-aggregation frame (one row per
+  // status), never the fact table — the scalable form of "share of total".
+  def q87(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .select(col("o_orderstatus"), col("total"),
+        round(col("total") / sum(col("total")).over(Window.partitionBy()), 6).as("share"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q88: width_bucket with explicit thresholds (Presto array form) -----
+  // Spark lacks width_bucket(x, array); size(filter(bins, b -> b <= x))
+  // composes it from codegen'd array lambdas.
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val bins = array(lit(1000.0), lit(50000.0), lit(100000.0), lit(250000.0), lit(400000.0))
+    Tables.orders(s, d)
+      .select(size(filter(bins, b => b <= col("o_totalprice"))).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
