@@ -1072,6 +1072,18 @@ object OracleSql {
         COUNT(*) AS n, ${dsum("o_totalprice")} AS total
       FROM orders GROUP BY bucket ORDER BY bucket""",
 
+    "q89_unixtime" -> """
+      SELECT o_orderkey,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS roundtrip
+      FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+
+    "q90_hashes" -> """
+      SELECT c_custkey,
+        md5(c_name) AS name_md5,
+        sha256(c_name) AS name_sha256
+      FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
+
     "d02_dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,

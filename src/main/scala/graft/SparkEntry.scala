@@ -126,6 +126,8 @@ object SparkEntry {
     "q86_tpch_q11" -> (Relational.q86 _),
     "q87_ratio_to_report" -> (Relational.q87 _),
     "q88_width_bucket_array" -> (Relational.q88 _),
+    "q89_unixtime" -> (Relational.q89 _),
+    "q90_hashes" -> (Relational.q90 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

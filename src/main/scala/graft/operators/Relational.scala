@@ -1121,6 +1121,25 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  // --- q89: epoch seconds round-trip (Presto to_unixtime/from_unixtime) ---
+  def q89(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(to_timestamp(unix_timestamp(col("o_orderdate"))),
+          "yyyy-MM-dd HH:mm:ss").as("roundtrip"))
+      .orderBy(col("o_orderkey"))
+
+  // --- q90: cryptographic digest functions (md5/sha256) -------------------
+  def q90(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"))
+      .orderBy(col("c_custkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

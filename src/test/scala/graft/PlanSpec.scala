@@ -64,6 +64,13 @@ class PlanSpec extends GraftSpec {
       s"no Or pushdown:\n$plan")
   }
 
+  test("d02 LSH dedup plan contains no cartesian/nested-loop join") {
+    val plan = executedPlan(graft.dedup.Dedup.minhashLsh(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"LSH path must never cross-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH path must never nested-loop join:\n$plan")
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
