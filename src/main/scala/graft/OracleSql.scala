@@ -1084,6 +1084,21 @@ object OracleSql {
         sha256(c_name) AS name_sha256
       FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""",
 
+    // Replays graft's checksum aggregate: FNV-1a64+splitmix64 per name in
+    // HUGEINT, signed-convert, bit_xor — XOR commutes, so no ordering care.
+    "q91_checksum" -> s"""
+      WITH f0 AS (SELECT c_mktsegment, ${fnvReduce(fnvSeq("c_name", 0L))} AS h0 FROM customer),
+      f1 AS (SELECT c_mktsegment, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM f0),
+      f2 AS (SELECT c_mktsegment, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM f1),
+      h AS (SELECT c_mktsegment, ${u2s("xor(z2, z2 >> 31)")} AS hv FROM f2)
+      SELECT c_mktsegment, bit_xor(hv) AS name_checksum, COUNT(*) AS n
+      FROM h GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q92_approx_topk" -> """
+      SELECT o_orderstatus, o_orderpriority AS prio, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, n DESC, prio""",
+
     "d02_dedup_minhash" -> s"""
       WITH $minhashCtes
       SELECT d.doc_id, COALESCE(c.n_candidates, 0) AS n_candidates,

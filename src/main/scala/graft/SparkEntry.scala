@@ -128,6 +128,8 @@ object SparkEntry {
     "q88_width_bucket_array" -> (Relational.q88 _),
     "q89_unixtime" -> (Relational.q89 _),
     "q90_hashes" -> (Relational.q90 _),
+    "q91_checksum" -> (Relational.q91 _),
+    "q92_approx_topk" -> (Relational.q92 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

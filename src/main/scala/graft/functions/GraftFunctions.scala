@@ -27,6 +27,10 @@ object GraftFunctions {
   /** Normalized rolling-hash fingerprint (bigint) of a string column. */
   def fingerprint64(text: Column): Column = c(RollingFingerprint(e(text)))
 
+  /** Raw FNV-1a64+splitmix64 hash of a string column (no normalization).
+    * Compose with bit_xor for Presto's order-independent checksum(). */
+  def hash64(text: Column, seed: Long = 0L): Column = c(Hash64(e(text), seed))
+
   /** Hamming distance between two bigint bit-vectors. */
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
 
@@ -44,6 +48,8 @@ object GraftFunctions {
     register("simhash64", args => SimHash64(args.head))
     register("fingerprint64", args => RollingFingerprint(args.head))
     register("hamming64", args => Hamming64(args(0), args(1)))
+    register("hash64", args => Hash64(args.head,
+      if (args.length > 1) args(1).asInstanceOf[Literal].value.asInstanceOf[Long] else 0L))
   }
 }
 
@@ -76,5 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming64"),
       new ExpressionInfo("graft.functions", "hamming64"),
       (args: Seq[Expression]) => Hamming64(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hash64"),
+      new ExpressionInfo("graft.functions", "hash64"),
+      (args: Seq[Expression]) => Hash64(args.head,
+        if (args.length > 1) args(1).asInstanceOf[Literal].value.asInstanceOf[Long] else 0L)))
   }
 }

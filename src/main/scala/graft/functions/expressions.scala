@@ -176,6 +176,26 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** hash64(string, seed) -> bigint — FNV-1a64 + splitmix64 finalizer.
+  * The building block of graft's order-independent checksum aggregate
+  * (Presto's checksum(): bit_xor of per-row hash64). */
+case class Hash64(child: Expression, seed: Long)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.hash64(in.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hash64($c, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): Hash64 =
+    copy(child = c)
+}
+
 /** fingerprint64(string) -> bigint (normalized rolling hash) */
 case class RollingFingerprint(child: Expression)
   extends UnaryExpression {

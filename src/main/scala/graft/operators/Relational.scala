@@ -1140,6 +1140,29 @@ object Relational {
         sha2(col("c_name"), 256).as("name_sha256"))
       .orderBy(col("c_custkey"))
 
+  // --- q91: order-independent checksum aggregate (Presto checksum()) ------
+  // Spark has no checksum(); graft composes it: native codegen hash64 per
+  // row, bit_xor to combine — XOR is commutative/associative, so the
+  // result is identical for any row order or partitioning.
+  def q91(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        bit_xor(graft.functions.GraftFunctions.hash64(col("c_name"))).as("name_checksum"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  // --- q92: heavy hitters per group (Presto approx_most_frequent) ---------
+  // approx_top_k with k >= distinct values is exact and merge-order-proof;
+  // the explode + deterministic re-sort pins the output order.
+  def q92(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_top_k(o_orderpriority, 5)").as("tk"))
+      .select(col("o_orderstatus"), explode(col("tk")).as("e"))
+      .select(col("o_orderstatus"), col("e.item").as("prio"), col("e.count").as("n"))
+      .orderBy(col("o_orderstatus"), col("n").desc, col("prio"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -72,6 +72,19 @@ class ExpressionsSpec extends GraftSpec {
     assert(nd.toLowerCase.contains("hamming"), s"rule must not fire on rand():\n$nd")
   }
 
+  test("hash64 is seed-sensitive and xor-composition is order-independent") {
+    val df = Seq("alpha", "beta", "gamma").toDF("t")
+    val h0 = df.select(hash64($"t")).collect().map(_.getLong(0))
+    val h7 = df.select(hash64($"t", 7L)).collect().map(_.getLong(0))
+    assert(h0.distinct.length == 3)            // no collisions on distinct inputs
+    assert(h0.zip(h7).forall { case (a, b) => a != b }) // seed changes everything
+    // checksum = bit_xor(hash64): any permutation of rows gives the same value
+    import org.apache.spark.sql.functions.bit_xor
+    val c1 = df.agg(bit_xor(hash64($"t"))).head().getLong(0)
+    val c2 = df.orderBy($"t".desc).agg(bit_xor(hash64($"t"))).head().getLong(0)
+    assert(c1 == c2)
+  }
+
   test("SQL registration via GraftFunctions.install and via extensions class") {
     graft.functions.GraftFunctions.install(spark)
     val r = spark.sql(
