@@ -126,6 +126,25 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("file stream with Trigger.AvailableNow drains a directory and stops") {
+    // the backfill topology: files land on distributed storage, the stream
+    // processes everything present, then terminates (batch-as-stream)
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 10:45:00"), 2, "view", 5.0)).toDF()
+    events.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = EventPipelines.tumbling(stream).writeStream
+      .outputMode("update").format("memory").queryName("avnow_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive) // AvailableNow terminates after draining
+    val n = spark.sql("SELECT sum(n_events) FROM avnow_test").head().getLong(0)
+    assert(n == 2)
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
