@@ -1094,6 +1094,13 @@ object OracleSql {
       SELECT c_mktsegment, bit_xor(hv) AS name_checksum, COUNT(*) AS n
       FROM h GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "q93_correlated_scalar" -> """
+      SELECT c_custkey,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+      FROM customer WHERE c_custkey < 200
+      ORDER BY c_custkey""",
+
     "q92_approx_topk" -> """
       SELECT o_orderstatus, o_orderpriority AS prio, COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus, o_orderpriority

@@ -130,6 +130,7 @@ object SparkEntry {
     "q90_hashes" -> (Relational.q90 _),
     "q91_checksum" -> (Relational.q91 _),
     "q92_approx_topk" -> (Relational.q92 _),
+    "q93_correlated_scalar" -> (Relational.q93 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -1163,6 +1163,20 @@ object Relational {
       .select(col("o_orderstatus"), col("e.item").as("prio"), col("e.count").as("n"))
       .orderBy(col("o_orderstatus"), col("n").desc, col("prio"))
 
+  // --- q93: correlated scalar subquery in the SELECT list ------------------
+  // Catalyst decorrelates this into a left outer aggregate join — the plan
+  // a user writes naively in SQL still executes as one distributed join.
+  def q93(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_custkey,
+        (SELECT COUNT(*) FROM orders_v WHERE o_custkey = c_custkey) AS n_orders,
+        (SELECT MAX(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_price
+      FROM customer_v WHERE c_custkey < 200
+      ORDER BY c_custkey""")
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
