@@ -1101,6 +1101,39 @@ object OracleSql {
       FROM customer WHERE c_custkey < 200
       ORDER BY c_custkey""",
 
+    "q94_tpch_q9" -> s"""
+      SELECT n_name AS nation,
+        CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        ${dsum("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.6 * l_quantity", 6)} AS profit
+      FROM lineitem, part, supplier, orders, nation
+      WHERE l_partkey = p_partkey AND contains(p_name, 'blue')
+        AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        AND s_nationkey = n_nationkey
+      GROUP BY n_name, yr ORDER BY n_name, yr DESC""",
+
+    "q95_tpch_q12" -> """
+      SELECT l_linestatus,
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q96_tpch_q15" -> s"""
+      WITH revenue AS (
+        SELECT l_suppkey,
+          ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""",
+
     "q92_approx_topk" -> """
       SELECT o_orderstatus, o_orderpriority AS prio, COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus, o_orderpriority

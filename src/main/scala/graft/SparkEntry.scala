@@ -131,6 +131,9 @@ object SparkEntry {
     "q91_checksum" -> (Relational.q91 _),
     "q92_approx_topk" -> (Relational.q92 _),
     "q93_correlated_scalar" -> (Relational.q93 _),
+    "q94_tpch_q9" -> (Relational.q94 _),
+    "q95_tpch_q12" -> (Relational.q95 _),
+    "q96_tpch_q15" -> (Relational.q96 _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

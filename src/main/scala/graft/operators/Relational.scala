@@ -1177,6 +1177,53 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  // --- q94: product-line profit by nation and year (TPC-H Q9 shape) -------
+  // partsupp has no analog here; supply cost is proxied from the part's
+  // retail price, keeping the join/aggregation topology identical.
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.6) * col("l_quantity")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("blue"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
+      .agg(dsum(profit, 6).as("profit"))
+      .orderBy(col("nation"), col("yr").desc)
+  }
+
+  // --- q95: shipping-priority mode counts (TPC-H Q12 shape) ---------------
+  // l_linestatus plays the ship-mode role (the schema has no l_shipmode);
+  // the CASE-counting join topology is Q12's.
+  def q95(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  // --- q96: top-revenue supplier via derived view + max (TPC-H Q15) -------
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    Tables.supplier(s, d)
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(best))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
