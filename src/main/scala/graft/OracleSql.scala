@@ -902,30 +902,55 @@ object OracleSql {
       FROM bucketed b LEFT JOIN cnt c USING (vec_id)
       ORDER BY vec_id""",
 
+    // Replays Ann.knnJoin: TWO hyperplane tables (seeds 7 and 8), buckets
+    // capped at MaxBucket=1000, id pairs deduped across tables, embeddings
+    // re-joined for the cosine verify, per-vector top-3.
     "a03_knn_join" -> s"""
-      WITH planes(p, v) AS (VALUES ${planesValues(7)}),
+      WITH p1(p, v) AS (VALUES ${planesValues(7)}),
+      p2(p, v) AS (VALUES ${planesValues(8)}),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      bucketed AS (
-        SELECT vec_id, emb,
+      tb AS (
+        SELECT 0 AS tbl, vec_id,
           (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, v) > 0
                      THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
-           FROM planes) AS bucket
+           FROM p1) AS bucket
+        FROM e
+        UNION ALL
+        SELECT 1 AS tbl, vec_id,
+          (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, v) > 0
+                     THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+           FROM p2) AS bucket
         FROM e),
-      pairs AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-          round(${cos("a.emb", "b.emb")}, 4) AS cos_sim
-        FROM bucketed a
-        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+      ok AS (SELECT tbl, bucket FROM tb
+             GROUP BY tbl, bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+      idpairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM tb a
+        JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN ok o ON a.tbl = o.tbl AND a.bucket = o.bucket),
+      scored AS (
+        SELECT id_a, id_b, round(${cos("ea.emb", "eb.emb")}, 4) AS cos_sim
+        FROM idpairs
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b),
+      directed AS (
+        SELECT id_a AS vec_id, id_b AS nbr_id, cos_sim FROM scored
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS nbr_id, cos_sim FROM scored)
       SELECT vec_id, nbr_id, cos_sim, rn FROM (
         SELECT vec_id, nbr_id, cos_sim,
           CAST(row_number() OVER (PARTITION BY vec_id
                ORDER BY cos_sim DESC, nbr_id) AS INTEGER) AS rn
-        FROM pairs) t
+        FROM directed) t
       WHERE rn <= 3 ORDER BY vec_id, rn""",
 
+    // Centroids replay Ann.ivf's bounded deterministic sample: first
+    // NList=32 vec_ids in multiplicative-hash order — a constant-size set
+    // regardless of corpus size.
     "a02_knn_ivf" -> s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+               ORDER BY (vec_id * 69069 + 1) % 1048576, vec_id LIMIT 32),
       assigned AS (
         SELECT e.vec_id, e.emb,
           (SELECT cent_id FROM cent

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
@@ -14,15 +15,26 @@ import graft.sources.Tables
  * full corpus — one scan, no shuffle of the corpus, cosine via the native
  * codegen expression; ranking is a per-probe top-k window.
  *
- * a02 is the scale path: IVF-style cell pruning. Vectors are assigned to
- * their nearest centroid once (broadcast centroids); probes only scan the
- * top-2 nearest cells, cutting the scan ~5x here and ~nlist/nprobe at
- * 100 TB. Centroids here are a deterministic sample (every 50th vector);
- * swapping in k-means centroids changes recall, not the topology.
+ * a02 is the scale path: IVF-style cell pruning with a FIXED-size centroid
+ * set (`NList`), chosen by a deterministic multiplicative-hash order over
+ * vec_id — bounded driver memory and bounded codegen regardless of corpus
+ * size. Probes only scan their top-`NProbe` cells, cutting the scan
+ * ~NList/NProbe at 100 TB.
+ *
+ * a03 is the all-pairs KNN join: two independent LSH hash tables, capped
+ * buckets (same `MaxBucket` discipline as [[graft.dedup.Dedup]]), pair
+ * candidates deduped across tables as bare id pairs before embeddings are
+ * re-joined for the cosine verify.
  */
 object Ann {
 
   private val K = 10
+
+  /** Max vectors per LSH bucket before the bucket is dropped as degenerate
+    * (same rationale as Dedup.MaxBucket: a pile of near-identical
+    * embeddings — exactly what dedup corpora contain — must not expand
+    * O(b²) pairs in one task; the second hash table recovers recall). */
+  private val MaxBucket = 1000
 
   /** a01: brute-force exact cosine top-k for probe vectors (vec_id < 5). */
   def bruteForce(s: SparkSession, d: String): DataFrame = {
@@ -40,56 +52,89 @@ object Ann {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  /**
-   * a03: all-pairs KNN join — every vector's top-3 neighbors among its
-   * LSH bucket mates (16 random-hyperplane sign bits). The scale topology
-   * for "nearest neighbor per corpus row": bucket shuffle + bounded
-   * in-bucket ranking, never an n² cross join; recall grows with multiple
-   * hash tables (one here).
-   */
-  def knnJoin(s: SparkSession, d: String): DataFrame = {
-    val dim = 64
-    val nPlanes = 16
-    val rnd = new java.util.Random(7)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val bit: Int => Column = p => {
+  private val Dim = 64
+  private val NPlanes = 16
+
+  /** 16 sign bits from seeded random hyperplanes packed into a long bucket
+    * id — one narrow projection, no shuffle. Seed selects the hash table. */
+  private def lshBucket(seed: Long): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(NPlanes, Dim)(rnd.nextGaussian())
+    (0 until NPlanes).map { p =>
       val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
       when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
         lit(1L << p)).otherwise(lit(0L))
-    }
-    val bucketed = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      (0 until nPlanes).map(bit).reduce(_ + _).as("bucket"))
+    }.reduce(_ + _)
+  }
+
+  /** Seeds of the two independent hash tables (multi-probe recall: a pair
+    * dropped with a hot bucket in one table can still collide in the other). */
+  private val TableSeeds = Seq(7L, 8L)
+
+  /**
+   * a03: all-pairs KNN join — every vector's top-3 neighbors among its LSH
+   * bucket mates, over TWO independent hash tables. The scale topology for
+   * "nearest neighbor per corpus row":
+   *   1. one corpus scan computes both bucket ids (narrow),
+   *   2. hash shuffle on (table, bucket), buckets capped at `MaxBucket`
+   *      (a hot bucket is dropped, not expanded O(b²) in one task),
+   *   3. candidate pairs deduped across tables as bare (id_a, id_b) rows —
+   *      embeddings are NOT carried through the distinct,
+   *   4. embeddings re-joined per side for the cosine verify, then a
+   *      per-vector top-3 window.
+   */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // (vec_id, tbl, bucket): both hash tables from one scan.
+    val tb = emb.select(col("vec_id"),
+      posexplode(array(TableSeeds.map(lshBucket): _*)).as(Seq("tbl", "bucket")))
+    // Reuse the dedup LSH pair kernel: capped buckets, bounded in-bucket
+    // expansion, distinct (a < b) id pairs.
+    val idPairs = Dedup.lshCandidatePairs(tb.select(
+      col("vec_id").as("doc_id"), col("tbl").as("band"), col("bucket").as("band_key")))
+    val scored = idPairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4).as("cos_sim"))
+    val directed = scored
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"), col("cos_sim"))
+      .unionAll(scored.select(col("id_b").as("vec_id"), col("id_a").as("nbr_id"), col("cos_sim")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nbr_id"))
-    bucketed
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("recs"))
-      .filter(size(col("recs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(recs, r ->
-          |  transform(filter(recs, o -> o.vec_id != r.vec_id),
-          |            o -> struct(r.vec_id AS vec_id, o.vec_id AS nbr_id,
-          |                        r.embedding AS ea, o.embedding AS eb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.vec_id").as("vec_id"), col("p.nbr_id").as("nbr_id"),
-        round(GraftFunctions.cosineSim(col("p.ea"), col("p.eb")), 4).as("cos_sim"))
+    directed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** IVF cell count — a CONSTANT independent of corpus size (the index's
+    * nlist). Driver memory and generated code are O(NList · Dim), never
+    * O(corpus). Deployments tune this (256–65536 at 100 TB); 32 keeps
+    * sf-scale cells non-trivial. */
+  private val NList = 32
+  private val NProbe = 2
+
   /**
-   * a02: IVF-style ANN — nearest-centroid cell assignment, probe top-2
-   * cells. The centroid set is the IVF index's `nlist` (bounded, fits any
-   * driver — here a deterministic sample; k-means would change recall,
-   * not topology), so assignment is a *narrow projection* against literal
-   * centroid vectors: per-cell similarity array → array_max argmax. No
-   * crossJoin, no shuffle — at 100 TB the corpus is scanned exactly once
-   * to tag cells.
+   * a02: IVF-style ANN — nearest-centroid cell assignment, probe the top-2
+   * cells. Centroids are the first `NList` vectors in a deterministic
+   * multiplicative-hash order of vec_id (Spark: TakeOrderedAndProject — a
+   * single bounded-memory pass; the DuckDB oracle replays the same ORDER BY
+   * ... LIMIT). The `.collect()` is therefore provably bounded at NList
+   * rows no matter the corpus size; assignment is a narrow projection
+   * against NList literal centroid vectors (per-cell similarity array →
+   * array_max argmax). No crossJoin, no shuffle — at 100 TB the corpus is
+   * scanned exactly once to tag cells.
    */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val centroids: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") % 50 === 0)
+    // Knuth-style multiplicative scatter of the (sequential) vec_ids; the
+    // constants keep vec_id * 69069 within Long for any plausible corpus
+    // (overflow needs vec_id > 1.3e14 ≈ 300x a 100 TB embedding table).
+    val scatter = pmod(col("vec_id") * lit(69069L) + lit(1L), lit(1048576L))
+    val centroids: Array[(Long, Seq[Float])] = emb
       .select(col("vec_id"), col("embedding"))
+      .orderBy(scatter, col("vec_id"))
+      .limit(NList)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
 
@@ -103,12 +148,12 @@ object Ann {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       array_max(simStructs(col("embedding"))).getField("cent_id").as("cell"))
 
-    // Probes keep their 2 best cells: sort the same struct array descending.
+    // Probes keep their NProbe best cells: sort the same struct array desc.
     val probeCells = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         simStructs(col("embedding")).as("cells"))
       .select(col("probe_id"), col("probe_emb"),
-        explode(expr("slice(transform(reverse(array_sort(cells)), c -> c.cent_id), 1, 2)")).as("cell"))
+        explode(expr(s"slice(transform(reverse(array_sort(cells)), c -> c.cent_id), 1, $NProbe)")).as("cell"))
 
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))

@@ -64,11 +64,20 @@ class PlanSpec extends GraftSpec {
       s"no Or pushdown:\n$plan")
   }
 
-  test("d02 LSH dedup plan contains no cartesian/nested-loop join") {
-    val plan = executedPlan(graft.dedup.Dedup.minhashLsh(spark, sf))
-    assert(!plan.contains("CartesianProduct"), s"LSH path must never cross-join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"LSH path must never nested-loop join:\n$plan")
+  // every LSH-banded path must shuffle on bucket keys, never cross-join
+  private val lshPaths: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "d02 minhash" -> (() => graft.dedup.Dedup.minhashLsh(spark, sf)),
+    "d03 simhash" -> (() => graft.dedup.Dedup.simhash(spark, sf)),
+    "d05 embedding" -> (() => graft.dedup.Dedup.embeddingDedup(spark, sf)),
+    "a03 knn join" -> (() => graft.ann.Ann.knnJoin(spark, sf)))
+
+  lshPaths.foreach { case (name, mk) =>
+    test(s"$name LSH plan contains no cartesian/nested-loop join") {
+      val plan = executedPlan(mk())
+      assert(!plan.contains("CartesianProduct"), s"LSH path must never cross-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"LSH path must never nested-loop join:\n$plan")
+    }
   }
 
   test("lineitem scan prunes columns for a 2-column projection") {
