@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.sql.GraftBridge
 
 /**
@@ -34,6 +35,21 @@ object GraftFunctions {
   /** Hamming distance between two bigint bit-vectors. */
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
 
+  /** Extract a foldable integral argument from a SQL call site. A plain SQL
+    * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
+    * so a blind asInstanceOf[Long] would ClassCastException on the natural
+    * call form `hash64(c, 42)`; accept both widths and fail non-literals
+    * with a clear message naming the function. */
+  private[functions] def literalLong(fn: String, arg: Expression): Long = arg match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an integer literal, got ${other.sql}")
+  }
+
+  private[functions] def literalInt(fn: String, arg: Expression): Int =
+    literalLong(fn, arg).toInt
+
   /** SQL registration (same names) for `spark.sql` users; idempotent. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -44,12 +60,12 @@ object GraftFunctions {
         builder)
     register("cosine_sim", args => CosineSimilarity(args(0), args(1)))
     register("minhash_sig", args => MinHashSignature(args(0),
-      args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+      literalInt("minhash_sig", args(1))))
     register("simhash64", args => SimHash64(args.head))
     register("fingerprint64", args => RollingFingerprint(args.head))
     register("hamming64", args => Hamming64(args(0), args(1)))
     register("hash64", args => Hash64(args.head,
-      if (args.length > 1) args(1).asInstanceOf[Literal].value.asInstanceOf[Long] else 0L))
+      if (args.length > 1) literalLong("hash64", args(1)) else 0L))
   }
 }
 
@@ -69,7 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo("graft.functions", "minhash_sig"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+        GraftFunctions.literalInt("minhash_sig", args(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo("graft.functions", "simhash64"),
@@ -86,6 +102,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash64"),
       new ExpressionInfo("graft.functions", "hash64"),
       (args: Seq[Expression]) => Hash64(args.head,
-        if (args.length > 1) args(1).asInstanceOf[Literal].value.asInstanceOf[Long] else 0L)))
+        if (args.length > 1) GraftFunctions.literalLong("hash64", args(1)) else 0L)))
   }
 }

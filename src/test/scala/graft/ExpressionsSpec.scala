@@ -95,4 +95,20 @@ class ExpressionsSpec extends GraftSpec {
     assert(r.getInt(1) == 3)
     assert(r.getBoolean(2))
   }
+
+  test("SQL hash64 accepts plain INT literal seeds and rejects non-literals") {
+    graft.functions.GraftFunctions.install(spark)
+    // the natural SQL call form: 42 parses as an IntegerType literal
+    val viaInt = spark.sql("SELECT hash64('x', 42) AS h").head().getLong(0)
+    // out-of-int-range integral parses as a LongType literal
+    val viaLong = spark.sql("SELECT hash64('x', 9999999999) AS h").head().getLong(0)
+    val api = Seq("x").toDF("t")
+    assert(viaInt == api.select(hash64($"t", 42L)).head().getLong(0))
+    assert(viaLong == api.select(hash64($"t", 9999999999L)).head().getLong(0))
+    // minhash_sig's k goes through the same literal extraction
+    val k = spark.sql("SELECT size(minhash_sig(array('a'), 16)) AS n").head().getInt(0)
+    assert(k == 16)
+    val err = intercept[Exception](spark.sql("SELECT hash64('x', length('ab')) AS h"))
+    assert(err.getMessage.contains("hash64"), err.getMessage)
+  }
 }
