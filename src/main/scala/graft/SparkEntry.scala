@@ -142,11 +142,11 @@ object SparkEntry {
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
-  )
+  ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →
     * driver records rows-only checks for those). */
-  def oracleSql: Map[String, String] = OracleSql.sql ++ Map(
+  def oracleSql: Map[String, String] = OracleSql.sql ++ GraftCli.oracles ++ Map(
     "a01_knn_brute" -> """
       WITH px AS (
         SELECT vec_id AS probe_id, i, CAST(e AS DOUBLE) AS pe

@@ -1,0 +1,26 @@
+package graft
+
+/** SQL front door: the reference's primary UX (a SQL prompt) served by
+  * GraftCli — tables registered as views, graft functions callable. */
+class CliSpec extends GraftSpec {
+
+  test("front door serves plain SQL over the registered catalog") {
+    val rows = GraftCli.sql(spark, sf,
+      "SELECT r_name FROM region ORDER BY r_name").collect()
+    assert(rows.length == 5)
+  }
+
+  test("front door exposes graft native functions to SQL text") {
+    val r = GraftCli.sql(spark, sf,
+      "SELECT round(cosine_sim(embedding, embedding), 4) AS s " +
+        "FROM embeddings LIMIT 1").head()
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("all s-entries run through the SQL-text path and return rows") {
+    GraftCli.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")
+    }
+    assert(GraftCli.queries.keySet == GraftCli.oracles.keySet)
+  }
+}
