@@ -1252,12 +1252,15 @@ object OracleSql {
                 ln(h.cnt / CAST(n.n_bytes AS DOUBLE))) / ln(2.0)) AS ent
         FROM hist h JOIN n ON h.doc_id = n.doc_id
         GROUP BY h.doc_id)
-      SELECT n.doc_id, n.n_bytes,
+      SELECT n.doc_id,
+        CASE WHEN n.doc_id % 3 = 0 THEN 'png'
+             WHEN n.doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        n.n_bytes,
         round(COALESCE(s.mean, 0.0), 4) AS byte_mean,
         round(COALESCE(s.ent, 0.0), 4) AS byte_entropy,
         CAST(n.doc_id % 64 + 1 AS INTEGER) AS width,
         CAST(n.doc_id % 48 + 1 AS INTEGER) AS height,
-        n.n_bytes > 0 AS decode_ok
+        TRUE AS decode_ok
       FROM n LEFT JOIN stats s USING (doc_id)
       ORDER BY doc_id""",
 

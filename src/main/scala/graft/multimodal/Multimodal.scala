@@ -11,112 +11,129 @@ case class MediaMeta(kind: String, width: Int, height: Int, declaredBytes: Long)
 /** A multimodal record: id + opaque binary payload + typed metadata. */
 case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
 
-/** Extracted features (what a real decoder would emit). */
+/** Extracted features: container format + dims parsed from the real header
+  * bytes, plus content statistics over the decoded body. */
 case class MediaFeatures(
-    doc_id: Long, n_bytes: Long, byte_mean: Double, byte_entropy: Double,
-    width: Int, height: Int, decode_ok: Boolean)
+    doc_id: Long, format: String, n_bytes: Long, byte_mean: Double,
+    byte_entropy: Double, width: Int, height: Int, decode_ok: Boolean)
 
 /**
- * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
- * with typed metadata, decoded partition-wise.
+ * Multimodal-column plumbing: media as opaque `binary` columns with typed
+ * metadata, decoded partition-wise.
  *
- * The decode step is a STUB (no media libs in this container): a
- * deterministic fake that treats the payload bytes as the "decoded frame"
- * and computes real statistics over them. The Spark-side shape — binary
- * column, typed metadata struct, per-partition batched decode via
- * mapPartitions on a typed Dataset, no driver collection — is the real,
- * scale-tested plumbing; swap [[decodeStub]] for an actual codec binding
- * to productionize.
+ * The header decode is REAL: every payload starts with an actual PNG /
+ * JPEG / GIF container header (built by [[ImageHeaders]]) and the decoder
+ * parses format, width, and height back out of the bytes — magic sniff,
+ * IHDR / SOFn-walk / logical-screen-descriptor, pure JVM. Only the pixel
+ * decode proper is absent (no codec libs in this container): content
+ * features are byte statistics over the body in place of pixel statistics,
+ * computed with the same per-partition streaming shape a real codec
+ * binding would use.
  */
 object Multimodal {
 
-  /** Build a multimodal table from documents: payload = UTF-8 bytes of the
-    * text standing in for encoded media; metadata derived deterministically. */
+  /** Build a multimodal table from documents: payload = a real image
+    * container header (format cycles png/jpeg/gif with doc_id) followed by
+    * the UTF-8 text bytes standing in for the encoded stream. The header
+    * dims are derived from doc_id, so the oracle can verify that the
+    * byte-level parse recovers them exactly. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        struct(
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("kind"),
-          (col("doc_id") % 64 + 1).cast("int").as("width"),
-          (col("doc_id") % 48 + 1).cast("int").as("height"),
-          col("n_chars").as("declaredBytes")).as("meta"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val w = (id % 64 + 1).toInt
+        val h = (id % 48 + 1).toInt
+        val (kind, header) = (id % 3) match {
+          case 0 => ("image", ImageHeaders.png(w, h))
+          case 1 => ("audio", ImageHeaders.jpeg(w, h))
+          case _ => ("video", ImageHeaders.gif(w, h))
+        }
+        MediaRecord(id, header ++ text.getBytes("UTF-8"), MediaMeta(kind, w, h, nChars))
+      }
   }
 
-  /** STUB decoder: deterministic fake standing in for image/audio decode.
-    * Returns per-payload byte statistics (mean, entropy) as the "features". */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
+  /** Decode one record: parse the container header from the payload bytes
+    * (format + dims), then compute content statistics over the body. */
+  private def decode(r: MediaRecord): MediaFeatures = {
+    val parsed = ImageHeaders.parse(r.payload)
+    val body = parsed.map(p => r.payload.drop(p.headerLen)).getOrElse(r.payload)
     val hist = new Array[Long](256)
     var sum = 0.0
-    bytes.foreach { b => hist(b & 0xff) += 1; sum += (b & 0xff) }
-    val n = bytes.length.toDouble
+    body.foreach { b => hist(b & 0xff) += 1; sum += (b & 0xff) }
+    val n = body.length.toDouble
     var ent = 0.0
     hist.foreach { c =>
       if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2.0) }
     }
-    MediaFeatures(r.doc_id, bytes.length.toLong,
+    MediaFeatures(r.doc_id,
+      parsed.map(_.format).getOrElse("unknown"),
+      body.length.toLong,
       if (n > 0) sum / n else 0.0, ent,
-      r.meta.width, r.meta.height, decode_ok = bytes.nonEmpty)
+      parsed.map(_.width).getOrElse(0),
+      parsed.map(_.height).getOrElse(0),
+      decode_ok = parsed.isDefined)
   }
 
-  /** m01: partition-wise decode + feature extraction. Batch shape matches a
-    * real codec integration: one decoder instance per partition, streaming
-    * iterator (no materialization), executor-side only. */
+  /** m01: partition-wise decode + feature extraction. One decoder pass per
+    * partition, streaming iterator (no materialization), executor-side
+    * only; the emitted width/height/format are parsed from the actual
+    * header bytes, not copied from metadata. */
   def features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .mapPartitions { it =>
-        // per-partition "decoder" init would go here (real codecs are
+        // per-partition decoder init would go here (real codecs are
         // expensive to construct; amortize across the partition)
-        it.map(decodeStub)
+        it.map(decode)
       }
-      .select(col("doc_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"),
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        round(col("byte_mean"), 4).as("byte_mean"),
         round(col("byte_entropy"), 4).as("byte_entropy"),
         col("width"), col("height"), col("decode_ok"))
       .orderBy(col("doc_id"))
   }
 
-  /** STUB resize: nearest-neighbor subsampling of the payload standing in
-    * for an image resize — keeps every stride-th byte so output size scales
-    * with the target dims, deterministically. */
-  private def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+  /** Resize one record: strip the parsed header, then nearest-neighbor
+    * subsample the body standing in for a pixel resize — keeps every
+    * stride-th byte so output size scales with the target dims. */
+  private def resize(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val headerLen = ImageHeaders.parse(r.payload).map(_.headerLen).getOrElse(0)
+    val body = r.payload.drop(headerLen)
     val w = math.min(targetW, r.meta.width)
     val h = math.min(targetH, r.meta.height)
     val inPixels = math.max(1, r.meta.width * r.meta.height)
     val stride = math.max(1, inPixels / math.max(1, w * h))
-    val out = r.payload.indices.collect { case i if i % stride == 0 => r.payload(i) }
+    val out = body.indices.collect { case i if i % stride == 0 => body(i) }
     MediaRecord(r.doc_id, out.toArray, MediaMeta(r.meta.kind, w, h, out.length.toLong))
   }
 
-  /** m02: resize pipeline — typed Dataset in, typed Dataset out, decoder
-    * stride computed from metadata; the scale-relevant property is that the
+  /** m02: resize pipeline — typed Dataset in, typed Dataset out, stride
+    * computed from metadata; the scale-relevant property is that the
     * transform is a narrow map (no shuffle) and output bytes shrink with
     * the target resolution. */
   def resized(s: SparkSession, d: String, targetW: Int = 16, targetH: Int = 12): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
-      .mapPartitions(it => it.map(resizeStub(_, targetW, targetH)))
+      .mapPartitions(it => it.map(resize(_, targetW, targetH)))
       .select(col("doc_id"), col("meta.kind").as("kind"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         length(col("payload")).as("n_bytes_out"))
       .orderBy(col("doc_id"))
   }
 
-  /** m03: frame sampling — treat the payload as F fixed-size frames and
-    * keep every k-th (the video keyframe-extraction topology). flatMap on
-    * the typed Dataset: one input row fans out to its sampled frames,
-    * still a narrow transform. */
+  /** m03: frame sampling — strip the container header, treat the body as F
+    * fixed-size frames and keep every k-th (the video keyframe-extraction
+    * topology). flatMap on the typed Dataset: one input row fans out to its
+    * sampled frames, still a narrow transform. */
   def frameSample(s: SparkSession, d: String, frameBytes: Int = 64, every: Int = 4): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .filter(col("meta.kind") === "video")
       .flatMap { r =>
-        r.payload.grouped(frameBytes).zipWithIndex
+        val headerLen = ImageHeaders.parse(r.payload).map(_.headerLen).getOrElse(0)
+        r.payload.drop(headerLen).grouped(frameBytes).zipWithIndex
           .collect { case (frame, idx) if idx % every == 0 =>
             val mean = if (frame.isEmpty) 0.0
               else frame.map(b => (b & 0xff).toDouble).sum / frame.length

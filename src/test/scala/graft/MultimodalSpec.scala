@@ -12,6 +12,37 @@ class MultimodalSpec extends GraftSpec {
     assert(first.meta.width >= 1 && first.meta.height >= 1)
   }
 
+  test("header codec round-trips PNG/JPEG/GIF dims through real bytes") {
+    import graft.multimodal.ImageHeaders
+    for ((mk, fmt) <- Seq(
+        (ImageHeaders.png _, "png"), (ImageHeaders.jpeg _, "jpeg"),
+        (ImageHeaders.gif _, "gif"));
+      (w, h) <- Seq((1, 1), (64, 48), (640, 480), (65535, 1))) {
+      val body = "decoded media body".getBytes("UTF-8")
+      val p = ImageHeaders.parse(mk(w, h) ++ body)
+      assert(p.isDefined, s"$fmt $w x $h did not parse")
+      assert(p.get.format == fmt && p.get.width == w && p.get.height == h,
+        s"got ${p.get} for $fmt $w x $h")
+      assert((mk(w, h) ++ body).drop(p.get.headerLen).sameElements(body),
+        s"$fmt headerLen ${p.get.headerLen} does not isolate the body")
+    }
+    assert(ImageHeaders.parse("not media at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.parse(Array[Byte]()).isEmpty)
+    // truncated header: magic alone must not crash the scan
+    assert(ImageHeaders.parse(ImageHeaders.png(4, 4).take(10)).isEmpty)
+  }
+
+  test("m01 features report dims parsed from header bytes, per format") {
+    val rows = Multimodal.features(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "gif" }
+      assert(r.getAs[String]("format") == expected)
+      assert(r.getAs[Int]("width") == (id % 64 + 1).toInt)
+      assert(r.getAs[Int]("height") == (id % 48 + 1).toInt)
+    }
+  }
+
   test("m02 resize shrinks payloads and clamps dims to the target") {
     val rows = Multimodal.resized(spark, sf, targetW = 8, targetH = 6).collect()
     assert(rows.nonEmpty)
