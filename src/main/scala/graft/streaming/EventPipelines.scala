@@ -107,32 +107,52 @@ object EventPipelines {
 
   /** flatMapGroupsWithState sessionization that EMITS each session as it
     * closes (gap > 30 min), keeping only the open session in state — the
-    * session-log topology (vs sessionize's running per-user counters). */
-  def sessionFlush(events: Dataset[Event]): Dataset[ClosedSession] = {
+    * session-log topology (vs sessionize's running per-user counters).
+    *
+    * Uses EventTimeTimeout under a watermark: an idle user's trailing open
+    * session is flushed (and its state evicted) once the watermark passes
+    * session end + gap, so state stays bounded and no session is withheld
+    * forever waiting for a next event that never comes. */
+  def sessionFlush(events: Dataset[Event], watermark: String = "1 hour"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          var open = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(o) if t - o.lastMs > gapMs =>
-                closed += ClosedSession(userId, o.nEvents, o.startMs, o.lastMs)
-                open = Some(OpenSession(t, t, 1))
-              case Some(o) =>
-                open = Some(OpenSession(o.startMs, t, o.nEvents + 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap with no further events: the open
+            // session can never be extended — emit it and drop the state
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, o.nEvents, o.startMs, o.lastMs))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(o) if t - o.lastMs > gapMs =>
+                  closed += ClosedSession(userId, o.nEvents, o.startMs, o.lastMs)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(o) =>
+                  open = Some(OpenSession(o.startMs, t, o.nEvents + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              // timeout may not be set behind the watermark (late data can
+              // land a session end there) — clamp forward in that case
+              state.setTimeoutTimestamp(
+                math.max(o.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 

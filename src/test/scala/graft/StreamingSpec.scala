@@ -105,6 +105,28 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("sessionFlush flushes an idle user's trailing session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.sessionFlush(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("flush_timeout").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 5, "click", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM flush_timeout").head().getLong(0) == 0)
+      // user 5 goes idle; ANOTHER user's event drives the watermark past
+      // 09:40 (last + gap), so user 5's open session must flush on timeout
+      input.addData(Event(3, ts("2024-01-01 13:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM flush_timeout ORDER BY user_id").collect()
+      assert(rows.length == 1, s"expected exactly user 5's flushed session, got ${rows.length}")
+      assert(rows.head.getLong(0) == 5L && rows.head.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands each micro-batch as parquet (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
