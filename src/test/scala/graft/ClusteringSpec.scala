@@ -14,6 +14,24 @@ class ClusteringSpec extends GraftSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("pointer jumping converges a long chain in O(log diameter) rounds") {
+    val n = 200L
+    val ids = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // plain propagation would need ~200 rounds; doubling needs ~log2(200)=8
+    val got = Clustering.connectedComponents(ids, chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("non-convergence fails loudly instead of returning under-merged labels") {
+    val ids = (1L to 40L).toDF("doc_id")
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Clustering.connectedComponents(ids, chain, maxIter = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("no edges → every doc is its own cluster") {
     val ids = (1L to 5L).toDF("doc_id")
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
