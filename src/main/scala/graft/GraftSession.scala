@@ -46,4 +46,33 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The reference's cluster-elasticity surface (`add_worker` /
+    * `del_worker` / `status`, presto-mgr.py / README.md:59–82) mapped onto
+    * Spark dynamic allocation: instead of imperative worker add/remove,
+    * the session declares a worker RANGE and the cluster manager scales
+    * executors with queued work. Shuffle tracking lets executors retire
+    * without an external shuffle service (shuffle files outlive the
+    * executor until consumed), which is what makes scale-IN safe mid-query. */
+  def elasticityConfs(minWorkers: Int = 0, maxWorkers: Int = 64,
+                      initialWorkers: Int = 2): Map[String, String] = Map(
+    "spark.dynamicAllocation.enabled" -> "true",
+    "spark.dynamicAllocation.minExecutors" -> minWorkers.toString,
+    "spark.dynamicAllocation.maxExecutors" -> maxWorkers.toString,
+    "spark.dynamicAllocation.initialExecutors" -> initialWorkers.toString,
+    "spark.dynamicAllocation.shuffleTracking.enabled" -> "true",
+    "spark.dynamicAllocation.executorIdleTimeout" -> "120s",
+    "spark.dynamicAllocation.schedulerBacklogTimeout" -> "5s")
+
+  /** Builder for a real multi-executor deployment: graft defaults + the
+    * elasticity surface + an AQE initial partition count sized for the
+    * worker ceiling (AQE coalesces down at runtime; see class doc). */
+  def clusterBuilder(master: String, minWorkers: Int = 0, maxWorkers: Int = 64,
+                     initialWorkers: Int = 2, coresPerWorker: Int = 4): SparkSession.Builder =
+    elasticityConfs(minWorkers, maxWorkers, initialWorkers)
+      .foldLeft(builder(master, shufflePartitions = maxWorkers * coresPerWorker * 2)) {
+        case (b, (k, v)) => b.config(k, v)
+      }
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (maxWorkers * coresPerWorker * 3).toString)
 }
