@@ -52,11 +52,13 @@ object Formats {
   case class Jdbc(url: String, table: String, user: String, password: String,
                   partitionColumn: Option[String] = None,
                   lowerBound: Long = 0L, upperBound: Long = 0L,
-                  numPartitions: Int = 8) {
+                  numPartitions: Int = 8,
+                  driver: Option[String] = None) {
     def reader(s: SparkSession): DataFrameReader = {
-      val r = s.read.format("jdbc")
+      val r0 = s.read.format("jdbc")
         .option("url", url).option("dbtable", table)
         .option("user", user).option("password", password)
+      val r = driver.fold(r0)(d => r0.option("driver", d))
       partitionColumn.fold(r) { c =>
         r.option("partitionColumn", c)
           .option("lowerBound", lowerBound.toString)
