@@ -23,6 +23,19 @@ object OracleSql {
       .mkString(", ")
   }
 
+  /** Shared by x01/x02: salting must not change the join result, so the
+    * plain and salted entries replay the identical hot-key join. */
+  private val skewOracle: String = """
+      WITH large AS (
+        SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                    ELSE l_orderkey % 1000 END AS k, l_quantity
+        FROM lineitem),
+      small AS (SELECT range % 1000 AS k, (range % 1000) % 7 + 1 AS w
+                FROM range(0, 32000))
+      SELECT CAST(SUM(CAST(l_quantity * w AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM large JOIN small USING (k)"""
+
   /** Cosine over DOUBLE[] lists — same op order as the Spark kernel. */
   private def cos(a: String, b: String) =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
@@ -1295,6 +1308,9 @@ object OracleSql {
       WHERE frame % 4 = 0
       GROUP BY doc_id, frame
       ORDER BY doc_id, frame_idx""",
+
+    "x01_skew_plain" -> skewOracle,
+    "x02_skew_salted" -> skewOracle,
 
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -134,6 +134,9 @@ object SparkEntry {
     "q94_tpch_q9" -> (Relational.q94 _),
     "q95_tpch_q12" -> (Relational.q95 _),
     "q96_tpch_q15" -> (Relational.q96 _),
+    // Skew handling (same oracle: the salted join must equal the plain one)
+    "x01_skew_plain" -> (graft.operators.SkewJoin.hotJoinPlain _),
+    "x02_skew_salted" -> (graft.operators.SkewJoin.hotJoinSalted _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
 
 /**
  * Salted equi-join for heavily skewed keys.
@@ -36,4 +39,42 @@ object SkewJoin {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key))
       .limit(topN)
+
+  // --- x01/x02: measured skew — the same hot-key join, plain vs salted ---
+
+  /** Deliberately skewed join inputs: ~90% of lineitem maps to key 0, the
+    * rest spreads over 1..999; the dim holds 32 weighted rows per key, so
+    * the join's OUTPUT (32 rows per probe row) is the dominant cost and the
+    * hot key's expansion all lands in one task unless salted. The
+    * shuffle_hash hint keeps the dim out of broadcast, because a broadcast
+    * join has no shuffle and would hide the skew being measured. */
+  private def hotInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val large = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(100)) < 90, 0L)
+        .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+      col("l_quantity"))
+    val small = s.range(0, 32000).select(
+      (col("id") % 1000).as("k"), ((col("id") % 1000) % 7 + 1).as("w"))
+    (large, small.hint("shuffle_hash"))
+  }
+
+  private def weighted(joined: DataFrame): DataFrame =
+    joined.agg(
+      sum((col("l_quantity") * col("w")).cast(DecimalType(18, 2))).cast("double")
+        .as("total"),
+      count(lit(1)).as("n"))
+
+  /** x01: the anti-pattern under measurement — one shuffle partition holds
+    * the hot key's entire probe side. */
+  def hotJoinPlain(s: SparkSession, d: String): DataFrame = {
+    val (large, small) = hotInputs(s, d)
+    weighted(large.join(small, Seq("k")))
+  }
+
+  /** x02: the fix — same join salted 16 ways, hot key spread over 16
+    * tasks; identical result (pinned by the shared oracle). */
+  def hotJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val (large, small) = hotInputs(s, d)
+    weighted(saltedInnerJoin(large, small, "k", salts = 16))
+  }
 }

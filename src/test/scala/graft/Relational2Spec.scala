@@ -106,4 +106,23 @@ class Relational2Spec extends GraftSpec {
       assert(q >= 1 && q <= 4)
     }
   }
+
+  test("q09: HLL approx distinct within 3 sigma of exact (rsd = 2.3%)") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ex_parts"),
+        countDistinct(col("l_suppkey")).as("ex_supps"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Relational.q09(spark, sf).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (exParts, exSupps) = exact(r.getAs[String]("l_returnflag"))
+      val tol = 3 * 0.023 // quantitative gate: |approx − exact| ≤ 3σ
+      assert(math.abs(r.getAs[Long]("approx_parts") - exParts) <= tol * exParts,
+        s"approx_parts ${r.getAs[Long]("approx_parts")} vs exact $exParts")
+      assert(math.abs(r.getAs[Long]("approx_supps") - exSupps) <= tol * exSupps,
+        s"approx_supps ${r.getAs[Long]("approx_supps")} vs exact $exSupps")
+    }
+  }
 }

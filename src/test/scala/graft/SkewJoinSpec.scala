@@ -23,6 +23,19 @@ class SkewJoinSpec extends GraftSpec {
     assert(salted.columns.sorted.sameElements(plain.columns.sorted))
   }
 
+  test("x01/x02 hot join arms agree and neither broadcasts the dim") {
+    val plain = SkewJoin.hotJoinPlain(spark, sf)
+    val salted = SkewJoin.hotJoinSalted(spark, sf)
+    // the skew bench is meaningless if the dim broadcasts (no shuffle, no
+    // skew): the hint must hold in both arms
+    Seq("plain" -> plain, "salted" -> salted).foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+        s"$n arm must shuffle-hash join:\n$p")
+    }
+    assert(plain.collect().toSeq == salted.collect().toSeq)
+  }
+
   test("key histogram surfaces the hot key") {
     val events = Tables.events(spark, sf)
     val hist = SkewJoin.keyHistogram(events, "event_type", topN = 5).collect()
