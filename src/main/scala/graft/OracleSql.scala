@@ -1312,6 +1312,39 @@ object OracleSql {
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // as-of topology (AsOfJoin.scala).
+    "q97_asof_join" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'),
+      views AS (
+        SELECT user_id, ts, value AS view_value
+        FROM events WHERE event_type = 'view')
+      SELECT c.event_id, c.user_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        c.click_value,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        v.view_value
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+      ORDER BY c.event_id""",
+
+    // The range join's exact semantics (the bucketing is only a candidate
+    // bound) — replayed as a plain interval join.
+    "q98_range_join" -> """
+      WITH signups AS (
+        SELECT event_id AS signup_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+        FROM events WHERE event_type = 'signup'),
+      purchases AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS at_s, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT signup_id, COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM signups JOIN purchases
+        ON at_s >= start_s AND at_s < start_s + 86400
+      GROUP BY signup_id ORDER BY signup_id""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

@@ -134,6 +134,9 @@ object SparkEntry {
     "q94_tpch_q9" -> (Relational.q94 _),
     "q95_tpch_q12" -> (Relational.q95 _),
     "q96_tpch_q15" -> (Relational.q96 _),
+    // Time-series joins (operators Spark lacks, scale topologies)
+    "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
+    "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
     // Skew handling (same oracle: the salted join must equal the plain one)
     "x01_skew_plain" -> (graft.operators.SkewJoin.hotJoinPlain _),
     "x02_skew_salted" -> (graft.operators.SkewJoin.hotJoinSalted _),
