@@ -24,13 +24,20 @@ import graft.sources.Tables
 object SkewJoin {
 
   /** Inner equi-join of `large` with `small` on `key`, salted `salts` ways.
-    * `rand(seed)` is per-row uniform; seed fixed for reproducible tests. */
+    * `rand(seed)` is per-row uniform; seed fixed for reproducible tests.
+    *
+    * INNER ONLY by construction: an outer variant would need the
+    * unmatched-side null rows deduplicated across salt replicas (a small
+    * row matched under salt 3 still produces `salts - 1` unmatched
+    * replicas). Callers needing outer semantics must anti-join the salted
+    * inner result back against each side instead. */
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
                       salts: Int = 16, seed: Long = 42L): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
     val salted = large.withColumn("__salt", (rand(seed) * salts).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
 
   /** Top-frequency keys of `df[key]` — the usual input for deciding

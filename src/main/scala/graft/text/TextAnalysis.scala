@@ -30,13 +30,20 @@ object TextAnalysis {
     val de = occ(padded, " der ") + occ(padded, " und ") + occ(padded, " das ") + occ(padded, " nicht ")
     val fr = occ(padded, " le ") + occ(padded, " la ") + occ(padded, " les ") + occ(padded, " est ")
     val es = occ(padded, " el ") + occ(padded, " los ") + occ(padded, " que ") + occ(padded, " una ")
-    val zh = length(col("text")) - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    // existence test, not a count: rlike stops at the first CJK char
+    // instead of regex-replacing the whole text (same predicate outcome)
+    val zh = col("text").rlike("[\\x{4e00}-\\x{9fff}]")
     Tables.documents(s, d)
+      // score each language ONCE per row: referencing `de` three times in
+      // the when-chain would otherwise re-run its 4 replace() scans per
+      // reference (CollapseProject keeps multi-referenced exprs separate)
       .select(col("doc_id"), col("lang"),
-        when(zh > 0, "zh")
-          .when(de > fr && de > es && de > 0, "de")
-          .when(fr > es && fr > 0, "fr")
-          .when(es > 0, "es")
+        de.as("de"), fr.as("fr"), es.as("es"), zh.as("zh"))
+      .select(col("doc_id"), col("lang"),
+        when(col("zh"), "zh")
+          .when(col("de") > col("fr") && col("de") > col("es") && col("de") > 0, "de")
+          .when(col("fr") > col("es") && col("fr") > 0, "fr")
+          .when(col("es") > 0, "es")
           .otherwise("en").as("pred"))
       .orderBy(col("doc_id"))
   }
