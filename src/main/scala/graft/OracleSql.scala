@@ -1312,6 +1312,33 @@ object OracleSql {
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 
+    "q99_map_funcs" -> """
+      WITH pc AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      tot AS (SELECT o_orderstatus, SUM(n) AS total FROM pc GROUP BY 1),
+      shares AS (
+        SELECT pc.o_orderstatus, o_orderpriority,
+          round(n / CAST(total AS DOUBLE), 4) AS share
+        FROM pc JOIN tot USING (o_orderstatus))
+      SELECT o_orderstatus,
+        CAST(COUNT(*) FILTER (WHERE share >= 0.15) AS INTEGER) AS n_big,
+        COALESCE(string_agg(o_orderpriority || '=' || format('{:.4f}', share),
+                   ',' ORDER BY o_orderpriority) FILTER (WHERE share >= 0.15),
+                 '') AS shares
+      FROM shares GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q100_seq_zip" -> """
+      SELECT p_partkey,
+        CAST(len(w) AS INTEGER) AS n_words,
+        array_to_string(
+          list_transform(range(1, LEAST(len(w), 3) + 1),
+            i -> CAST(i AS VARCHAR) || '-' || w[i]),
+          ',') AS tagged
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS w
+            FROM part WHERE p_partkey <= 300) t
+      ORDER BY p_partkey""",
+
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // as-of topology (AsOfJoin.scala).
     "q97_asof_join" -> """

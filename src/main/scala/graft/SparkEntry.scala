@@ -134,6 +134,8 @@ object SparkEntry {
     "q94_tpch_q9" -> (Relational.q94 _),
     "q95_tpch_q12" -> (Relational.q95 _),
     "q96_tpch_q15" -> (Relational.q96 _),
+    "q99_map_funcs" -> (Relational.q99 _),
+    "q100_seq_zip" -> (Relational.q100 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -1224,6 +1224,45 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  // --- q99: map function family (Presto map_from_entries / map_filter /
+  // transform_values / map_keys) — per-status priority->share map,
+  // low-share entries filtered, emitted as a canonical sorted string ----
+  def q99(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("o_orderpriority"), col("n")))))
+          .as("m"),
+        sum(col("n")).as("total"))
+      .select(col("o_orderstatus"),
+        map_filter(
+          transform_values(col("m"), (_, v) => round(v / col("total"), 4)),
+          (_, share) => share >= 0.15).as("big"))
+      .select(col("o_orderstatus"),
+        size(col("big")).as("n_big"),
+        array_join(
+          transform(map_entries(col("big")),
+            e => concat(e.getField("key"), lit("="),
+              format_number(e.getField("value"), 4))),
+          ",").as("shares"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q100: zip/sequence array family (Presto zip/zip_with/sequence) —
+  // position-tag the words of p_name, keep the first three --------------
+  def q100(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"), split(col("p_name"), " ").as("w"))
+      .select(col("p_partkey"),
+        size(col("w")).as("n_words"),
+        array_join(
+          slice(zip_with(col("w"), sequence(lit(1), size(col("w"))),
+            (x, i) => concat(i, lit("-"), x)), 1, 3),
+          ",").as("tagged"))
+      .orderBy(col("p_partkey"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
