@@ -1369,7 +1369,7 @@ object OracleSql {
       SELECT signup_id, COUNT(*) AS n_purchases,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM signups JOIN purchases
-        ON at_s >= start_s AND at_s < start_s + 86400
+        ON at_s >= start_s AND at_s < start_s + 7200
       GROUP BY signup_id ORDER BY signup_id""",
 
     "d04_ngram_jaccard" -> """

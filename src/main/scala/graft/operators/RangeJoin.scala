@@ -42,8 +42,11 @@ object RangeJoin {
       .drop("__bucket")
   }
 
-  /** q98: revenue of events landing within 24h after each 'signup' event —
-    * a keyless time-interval attribution (bucketed, never a nested loop). */
+  /** q98: revenue of purchases landing within 2h after each 'signup'
+    * event — a keyless time-interval attribution (bucketed, never a
+    * nested loop). Window width bounds the join output (each probe
+    * matches only the purchases inside its window), so pick it for the
+    * question, not the engine: the topology is the same at any width. */
   def signupAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val signups = ev.filter(col("event_type") === "signup")
@@ -52,7 +55,7 @@ object RangeJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(unix_timestamp(col("ts")).as("at_s"), col("value"))
     byBucket(signups, purchases, "start_s", "at_s",
-      widthSec = 24L * 3600, bucketSec = 6L * 3600)
+      widthSec = 2L * 3600, bucketSec = 3600L)
       .groupBy(col("signup_id"))
       .agg(
         count(lit(1)).as("n_purchases"),
