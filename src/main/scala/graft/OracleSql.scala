@@ -1312,6 +1312,29 @@ object OracleSql {
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 
+    // Replays Splits.scatter (multiplicative hash) + the 80/10/10 labels.
+    "p01_split" -> """
+      WITH labeled AS (
+        SELECT CASE ((doc_id * 69069 + 12345) % 1048576) % 10
+                 WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split,
+               lang, n_chars
+        FROM documents)
+      SELECT split, COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM labeled GROUP BY split ORDER BY split""",
+
+    "p02_stratified_cap" -> """
+      WITH ranked AS (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY (doc_id * 69069 + 12345) % 1048576, doc_id) AS rn
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      FROM ranked WHERE rn <= 30
+      GROUP BY lang ORDER BY lang""",
+
     "q99_map_funcs" -> """
       WITH pc AS (
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -80,6 +80,8 @@ object SparkEntry {
     "d06_dedup_clusters" -> (Dedup.minhashClusters _),
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
+    "p01_split" -> (graft.pipeline.Splits.splitReport _),
+    "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
