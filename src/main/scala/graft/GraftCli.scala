@@ -31,6 +31,25 @@ object GraftCli {
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame =
     open(spark, sfDir).sql(text)
 
+  /** Split ;-terminated SQL statements, leaving semicolons inside
+    * single-quoted literals alone ('' quote escaping falls out naturally:
+    * the escaped quote closes and immediately reopens string mode). */
+  private[graft] def splitStatements(in: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    in.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case ';'  => out += cur.toString; cur.clear()
+        case _    => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.error("usage: GraftCli <sfDir> [sql...]"))
@@ -40,8 +59,7 @@ object GraftCli {
       if (args.length > 1) args.iterator.drop(1)
       else {
         // stdin REPL: statements are ;-terminated, like the reference's CLI
-        val in = scala.io.Source.stdin.mkString
-        in.split(";").iterator.map(_.trim).filter(_.nonEmpty)
+        splitStatements(scala.io.Source.stdin.mkString).iterator
       }
     statements.foreach { stmt =>
       try spark.sql(stmt.stripSuffix(";")).show(100, truncate = false)

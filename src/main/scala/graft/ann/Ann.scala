@@ -125,16 +125,21 @@ object Ann {
    * array_max argmax). No crossJoin, no shuffle — at 100 TB the corpus is
    * scanned exactly once to tag cells.
    */
-  def ivf(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // Knuth-style multiplicative scatter of the (sequential) vec_ids; the
-    // constants keep vec_id * 69069 within Long for any plausible corpus
-    // (overflow needs vec_id > 1.3e14 ≈ 300x a 100 TB embedding table).
+  /** The bounded centroid-selection frame: first NList vec_ids in a
+    * deterministic multiplicative-hash order. Knuth-style scatter; the
+    * constants keep vec_id * 69069 within Long for any plausible corpus
+    * (overflow needs vec_id > 1.3e14 ≈ 300x a 100 TB embedding table).
+    * Package-visible so PlanSpec can pin the TakeOrdered shape. */
+  private[graft] def centroidFrame(emb: DataFrame): DataFrame = {
     val scatter = pmod(col("vec_id") * lit(69069L) + lit(1L), lit(1048576L))
-    val centroids: Array[(Long, Seq[Float])] = emb
-      .select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .orderBy(scatter, col("vec_id"))
       .limit(NList)
+  }
+
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids: Array[(Long, Seq[Float])] = centroidFrame(emb)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
 

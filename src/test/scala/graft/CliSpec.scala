@@ -17,6 +17,14 @@ class CliSpec extends GraftSpec {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("statement splitter respects quoted literals and '' escapes") {
+    assert(GraftCli.splitStatements("SELECT 1; SELECT 2;") ==
+      Seq("SELECT 1", "SELECT 2"))
+    assert(GraftCli.splitStatements("SELECT 'a;b' AS x; SELECT 'it''s; fine'") ==
+      Seq("SELECT 'a;b' AS x", "SELECT 'it''s; fine'"))
+    assert(GraftCli.splitStatements("  ;;  ") == Seq.empty)
+  }
+
   test("all s-entries run through the SQL-text path and return rows") {
     GraftCli.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")

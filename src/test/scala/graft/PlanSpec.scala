@@ -80,6 +80,16 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("a02 IVF centroid selection is a bounded TakeOrdered pass, not a sort") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val plan = executedPlan(graft.ann.Ann.centroidFrame(emb))
+    // orderBy+limit must compile to TakeOrderedAndProject: per-partition
+    // bounded heaps, never a full global sort of the corpus — this is what
+    // makes the driver-side centroid collect O(nlist) at any scale
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid selection must be TakeOrdered:\n$plan")
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
