@@ -1395,6 +1395,182 @@ object OracleSql {
         ON at_s >= start_s AND at_s < start_s + 7200
       GROUP BY signup_id ORDER BY signup_id""",
 
+    // Replays TextAnalysis.repetition: per-(doc, word) counts, top word by
+    // (count desc, word asc), duplicate-word fraction.
+    "t07_repetition" -> """
+      WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+      pw AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+      ranked AS (SELECT doc_id, w, cnt,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+        FROM pw)
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct,
+        round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS dup_word_frac,
+        MAX(CASE WHEN rn = 1 THEN w END) AS top_word,
+        round(CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+              / CAST(SUM(cnt) AS BIGINT), 6) AS top_word_frac
+      FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replays TextAnalysis.piiRedact: same deterministic injection, same
+    // three regexes (Java regex and RE2 agree on these constructs).
+    "t08_pii_redact" -> """
+      WITH injected AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+            text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+            (doc_id % 256) || '.7 call 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS t
+        FROM documents),
+      red AS (
+        SELECT doc_id, t,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
+        FROM injected)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+        CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+        md5(r) AS redacted_md5,
+        CAST(length(r) AS INTEGER) AS redacted_len
+      FROM red ORDER BY doc_id""",
+
+    // Replays Dedup.contamination: distinct 8-grams per doc, benchmark =
+    // every 97th doc, per-doc shared-gram counts.
+    "d07_contamination" -> """
+      WITH wl AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' '))) AS gram
+          FROM wl WHERE len(w) >= 8) t),
+      bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT g.doc_id, COUNT(*) AS n
+        FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+      SELECT d.doc_id, COALESCE(n, 0) AS n_shared_grams,
+        COALESCE(n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
+    // Replays Incremental.upsert: union + latest-version-wins row_number.
+    "p03_upsert" -> """
+      WITH base AS (SELECT doc_id, text, 0 AS version FROM documents),
+      upd AS (SELECT doc_id, '[rev2] ' || text AS text, 1 AS version
+              FROM documents WHERE doc_id % 4 = 0),
+      all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      ranked AS (SELECT doc_id, text, version,
+        row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        FROM all_rows)
+      SELECT doc_id, version, md5(text) AS text_md5
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    // Replays Incremental.incrementalDedup: corpus hash index vs batch.
+    "p04_incremental_dedup" -> """
+      WITH hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+      existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 400),
+      incoming AS (
+        SELECT doc_id, h FROM hashed WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 10000, h FROM hashed WHERE doc_id < 400 AND doc_id % 40 = 0
+        UNION ALL
+        SELECT doc_id + 20000, h FROM hashed WHERE doc_id >= 400 AND doc_id % 50 = 0),
+      batch AS (SELECT doc_id, h,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id) AS batch_rank
+        FROM incoming)
+      SELECT b.doc_id,
+        CASE WHEN e.h IS NOT NULL THEN 'dup_of_existing'
+             WHEN batch_rank > 1 THEN 'dup_in_batch'
+             ELSE 'new' END AS decision
+      FROM batch b LEFT JOIN existing e ON b.h = e.h
+      ORDER BY b.doc_id""",
+
+    // Replays Ann.quantize: identical scale (max|x|/127) and the pinned
+    // floor(x/scale + 0.5) tie semantics; error sum in exact decimal.
+    "a04_quantize" -> """
+      WITH ex AS (
+        SELECT vec_id, i, CAST(e AS DOUBLE) AS e
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t),
+      sc AS (
+        SELECT vec_id, GREATEST(MAX(ABS(e)), 1e-12) / 127.0 AS scale
+        FROM ex GROUP BY vec_id),
+      q AS (
+        SELECT ex.vec_id, e, scale,
+          CAST(floor(e / scale + 0.5) AS BIGINT) AS qv
+        FROM ex JOIN sc USING (vec_id))
+      SELECT vec_id, round(scale, 8) AS scale,
+        CAST(SUM(qv) AS BIGINT) AS q_sum,
+        CAST(SUM(ABS(qv)) AS BIGINT) AS q_abs_sum,
+        round(sqrt(CAST(SUM(CAST(pow(e - qv * scale, 2) AS DECIMAL(30,25))) AS DOUBLE)), 6)
+          AS q_err_l2
+      FROM q GROUP BY vec_id, scale ORDER BY vec_id""",
+
+    // q101: struct min/max replayed as asc/desc row_number picks.
+    "q101_struct_minmax" -> """
+      WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey) AS rlo,
+          row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rhi
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        MAX(CASE WHEN rlo = 1 THEN round(o_totalprice, 2) END) AS min_price,
+        MAX(CASE WHEN rlo = 1 THEN o_orderkey END) AS min_key,
+        MAX(CASE WHEN rhi = 1 THEN round(o_totalprice, 2) END) AS max_price,
+        MAX(CASE WHEN rhi = 1 THEN o_orderkey END) AS max_key
+      FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q102_array_setops" -> """
+      WITH p AS (
+        SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS w
+        FROM part WHERE p_partkey <= 300)
+      SELECT a.p_partkey,
+        CAST(len(a.w) + len(b.w) AS INTEGER) AS n_total,
+        CAST(len(list_intersect(a.w, b.w)) AS INTEGER) AS n_common,
+        CAST(len(list_filter(a.w, x -> NOT list_contains(b.w, x))) AS INTEGER) AS n_only_a,
+        len(list_intersect(a.w, b.w)) > 0 AS overlaps,
+        array_to_string(list_sort(list_distinct(list_concat(a.w, b.w))), ',') AS union_words
+      FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1
+      ORDER BY a.p_partkey""",
+
+    // q103: the exact-decimal charge chain — scales only grow (2 -> 4 -> 6,
+    // no lossy downcast: engines disagree on decimal rounding modes but
+    // agree on exact arithmetic); strings pin scale as well as value.
+    "q103_decimal_exact" -> """
+      WITH c AS (
+        SELECT l_returnflag,
+          CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS DECIMAL(14,4)) *
+               (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+               AS DECIMAL(18,6)) AS charge
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(charge) AS DECIMAL(24,6)) AS VARCHAR) AS sum_charge,
+        CAST(MIN(charge) AS VARCHAR) AS min_charge,
+        CAST(MAX(charge) AS VARCHAR) AS max_charge
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q105_conditional_scalars" -> """
+      SELECT l_orderkey, l_linenumber,
+        round(GREATEST(l_quantity, l_discount * 100, l_tax * 100), 2) AS hi,
+        round(LEAST(l_quantity, l_discount * 100, l_tax * 100), 2) AS lo,
+        CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
+        round(l_extendedprice / nullif(l_quantity, 0.0), 4) AS unit_price
+      FROM lineitem WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber""",
+
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)

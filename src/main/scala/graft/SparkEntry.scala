@@ -71,6 +71,8 @@ object SparkEntry {
     "t04_fingerprint" -> (TextAnalysis.fingerprint _),
     "t05_normalize" -> (TextAnalysis.normalize _),
     "t06_bigrams" -> (TextAnalysis.bigrams _),
+    "t07_repetition" -> (TextAnalysis.repetition _),
+    "t08_pii_redact" -> (TextAnalysis.piiRedact _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -80,8 +82,11 @@ object SparkEntry {
     "d06_dedup_clusters" -> (Dedup.minhashClusters _),
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
+    "d07_contamination" -> (Dedup.contamination _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
+    "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
+    "p04_incremental_dedup" -> (graft.pipeline.Incremental.incrementalDedup _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -138,6 +143,11 @@ object SparkEntry {
     "q96_tpch_q15" -> (Relational.q96 _),
     "q99_map_funcs" -> (Relational.q99 _),
     "q100_seq_zip" -> (Relational.q100 _),
+    "q101_struct_minmax" -> (Relational.q101 _),
+    "q102_array_setops" -> (Relational.q102 _),
+    "q103_decimal_exact" -> (Relational.q103 _),
+    "q104_approx_percentile" -> (Relational.q104 _),
+    "q105_conditional_scalars" -> (Relational.q105 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
@@ -148,6 +158,7 @@ object SparkEntry {
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),
     "a03_knn_join" -> (Ann.knnJoin _),
+    "a04_quantize" -> (Ann.quantize _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

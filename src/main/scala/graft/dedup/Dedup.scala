@@ -160,6 +160,44 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** Word n-gram size for benchmark-contamination checks (the 8-gram
+    * standard from published LLM decontamination procedures). */
+  private val ContamN = 8
+
+  /** Distinct word `n`-grams of `text` as one row per (doc_id, gram).
+    * Words materialized once; docs shorter than `n` words emit nothing. */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+        .as("gram"))
+
+  /**
+   * d07: benchmark contamination check — flag corpus documents sharing any
+   * 8-gram with a held-out benchmark set (here: every 97th doc stands in
+   * for the eval benchmark). The benchmark n-gram set is fixed-size and
+   * BROADCAST, so the corpus side is one scan + one narrow hash-join probe
+   * per gram — no shuffle of the corpus at 100 TB; only per-doc match
+   * counts aggregate.
+   */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val benchGrams = ngramRows(docs.filter(col("doc_id") % 97 === 0), ContamN)
+      .select(col("gram")).distinct()
+    val hits = ngramRows(docs, ContamN)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * d05: embedding near-dup via random-hyperplane LSH. 16 sign bits from
    * fixed pseudo-random planes bucket the vectors; cosine (custom codegen

@@ -1263,6 +1263,101 @@ object Relational {
           ",").as("tagged"))
       .orderBy(col("p_partkey"))
 
+  // --- q101: struct/row comparison (Presto ROW ordering) — min/max of a
+  // (price, key) struct is the one-pass argmin/argmax idiom: structs
+  // compare lexicographically, so the extreme row's fields come back
+  // without a window or self-join ---------------------------------------
+  def q101(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("n"),
+        round(col("lo.o_totalprice"), 2).as("min_price"),
+        col("lo.o_orderkey").as("min_key"),
+        round(col("hi.o_totalprice"), 2).as("max_price"),
+        col("hi.o_orderkey").as("max_key"))
+      .orderBy(col("o_orderstatus"))
+
+  // --- q102: array set algebra (Presto array_intersect/union/except/
+  // arrays_overlap/flatten) over adjacent part-name word sets; all arrays
+  // sorted before emission so set semantics, not element order, is what
+  // the oracle hashes ----------------------------------------------------
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"), array_distinct(split(col("p_name"), " ")).as("w"))
+    parts.as("a")
+      .join(parts.as("b"), col("b.p_partkey") === col("a.p_partkey") + 1)
+      .select(
+        col("a.p_partkey").as("p_partkey"),
+        size(flatten(array(col("a.w"), col("b.w")))).as("n_total"),
+        size(array_intersect(col("a.w"), col("b.w"))).as("n_common"),
+        size(array_except(col("a.w"), col("b.w"))).as("n_only_a"),
+        arrays_overlap(col("a.w"), col("b.w")).as("overlaps"),
+        array_join(array_sort(array_union(col("a.w"), col("b.w"))), ",").as("union_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // --- q103: exact decimal arithmetic (Presto is decimal-first) — the
+  // price*(1-disc)*(1+tax) charge chain with EXPLICIT intermediate scales
+  // so every engine computes the identical exact decimal; emitted as
+  // strings to pin scale as well as value --------------------------------
+  def q103(s: SparkSession, d: String): DataFrame = {
+    // every step is EXACT (scales only grow: 2 -> 4 -> 6, no lossy
+    // downcast), because engines disagree on decimal rounding modes
+    // (Spark HALF_UP vs DuckDB half-to-even) but agree on exact arithmetic
+    val dp = col("l_extendedprice").cast(DecimalType(12, 2))
+    val dd = col("l_discount").cast(DecimalType(4, 2))
+    val dt = col("l_tax").cast(DecimalType(4, 2))
+    val net = (dp * (lit(1).cast(DecimalType(3, 2)) - dd)).cast(DecimalType(14, 4))
+    val charge = (net * (lit(1).cast(DecimalType(3, 2)) + dt)).cast(DecimalType(18, 6))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(charge).cast(DecimalType(24, 6)).as("sum_charge"),
+        min(charge).as("min_charge"),
+        max(charge).as("max_charge"))
+      .select(col("l_returnflag"), col("n"),
+        col("sum_charge").cast("string").as("sum_charge"),
+        col("min_charge").cast("string").as("min_charge"),
+        col("max_charge").cast("string").as("max_charge"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- q104: approx_percentile (Presto's workhorse quantile) — KLL/GK
+  // sketches are engine-defined, so no cross-engine oracle exists (driver
+  // records rows-only, like q09/HLL); RelationalSpec bounds the estimate
+  // against the exact percentile instead ---------------------------------
+  def q104(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        round(col("pcts").getItem(0), 2).as("p50"),
+        round(col("pcts").getItem(1), 2).as("p90"),
+        round(col("pcts").getItem(2), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  // --- q105: conditional scalar family — greatest/least across columns,
+  // if(), nullif-guarded ratio ------------------------------------------
+  def q105(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(greatest(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100), 2)
+          .as("hi"),
+        round(least(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100), 2)
+          .as("lo"),
+        when(col("l_quantity") > 25, "bulk").otherwise("small").as("bucket"),
+        round(col("l_extendedprice") /
+          nullif(col("l_quantity"), lit(0.0)), 4).as("unit_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

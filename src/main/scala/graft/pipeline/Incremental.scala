@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Incremental corpus maintenance — the operators a continuously-refreshed
+ * training corpus needs between full rebuilds: key-based upsert (MERGE
+ * semantics on plain parquet) and batch-vs-corpus incremental dedup.
+ *
+ * Scale design: upsert is one union + one hash shuffle on the key (the
+ * same cost as the latest-per-key compaction it generalizes); incremental
+ * dedup shuffles only the slim (hash, id) projection of the NEW batch and
+ * anti-joins it against the existing corpus's hash index — the existing
+ * corpus text never moves.
+ */
+object Incremental {
+
+  /**
+   * MERGE-INTO semantics on plain DataFrames: rows from `updates` replace
+   * same-key rows of `base`, unmatched keys pass through, ties within
+   * `updates` resolved by highest `versionCol`. One unionByName + one
+   * row_number shuffle on the key — no driver-side diffing.
+   */
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * p03: corpus upsert — a v1 revision batch (every 4th doc, text
+   * prepended with a revision marker) merged over the base corpus; emits
+   * per-doc (version, content hash) so the oracle pins exactly which rows
+   * the merge kept.
+   */
+  def upsertReport(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), lit(0).as("version"))
+    val updates = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        concat(lit("[rev2] "), col("text")).as("text"),
+        lit(1).as("version"))
+    upsert(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * p04: incremental dedup — classify an incoming batch (doc_id >= 400)
+   * against the existing corpus (doc_id < 400) without reshuffling the
+   * corpus: `dup_of_existing` (content hash already in the corpus index),
+   * `dup_in_batch` (a lower-id batch doc has the same hash), or `new`.
+   * The corpus side reduces to a distinct-hash index before the join, so
+   * at 100 TB the join probes an index, not the corpus.
+   */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val existing = hashed.filter(col("doc_id") < 400)
+      .select(col("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    // the incoming batch: fresh docs (id >= 400), re-crawled corpus pages
+    // (every 40th existing doc re-ingested under a new id — the common
+    // web-recrawl case), and a double submission within the batch itself
+    // (every 50th fresh doc repeated under a new id)
+    val batch = hashed.filter(col("doc_id") >= 400)
+      .unionByName(hashed.filter(col("doc_id") < 400 && col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+      .unionByName(hashed.filter(col("doc_id") >= 400 && col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("h")))
+    val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    batch
+      .withColumn("batch_rank", row_number().over(wFirst))
+      .join(existing, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_corpus"), "dup_of_existing")
+          .when(col("batch_rank") > 1, "dup_in_batch")
+          .otherwise("new").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -112,6 +112,76 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bg"))
       .limit(50)
 
+  /**
+   * t07: repetition signals (Gopher-style quality heuristics) — duplicate
+   * word fraction and most-frequent-word share per document. Repetitive
+   * machine-generated text scores high on both; corpus filters threshold
+   * them. One hash shuffle on (doc_id, word) with partial aggregation; the
+   * per-doc rollup is a second small shuffle on doc_id.
+   */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val perWord = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    // top word per doc: highest count, lexicographically-first tiebreak
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("w"))
+    perWord
+      .withColumn("rn", row_number().over(wTop))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("w"))).as("top_word"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        col("top_word"),
+        round(col("top_cnt").cast("double") / col("n_words"), 6).as("top_word_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // PII patterns shared by the Spark kernel and the DuckDB oracle (Java
+  // regex and RE2 agree on these constructs: char classes, bounded reps, \b).
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /**
+   * t08: PII detection + redaction — the scrubbing pass every training
+   * corpus runs before release. The corpus is synthetic, so deterministic
+   * PII is injected into every 5th document first (id-derived email, IP,
+   * phone); the detection/redaction kernel below is the real operator:
+   * count matches, then regexp-replace each class with a typed tag. Pure
+   * codegen'd regex builtins — a narrow projection, no shuffle, and the
+   * oracle replays the same regexes so a missed match breaks the hash.
+   */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from "),
+        lit("10.0."), pmod(col("doc_id"), lit(256)), lit(".7 call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_md5"),
+        length(redacted).as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

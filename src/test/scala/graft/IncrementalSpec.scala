@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.pipeline.Incremental
+import graft.text.TextAnalysis
+
+/** Round-4 operators: incremental corpus maintenance, repetition/PII text
+  * signals, contamination, int8 quantization, approx percentile bound. */
+class IncrementalSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("upsert keeps highest version per key and passes unmatched keys through") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "v", "ver")
+    val upd = Seq((2L, "b2", 1), (4L, "d", 1)).toDF("k", "v", "ver")
+    val got = Incremental.upsert(base, upd, "k", "ver")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got == Map(1L -> ("a", 0), 2L -> ("b2", 1), 3L -> ("c", 0), 4L -> ("d", 1)))
+  }
+
+  test("p04 incremental dedup classifies recrawls, batch dupes, and fresh docs") {
+    val got = Incremental.incrementalDedup(spark, sf)
+      .groupBy($"decision").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every decision class must occur (the batch includes recrawled
+    // corpus pages and a double submission by construction)
+    assert(got.keySet == Set("new", "dup_of_existing", "dup_in_batch"))
+    assert(got("dup_of_existing") >= 1 && got("dup_in_batch") >= 1)
+  }
+
+  test("t07 repetition flags a repetitive doc above a varied one") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam ham"),
+      (2L, "every word in this sentence is different")).toDF("doc_id", "text")
+    val perWord = df
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg((lit(1.0) - count(lit(1)).cast("double") / sum($"cnt")).as("dup_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perWord(1L) > 0.6 && perWord(2L) == 0.0)
+  }
+
+  test("t08 PII regexes find and redact emails, IPs, and phones") {
+    val df = Seq("mail me at jo.doe@corp.example.org or 192.168.0.12 tel 555-1234 ok")
+      .toDF("t")
+    val r = df.select(
+      size(regexp_extract_all($"t", lit(TextAnalysis.EmailRe), lit(0))).as("e"),
+      size(regexp_extract_all($"t", lit(TextAnalysis.Ipv4Re), lit(0))).as("i"),
+      size(regexp_extract_all($"t", lit(TextAnalysis.PhoneRe), lit(0))).as("p"),
+      regexp_replace(regexp_replace(regexp_replace($"t",
+        TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.Ipv4Re, "<IP>"),
+        TextAnalysis.PhoneRe, "<PHONE>").as("red"))
+      .head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getString(3) == "mail me at <EMAIL> or <IP> tel <PHONE> ok")
+  }
+
+  test("d07 contamination flags exactly the docs sharing benchmark 8-grams") {
+    val rows = Dedup.contamination(spark, sf).collect()
+    val flagged = rows.filter(_.getAs[Boolean]("contaminated")).map(_.getLong(0))
+    // benchmark members always self-match (they are IN the corpus)
+    val bench = rows.map(_.getLong(0)).filter(_ % 97 == 0)
+    assert(bench.forall(flagged.contains))
+    rows.foreach { r =>
+      assert((r.getAs[Long]("n_shared_grams") > 0) == r.getAs[Boolean]("contaminated"))
+    }
+  }
+
+  test("a04 quantization error is bounded by half a quantization step per axis") {
+    Ann.quantize(spark, sf).collect().foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("q_err_l2")
+      // worst case: every one of the 64 axes off by scale/2
+      assert(err <= scale / 2.0 * math.sqrt(64.0) + 1e-9)
+      assert(r.getAs[Long]("q_abs_sum") <= 127L * 64)
+    }
+  }
+
+  test("q104 approx percentiles sit within 1% of exact percentiles") {
+    val approx = graft.operators.Relational.q104(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.foreach { case (flag, (p50, p90, p99)) =>
+      val e = exact(flag)
+      assert(math.abs(p50 - e(0)) / e(0) < 0.01)
+      assert(math.abs(p90 - e(1)) / e(1) < 0.01)
+      assert(math.abs(p99 - e(2)) / e(2) < 0.01)
+    }
+  }
+}
