@@ -31,7 +31,7 @@ object OracleSql {
                     ELSE l_orderkey % 1000 END AS k, l_quantity
         FROM lineitem),
       small AS (SELECT range % 1000 AS k, (range % 1000) % 7 + 1 AS w
-                FROM range(0, 32000))
+                FROM range(0, 12000))
       SELECT CAST(SUM(CAST(l_quantity * w AS DECIMAL(18,2))) AS DOUBLE) AS total,
              COUNT(*) AS n
       FROM large JOIN small USING (k)"""

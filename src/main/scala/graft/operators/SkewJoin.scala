@@ -50,17 +50,20 @@ object SkewJoin {
   // --- x01/x02: measured skew — the same hot-key join, plain vs salted ---
 
   /** Deliberately skewed join inputs: ~90% of lineitem maps to key 0, the
-    * rest spreads over 1..999; the dim holds 32 weighted rows per key, so
-    * the join's OUTPUT (32 rows per probe row) is the dominant cost and the
-    * hot key's expansion all lands in one task unless salted. The
-    * shuffle_hash hint keeps the dim out of broadcast, because a broadcast
-    * join has no shuffle and would hide the skew being measured. */
+    * rest spreads over 1..999; the dim holds 12 weighted rows per key, so
+    * the join's OUTPUT (12 rows per probe row) is the dominant cost and the
+    * hot key's expansion all lands in one task unless salted. (12 replicas
+    * keep the demo's hot task ~2x the salted arm without spending bench
+    * seconds on sheer output volume — the topology, not the row count, is
+    * what's under measurement.) The shuffle_hash hint keeps the dim out of
+    * broadcast, because a broadcast join has no shuffle and would hide the
+    * skew being measured. */
   private def hotInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val large = Tables.lineitem(s, d).select(
       when(pmod(col("l_orderkey"), lit(100)) < 90, 0L)
         .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
       col("l_quantity"))
-    val small = s.range(0, 32000).select(
+    val small = s.range(0, 12000).select(
       (col("id") % 1000).as("k"), ((col("id") % 1000) % 7 + 1).as("w"))
     (large, small.hint("shuffle_hash"))
   }
