@@ -1515,6 +1515,79 @@ object OracleSql {
           AS q_err_l2
       FROM q GROUP BY vec_id, scale ORDER BY vec_id""",
 
+    // Replays TextAnalysis.tfidf: tf from (doc, word) counts, idf from
+    // document frequency, per-source decimal-accumulated score, top-5.
+    "t09_tfidf" -> """
+      WITH tf AS (
+        SELECT doc_id, source, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, source,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents) t
+        GROUP BY doc_id, source, w),
+      dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+      dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT source, w,
+          round(CAST(SUM(CAST(
+            (CAST(cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df)
+            AS DECIMAL(26,12))) AS DOUBLE), 6) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN nd
+        GROUP BY source, w),
+      ranked AS (
+        SELECT source, w, score,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY score DESC, w) AS INTEGER) AS rank
+        FROM scored)
+      SELECT source, rank, w AS word, score
+      FROM ranked WHERE rank <= 5
+      ORDER BY source, rank""",
+
+    // Replays Ann.quantizedRecall: exact vs int8-dequantized top-10 per
+    // probe, overlap counted; cosine sums in exact decimal (a01 pattern).
+    "a05_quantized_recall" -> """
+      WITH ex AS (
+        SELECT vec_id, i, CAST(e AS DOUBLE) AS e
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t),
+      sc AS (
+        SELECT vec_id, GREATEST(MAX(ABS(e)), 1e-12) / 127.0 AS scale
+        FROM ex GROUP BY vec_id),
+      qe AS (
+        SELECT ex.vec_id, i, floor(e / scale + 0.5) * scale AS e
+        FROM ex JOIN sc USING (vec_id)),
+      ep AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          round(CAST(SUM(CAST(p.e * c.e AS DECIMAL(30,15))) AS DOUBLE) /
+            (sqrt(CAST(SUM(CAST(p.e * p.e AS DECIMAL(30,15))) AS DOUBLE)) *
+             sqrt(CAST(SUM(CAST(c.e * c.e AS DECIMAL(30,15))) AS DOUBLE))), 4) AS cos_sim
+        FROM ex p JOIN ex c ON p.i = c.i
+        WHERE p.vec_id < 5
+        GROUP BY p.vec_id, c.vec_id),
+      qp AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          round(CAST(SUM(CAST(p.e * c.e AS DECIMAL(30,15))) AS DOUBLE) /
+            (sqrt(CAST(SUM(CAST(p.e * p.e AS DECIMAL(30,15))) AS DOUBLE)) *
+             sqrt(CAST(SUM(CAST(c.e * c.e AS DECIMAL(30,15))) AS DOUBLE))), 4) AS cos_sim
+        FROM qe p JOIN qe c ON p.i = c.i
+        WHERE p.vec_id < 5
+        GROUP BY p.vec_id, c.vec_id),
+      er AS (
+        SELECT probe_id, cand_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, cand_id) AS rn FROM ep),
+      qr AS (
+        SELECT probe_id, cand_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, cand_id) AS rn FROM qp)
+      SELECT e.probe_id, COUNT(*) AS n_common,
+        round(COUNT(*) / 10.0, 2) AS recall_at_10
+      FROM (SELECT * FROM er WHERE rn <= 10) e
+      JOIN (SELECT * FROM qr WHERE rn <= 10) q
+        ON e.probe_id = q.probe_id AND e.cand_id = q.cand_id
+      GROUP BY e.probe_id ORDER BY e.probe_id""",
+
     // q101: struct min/max replayed as asc/desc row_number picks.
     "q101_struct_minmax" -> """
       WITH ranked AS (

@@ -73,6 +73,7 @@ object SparkEntry {
     "t06_bigrams" -> (TextAnalysis.bigrams _),
     "t07_repetition" -> (TextAnalysis.repetition _),
     "t08_pii_redact" -> (TextAnalysis.piiRedact _),
+    "t09_tfidf" -> (TextAnalysis.tfidf _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q103_decimal_exact" -> (Relational.q103 _),
     "q104_approx_percentile" -> (Relational.q104 _),
     "q105_conditional_scalars" -> (Relational.q105 _),
+    "q106_sketch_merge" -> (Relational.q106 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
@@ -159,6 +161,7 @@ object SparkEntry {
     "a02_knn_ivf" -> (Ann.ivf _),
     "a03_knn_join" -> (Ann.knnJoin _),
     "a04_quantize" -> (Ann.quantize _),
+    "a05_quantized_recall" -> (Ann.quantizedRecall _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

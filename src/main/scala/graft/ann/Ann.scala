@@ -165,6 +165,62 @@ object Ann {
           6).as("q_err_l2"))
       .orderBy(col("vec_id"))
 
+  /** Dequantized (int8 round-trip) embeddings: floor(x/scale + 0.5) * scale
+    * per element — the vectors an int8 ANN index actually searches. */
+  private def dequantized(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        (greatest(expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"),
+          lit(1e-12)) / 127.0).as("scale"))
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5D) * scale)")
+          .as("qe"))
+
+  /**
+   * a05: quantization recall@10 — the eval every quantized-index rollout
+   * needs: run the same top-k search on exact and int8-dequantized vectors
+   * and report per-probe overlap. Two broadcast-probe scans (the a01
+   * topology twice — corpus never shuffles) + a top-k-set join on
+   * (probe, cand).
+   */
+  /** Cosine over array<double> columns via codegen'd array lambdas (the
+    * native CosineSimilarity kernel is float-typed; the dequantized
+    * vectors here are doubles). */
+  private def cosD(u: Column, v: Column): Column = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    dot(u, v) / (sqrt(dot(u, u)) * sqrt(dot(v, v)))
+  }
+
+  def quantizedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val deq = dequantized(emb)
+
+    def topk(corpus: DataFrame, vecCol: String): DataFrame = {
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col(vecCol).as("probe_vec"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      corpus.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          round(cosD(col("probe_vec"), col(vecCol)), 4).as("cos_sim"))
+        .select(col("probe_id"), col("cand_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("cand_id"))
+    }
+
+    val exact = topk(emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")), "e")
+    val quant = topk(deq.select(col("vec_id"), col("qe")), "qe")
+    exact.join(quant, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("probe_id"), col("n_common"),
+        round(col("n_common").cast("double") / K, 2).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
   def ivf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val centroids: Array[(Long, Seq[Float])] = centroidFrame(emb)

@@ -1358,6 +1358,24 @@ object Relational {
           nullif(col("l_quantity"), lit(0.0)), 4).as("unit_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  // --- q106: re-aggregatable distinct sketches (Presto approx_set +
+  // merge(HLL)) — the pattern that makes distinct counts MERGEABLE across
+  // partitions/days at 100 TB: build per-group sketches once, union them
+  // for any rollup without rescanning. Rows-only like q09 (sketch
+  // internals are engine-defined); IncrementalSpec bounds the estimates
+  // against exact distinct counts ----------------------------------------
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+    val perNation = cust.groupBy(col("n_name"))
+      .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+    val nations = perNation.select(col("n_name").as("scope"),
+      expr("hll_sketch_estimate(sk)").as("est_distinct"))
+    val global = perNation.agg(expr("hll_union_agg(sk)").as("u"))
+      .select(lit("ALL").as("scope"), expr("hll_sketch_estimate(u)").as("est_distinct"))
+    nations.unionByName(global).orderBy(col("scope"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -182,6 +182,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * t09: TF-IDF keyword extraction — top-5 terms per source by summed
+   * tf·idf, the classic corpus-characterization pass (what distinguishes
+   * this slice of the corpus from the rest). Scale shape: one (doc, word)
+   * count shuffle, a document-frequency rollup joined back on the word key,
+   * and a per-source top-k window over the (source, word) aggregate — the
+   * corpus text itself is scanned once. Scores are rounded BEFORE ranking
+   * so cross-engine last-ulp log() jitter cannot flip ranks.
+   */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val withLen = tf.withColumn("doc_len",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = withLen
+      .join(df, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("source"), col("w"))
+      // decimal accumulation -> the sum is independent of partition order
+      // (scale 12: fine enough for 6dp output, coarse enough that the two
+      // engines' double->decimal conversions agree)
+      .agg(round(sum(
+        ((col("cnt").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")))
+          .cast(org.apache.spark.sql.types.DecimalType(26, 12))).cast("double"), 6)
+        .as("score"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("w").as("word"), col("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

@@ -25,6 +25,15 @@ class CliSpec extends GraftSpec {
     assert(GraftCli.splitStatements("  ;;  ") == Seq.empty)
   }
 
+  test("EXPLAIN works through the SQL front door (reference CLI parity)") {
+    val plan = GraftCli.sql(spark, sf,
+      "EXPLAIN SELECT n_name, count(*) FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+      .head().getString(0)
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("all s-entries run through the SQL-text path and return rows") {
     GraftCli.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")

@@ -79,6 +79,44 @@ class IncrementalSpec extends GraftSpec {
     }
   }
 
+  test("t09 tf-idf ranks every source's top words with positive scores") {
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      // idf zeroes out corpus-universal words; ranked terms must carry signal
+      assert(rs.forall(_.getDouble(3) > 0.0))
+    }
+  }
+
+  test("a05 quantized top-10 recall stays high (int8 barely perturbs ranking)") {
+    val rows = Ann.quantizedRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // self-match always survives quantization
+      assert(r.getAs[Long]("n_common") >= 1L)
+      assert(r.getAs[Double]("recall_at_10") >= 0.5)
+    }
+  }
+
+  test("q106 merged HLL sketch estimates stay within 5% of exact distinct counts") {
+    val est = graft.operators.Relational.q106(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+    val exactPerNation = cust.groupBy($"n_name")
+      .agg(countDistinct($"c_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = cust.select(countDistinct($"c_custkey")).head().getLong(0)
+    exactPerNation.foreach { case (nation, exact) =>
+      assert(math.abs(est(nation) - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"$nation: est ${est(nation)} vs exact $exact")
+    }
+    assert(math.abs(est("ALL") - exactAll) <= math.max(1L, (exactAll * 0.05).toLong))
+  }
+
   test("q104 approx percentiles sit within 1% of exact percentiles") {
     val approx = graft.operators.Relational.q104(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
