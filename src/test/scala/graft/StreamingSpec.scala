@@ -167,6 +167,31 @@ class StreamingSpec extends GraftSpec {
     assert(n == 2)
   }
 
+  test("streaming corpus ingestion gates quality, dedups content, lands parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CorpusIngest, DocEvent}
+    val input = MemoryStream[DocEvent]
+    val goodText = "the quick brown fox jumps over the lazy dog and the " +
+      "cat watches from the fence while birds sing in the morning light " +
+      "of a calm and pleasant day in the quiet town"
+    val outDir = java.nio.file.Files.createTempDirectory("ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    input.addData(
+      DocEvent(1, ts("2024-01-01 10:00:00"), goodText, "web"),
+      DocEvent(2, ts("2024-01-01 10:05:00"), goodText, "web"),       // exact dup
+      DocEvent(3, ts("2024-01-01 10:10:00"), "x@@@@ ###", "web"),    // junk
+      DocEvent(4, ts("2024-01-01 10:15:00"), goodText + " extra tail words here", "web"))
+    val q = CorpusIngest.startToParquet(input.toDF(), outDir, ckpt)
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    val landed = spark.read.parquet(outDir)
+    val ids = landed.select("doc_id").collect().map(_.getLong(0)).sorted
+    // doc 2 deduped (same content hash), doc 3 below the quality gate
+    assert(ids.sameElements(Array(1L, 4L)))
+    assert(landed.columns.toSet ==
+      Set("doc_id", "ts", "source", "score", "h"))
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
