@@ -90,6 +90,21 @@ class PlanSpec extends GraftSpec {
       s"centroid selection must be TakeOrdered:\n$plan")
   }
 
+  test("d07 contamination probes a broadcast benchmark index; corpus never shuffles for it") {
+    val plan = executedPlan(graft.dedup.Dedup.contamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("a04 quantization is a narrow scan: the only exchange is the output sort") {
+    val plan = executedPlan(graft.ann.Ann.quantize(spark, sf))
+    val exchanges = plan.split('\n').count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"quantize must not shuffle to compute:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
