@@ -1309,6 +1309,32 @@ object OracleSql {
       GROUP BY doc_id, frame
       ORDER BY doc_id, frame_idx""",
 
+    // Replays Multimodal.perceptualHash: dHash bits from consecutive body
+    // bytes (body = the text bytes — the parse strips exactly the header),
+    // the unsigned bit-sum converted to the signed 64-bit long the JVM
+    // emits, then exact-hash group sizes.
+    "m04_perceptual_hash" -> s"""
+      WITH codes AS (
+        SELECT d.doc_id, i.i AS i,
+          CAST('0x' || substr(d.hx, 2*i.i+1, 2) AS INTEGER) AS c
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                CAST(octet_length(encode(text)) AS INTEGER) AS nb
+              FROM documents) d,
+        LATERAL (SELECT unnest(range(0, LEAST(d.nb, 65))) AS i) i),
+      h AS (
+        SELECT a.doc_id,
+          SUM(CASE WHEN a.c > b.c THEN CAST(1 AS HUGEINT) << a.i
+                   ELSE CAST(0 AS HUGEINT) END) AS hraw
+        FROM codes a JOIN codes b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i < 64
+        GROUP BY a.doc_id),
+      sh AS (
+        SELECT d.doc_id,
+          ${u2s("COALESCE(h.hraw, CAST(0 AS HUGEINT))")} AS dhash
+        FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id)
+      SELECT doc_id, dhash, COUNT(*) OVER (PARTITION BY dhash) AS n_same
+      FROM sh ORDER BY doc_id""",
+
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 
@@ -1587,6 +1613,56 @@ object OracleSql {
       JOIN (SELECT * FROM qr WHERE rn <= 10) q
         ON e.probe_id = q.probe_id AND e.cand_id = q.cand_id
       GROUP BY e.probe_id ORDER BY e.probe_id""",
+
+    // Replays Events.funnel: first signup, first view after it, first
+    // purchase after that view; stage counts unpivoted.
+    "e05_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      signup AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+      staged AS (
+        SELECT e.user_id, s.s_ts,
+          MIN(CASE WHEN e.event_type = 'view' AND e.ts > s.s_ts THEN e.ts END) AS v_ts
+        FROM ev e JOIN signup s ON e.user_id = s.user_id
+        GROUP BY e.user_id, s.s_ts),
+      completed AS (
+        SELECT st.user_id, MIN(p.ts) AS p_ts
+        FROM staged st JOIN ev p ON p.user_id = st.user_id
+        WHERE st.v_ts IS NOT NULL AND p.event_type = 'purchase' AND p.ts > st.v_ts
+        GROUP BY st.user_id),
+      counts AS (
+        SELECT COUNT(*) AS n_signup, COUNT(v_ts) AS n_view, COUNT(p_ts) AS n_purch
+        FROM staged LEFT JOIN completed USING (user_id))
+      SELECT * FROM (
+        SELECT '1_signup' AS stage, n_signup AS n_users,
+          CAST(1.0 AS DOUBLE) AS conv_from_signup FROM counts
+        UNION ALL
+        SELECT '2_view_after_signup', n_view,
+          round(CAST(n_view AS DOUBLE) / n_signup, 4) FROM counts
+        UNION ALL
+        SELECT '3_purchase_after_view', n_purch,
+          round(CAST(n_purch AS DOUBLE) / n_signup, 4) FROM counts) t
+      ORDER BY stage""",
+
+    // Replays Splits.shardPack: same scatter order, running token sum,
+    // shard = floor(preceding volume / 2000).
+    "p05_shard_pack" -> """
+      WITH t AS (
+        SELECT CASE ((doc_id * 69069 + 12345) % 1048576) % 10
+                 WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split,
+               doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               (doc_id * 69069 + 12345) % 1048576 AS ord
+        FROM documents),
+      c AS (
+        SELECT split, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY split ORDER BY ord, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT split, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      FROM c GROUP BY split, shard_id ORDER BY split, shard_id""",
 
     // q101: struct min/max replayed as asc/desc row_number picks.
     "q101_struct_minmax" -> """

@@ -64,6 +64,7 @@ object SparkEntry {
     "e02_sessionize" -> (Events.sessionize _),
     "e03_topk_users" -> (Events.topkUsers _),
     "e04_moving_avg" -> (Events.movingAvg _),
+    "e05_funnel" -> (Events.funnel _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
     "p04_incremental_dedup" -> (graft.pipeline.Incremental.incrementalDedup _),
+    "p05_shard_pack" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.shardPack(s, d)),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -165,7 +167,8 @@ object SparkEntry {
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
-    "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d))
+    "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "m04_perceptual_hash" -> (Multimodal.perceptualHash _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

@@ -123,6 +123,34 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m04: perceptual (difference-)hash dedup — the image near-dup pass of
+    * a multimodal corpus pipeline: a 64-bit dHash over the decoded stream
+    * (bit i set iff byte i > byte i+1 across a 65-byte prefix), exact-hash
+    * groups counted. Real pixel dHash swaps the byte prefix for a resized
+    * luma grid; the Spark shape is identical — narrow per-record hash, one
+    * groupBy on the 8-byte digest (never the payload). */
+  def perceptualHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, d)
+      .mapPartitions(it => it.map { r =>
+        val headerLen = ImageHeaders.parse(r.payload).map(_.headerLen).getOrElse(0)
+        val body = r.payload.drop(headerLen)
+        var h = 0L
+        var i = 0
+        while (i < 64 && i + 1 < body.length) {
+          if ((body(i) & 0xff) > (body(i + 1) & 0xff)) h |= (1L << i)
+          i += 1
+        }
+        (r.doc_id, h)
+      })
+      .toDF("doc_id", "dhash")
+    hashed
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))))
+      .select(col("doc_id"), col("dhash"), col("n_same"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m03: frame sampling — strip the container header, treat the body as F
     * fixed-size frames and keep every k-th (the video keyframe-extraction
     * topology). flatMap on the typed Dataset: one input row fans out to its

@@ -69,4 +69,48 @@ object Events {
       .filter(col("rn") <= 5)
       .orderBy(col("event_type"), col("rn"))
   }
+
+  /** e05: ordered funnel — signup, then a view strictly after the signup,
+    * then a purchase strictly after that view, per user. One conditional
+    * aggregation computes the user's first signup; each later stage is a
+    * conditional min against the previous stage's timestamp, so the whole
+    * funnel is TWO hash shuffles on user_id (agg + self-join per stage
+    * collapses: stage columns are derived in one grouped pass over a
+    * (user, first_signup)-joined frame). Stage counts and conversion
+    * rates out — the standard product-analytics query Presto serves. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    // one pass over signup-tagged events derives both later stages: the
+    // first view after signup, then the first purchase after that view
+    val staged = ev.join(signup, Seq("user_id"))
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(when(col("event_type") === "view" && col("ts") > col("s_ts"),
+        col("ts"))).as("v_ts"))
+    val completed = staged.filter(col("v_ts").isNotNull)
+      .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    // one row of stage counts, unpivoted to the funnel report — a single
+    // declarative plan, no driver-side actions
+    staged.join(completed, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("v_ts")).as("n_view"),
+        count(col("p_ts")).as("n_purch"))
+      .select(explode(array(
+        struct(lit("1_signup").as("stage"),
+          col("n_signup").as("n_users"), lit(1.0).as("conv_from_signup")),
+        struct(lit("2_view_after_signup").as("stage"),
+          col("n_view").as("n_users"),
+          round(col("n_view").cast("double") / col("n_signup"), 4).as("conv_from_signup")),
+        struct(lit("3_purchase_after_view").as("stage"),
+          col("n_purch").as("n_users"),
+          round(col("n_purch").cast("double") / col("n_signup"), 4).as("conv_from_signup"))))
+        .as("r"))
+      .select(col("r.stage"), col("r.n_users"), col("r.conv_from_signup"))
+      .orderBy(col("stage"))
+  }
 }

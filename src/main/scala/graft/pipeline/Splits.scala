@@ -42,6 +42,28 @@ object Splits {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"))
 
+  /** p05: training-shard packing — assign each doc to a ~`budget`-token
+    * shard within its split, in deterministic hash order, and report
+    * per-shard fill. shard_id = floor(preceding-token-volume / budget):
+    * the sequential-greedy packing every dataloader expects, expressed as
+    * a running sum. The window here partitions only by split (the
+    * semantic reference); at 100 TB the same assignment runs as
+    * repartitionByRange on the hash order + per-partition prefix sums
+    * merged with partition offsets — two passes, no single-task window. */
+  def shardPack(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy(col("split"))
+      .orderBy(scatter(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(splitLabel(col("doc_id")).as("split"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("split"), col("shard_id"))
+  }
+
   /** p02: stratified cap — keep at most `cap` docs per language, chosen
     * by deterministic hash order (so the sample is stable and unbiased by
     * ingestion order). The window sorts only within each stratum; at

@@ -117,6 +117,39 @@ class IncrementalSpec extends GraftSpec {
     assert(math.abs(est("ALL") - exactAll) <= math.max(1L, (exactAll * 0.05).toLong))
   }
 
+  test("e05 funnel stages are monotonically non-increasing with valid rates") {
+    val got = graft.operators.Events.funnel(spark, sf).collect()
+    assert(got.map(_.getString(0)).sameElements(
+      Array("1_signup", "2_view_after_signup", "3_purchase_after_view")))
+    val ns = got.map(_.getLong(1))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2) && ns(0) > 0)
+    got.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("p05 shard packing conserves tokens and numbers shards contiguously") {
+    val shards = graft.pipeline.Splits.shardPack(spark, sf).collect()
+    val totalTokens = graft.sources.Tables.documents(spark, sf)
+      .select(sum(size(split(trim($"text"), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(shards.map(_.getAs[Long]("shard_tokens")).sum == totalTokens)
+    shards.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.sameElements(ids.indices.map(_.toLong)), "shard ids must be contiguous from 0")
+    }
+  }
+
+  test("m04 perceptual hash is deterministic and groups equal-content payloads") {
+    val a = graft.multimodal.Multimodal.perceptualHash(spark, sf).collect()
+    val b = graft.multimodal.Multimodal.perceptualHash(spark, sf).collect()
+    assert(a.sameElements(b))
+    // n_same must equal the actual multiplicity of each dhash value
+    val mult = a.groupBy(_.getAs[Long]("dhash")).view.mapValues(_.length).toMap
+    a.foreach(r => assert(r.getAs[Long]("n_same") == mult(r.getAs[Long]("dhash"))))
+  }
+
   test("q104 approx percentiles sit within 1% of exact percentiles") {
     val approx = graft.operators.Relational.q104(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
