@@ -36,6 +36,17 @@ object OracleSql {
              COUNT(*) AS n
       FROM large JOIN small USING (k)"""
 
+  /** Shared oracle for the top-k pair: the partial-heap form (x04) must
+    * return exactly the plain-window result (x03). */
+  private val topkOracle: String = """
+      SELECT l_returnflag, rid, l_extendedprice, rn FROM (
+        SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS rid,
+          l_extendedprice,
+          CAST(row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS INTEGER) AS rn
+        FROM lineitem) t
+      WHERE rn <= 5 ORDER BY l_returnflag, rn"""
+
   /** Cosine over DOUBLE[] lists — same op order as the Spark kernel. */
   private def cos(a: String, b: String) =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
@@ -1338,6 +1349,9 @@ object OracleSql {
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 
+    "x03_topk_window" -> topkOracle,
+    "x04_topk_partial" -> topkOracle,
+
     // Replays Splits.scatter (multiplicative hash) + the 80/10/10 labels.
     "p01_split" -> """
       WITH labeled AS (
@@ -1710,6 +1724,15 @@ object OracleSql {
         CAST(MIN(charge) AS VARCHAR) AS min_charge,
         CAST(MAX(charge) AS VARCHAR) AS max_charge
       FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q107: the native GeometricMean aggregate vs exp(avg(ln)) — same math,
+    // 4dp rounding absorbs summation-order jitter.
+    "q107_geomean" -> """
+      SELECT l_returnflag,
+        round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+        round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q105_conditional_scalars" -> """
       SELECT l_orderkey, l_linenumber,

@@ -152,12 +152,15 @@ object SparkEntry {
     "q104_approx_percentile" -> (Relational.q104 _),
     "q105_conditional_scalars" -> (Relational.q105 _),
     "q106_sketch_merge" -> (Relational.q106 _),
+    "q107_geomean" -> (Relational.q107 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
     // Skew handling (same oracle: the salted join must equal the plain one)
     "x01_skew_plain" -> (graft.operators.SkewJoin.hotJoinPlain _),
     "x02_skew_salted" -> (graft.operators.SkewJoin.hotJoinSalted _),
+    "x03_topk_window" -> (graft.operators.TopKPerKey.topkPlain _),
+    "x04_topk_partial" -> (graft.operators.TopKPerKey.topkPartial _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

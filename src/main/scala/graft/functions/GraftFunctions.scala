@@ -35,6 +35,12 @@ object GraftFunctions {
   /** Hamming distance between two bigint bit-vectors. */
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
 
+  /** Geometric mean aggregate over positive values (Presto
+    * geometric_mean; Spark lacks it). Algebraic buffer — partial
+    * aggregation and codegen for free. */
+  def geometricMean(x: Column): Column =
+    c(GeometricMean(e(x)).toAggregateExpression())
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -66,6 +72,7 @@ object GraftFunctions {
     register("hamming64", args => Hamming64(args(0), args(1)))
     register("hash64", args => Hash64(args.head,
       if (args.length > 1) literalLong("hash64", args(1)) else 0L))
+    register("geometric_mean", args => GeometricMean(args.head).toAggregateExpression())
   }
 }
 
@@ -103,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions", "hash64"),
       (args: Seq[Expression]) => Hash64(args.head,
         if (args.length > 1) GraftFunctions.literalLong("hash64", args(1)) else 0L)))
+    ext.injectFunction((
+      FunctionIdentifier("geometric_mean"),
+      new ExpressionInfo("graft.functions", "geometric_mean"),
+      (args: Seq[Expression]) => GeometricMean(args.head).toAggregateExpression()))
   }
 }

@@ -231,3 +231,44 @@ case class Hamming64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
     copy(left = l, right = r)
 }
+
+/**
+ * geometric_mean(double) -> double — Presto's geometric_mean aggregate,
+ * which Spark's function library lacks, as a native DeclarativeAggregate:
+ * the buffer is (sum of logs, count), so partial (map-side) aggregation
+ * and codegen come for free from the algebraic form — exactly how a
+ * custom aggregate should scale (merge is two additions, state is 16
+ * bytes regardless of group size). Non-positive and null inputs are
+ * excluded (the mathematical domain), matching Presto.
+ */
+case class GeometricMean(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private lazy val sumLog = AttributeReference("sumLog", DoubleType, nullable = false)()
+  private lazy val n = AttributeReference("n", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sumLog, n)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0L))
+
+  private def valid: Expression =
+    And(IsNotNull(child), GreaterThan(Cast(child, DoubleType), Literal(0.0)))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(valid, Add(sumLog, Log(Cast(child, DoubleType))), sumLog),
+    If(valid, Add(n, Literal(1L)), n))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Add(sumLog.left, sumLog.right),
+    Add(n.left, n.right))
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(n, Literal(0L)), Literal(null, DoubleType),
+      Exp(Divide(sumLog, Cast(n, DoubleType))))
+
+  override protected def withNewChildInternal(c: Expression): GeometricMean =
+    copy(child = c)
+}

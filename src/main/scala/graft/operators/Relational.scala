@@ -1376,6 +1376,20 @@ object Relational {
     nations.unionByName(global).orderBy(col("scope"))
   }
 
+  // --- q107: geometric mean (Presto builtin Spark lacks) via the graft
+  // native DeclarativeAggregate — algebraic (sumLog, n) buffer, so partial
+  // aggregation and codegen apply exactly as for built-in aggregates -----
+  def q107(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(graft.functions.GraftFunctions.geometricMean(col("l_extendedprice")), 4)
+          .as("geo_price"),
+        round(graft.functions.GraftFunctions.geometricMean(col("l_quantity")), 4)
+          .as("geo_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -111,4 +111,26 @@ class ExpressionsSpec extends GraftSpec {
     val err = intercept[Exception](spark.sql("SELECT hash64('x', length('ab')) AS h"))
     assert(err.getMessage.contains("hash64"), err.getMessage)
   }
+
+  test("geometric_mean matches exp(avg(ln)) and handles the domain edge cases") {
+    val df = Seq(2.0, 8.0).toDF("x")
+    val got = df.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
+    assert(math.abs(got - 4.0) < 1e-12) // sqrt(2*8)
+    // nulls and non-positive values are excluded, not poisoning
+    val mixed = Seq(Some(3.0), None, Some(-5.0), Some(27.0), Some(0.0)).toDF("x")
+    val g2 = mixed.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
+    assert(math.abs(g2 - 9.0) < 1e-12) // geomean(3, 27)
+    // all-invalid group -> null, not NaN
+    val none = Seq(-1.0).toDF("x")
+    assert(none.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().isNullAt(0))
+    // SQL registration path
+    graft.functions.GraftFunctions.install(spark)
+    Seq(2.0, 8.0).toDF("x").createOrReplaceTempView("gm_t")
+    assert(math.abs(spark.sql("SELECT geometric_mean(x) FROM gm_t").head().getDouble(0) - 4.0) < 1e-12)
+    // partial aggregation across many partitions agrees with single-partition
+    val spread = spark.range(1, 1001).select(($"id" % 10 + 1).cast("double").as("x"))
+    val a = spread.repartition(16).agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
+    val b = spread.coalesce(1).agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+  }
 }

@@ -36,6 +36,21 @@ class SkewJoinSpec extends GraftSpec {
     assert(plain.collect().toSeq == salted.collect().toSeq)
   }
 
+  test("partial top-k equals the plain window and bounds the shuffled rows") {
+    import graft.operators.TopKPerKey
+    val plain = TopKPerKey.topkPlain(spark, sf).collect().toSeq
+    val partial = TopKPerKey.topkPartial(spark, sf).collect().toSeq
+    assert(plain == partial, "heap reduction must not change the result")
+    // exactly k rows per key come out (every key has >= k rows here)
+    import spark.implicits._
+    val ds = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice",
+        ($"l_orderkey" * 10 + $"l_linenumber").as("rid"))
+      .as[(String, Double, Long)]
+    val nKeys = ds.map(_._1).distinct().count()
+    assert(TopKPerKey.topK(ds, 5).count() == nKeys * 5)
+  }
+
   test("key histogram surfaces the hot key") {
     val events = Tables.events(spark, sf)
     val hist = SkewJoin.keyHistogram(events, "event_type", topN = 5).collect()

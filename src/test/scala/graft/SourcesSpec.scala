@@ -81,6 +81,32 @@ class SourcesSpec extends GraftSpec {
     assert(ds.count() == 2)
   }
 
+  test("malformed JSON records are captured, not fatal (PERMISSIVE ingestion)") {
+    // dirty data is a fact of 100 TB ingestion: bad records must land in
+    // _corrupt_record so the clean rows flow and the junk is auditable
+    val dir = Files.createTempDirectory("graft-dirty")
+    Files.write(dir.resolve("part.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2, "v": broken""",
+      """{"id": 3, "v": "fine"}"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    try {
+      assert(df.count() == 3)
+      assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(df.filter($"_corrupt_record".isNull)
+        .select(org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 4L)
+      // DROPMALFORMED: the strict pipeline variant keeps only clean rows
+      val clean = spark.read.schema(schema.add("ignored", "STRING"))
+        .option("mode", "DROPMALFORMED").json(dir.toString)
+      assert(clean.filter($"v".isNotNull).count() == 2)
+    } finally df.unpersist()
+  }
+
   test("jdbc builder constructs a partitioned reader config") {
     val j = Formats.Jdbc("jdbc:mysql://localhost:3306/test", "user_table", "u", "p",
       partitionColumn = Some("id"), lowerBound = 0, upperBound = 1000, numPartitions = 8)
