@@ -37,6 +37,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Runtime bloom-filter join pruning: a selective dim filter becomes a
+      // bloom filter applied at the fact scan, cutting shuffle input before
+      // the join — one of the biggest 100 TB levers (thresholds are
+      // size-based, so it engages on real data volumes; PlanSpec pins the
+      // injection with lowered thresholds).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 

@@ -105,6 +105,32 @@ class PlanSpec extends GraftSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("a selective dim filter injects a runtime bloom filter on the fact side") {
+    // thresholds are sized for real volumes; lower them so sf-test data
+    // triggers the same rewrite a 100 TB join gets
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000)
+      val j = li.join(sel,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy().count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloom") || opt.contains("might_contain"),
+        s"runtime bloom filter must inject on the fact scan:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
