@@ -45,20 +45,55 @@ object Splits {
   /** p05: training-shard packing — assign each doc to a ~`budget`-token
     * shard within its split, in deterministic hash order, and report
     * per-shard fill. shard_id = floor(preceding-token-volume / budget):
-    * the sequential-greedy packing every dataloader expects, expressed as
-    * a running sum. The window here partitions only by split (the
-    * semantic reference); at 100 TB the same assignment runs as
-    * repartitionByRange on the hash order + per-partition prefix sums
-    * merged with partition offsets — two passes, no single-task window. */
+    * the sequential-greedy packing every dataloader expects.
+    *
+    * The running sum is a DISTRIBUTED prefix sum, not a per-split window
+    * (which would funnel each split into one task): range-repartition on
+    * the (split, order) key so the global sort order spans partitions,
+    * take per-(partition, split) token totals (a `numPartitions x splits`
+    * frame — bounded by the partition count, safe to collect at any
+    * corpus size), turn them into per-partition starting offsets, and
+    * stream each partition once adding its offset. Shard ids are
+    * independent of where the range boundaries land, because the
+    * global order itself is deterministic. */
   def shardPack(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
-    val w = Window.partitionBy(col("split"))
-      .orderBy(scatter(col("doc_id")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    import s.implicits._
+    val parts = math.max(s.sparkContext.defaultParallelism, 4)
+    val docs = Tables.documents(s, d)
       .select(splitLabel(col("doc_id")).as("split"), col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("shard_id", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        scatter(col("doc_id")).as("ord"))
+      .repartitionByRange(parts, col("split"), col("ord"), col("doc_id"))
+      .sortWithinPartitions(col("split"), col("ord"), col("doc_id"))
+    // pass 1: per-(partition, split) totals — numPartitions x splits rows
+    val partTotals = docs
+      .groupBy(spark_partition_id().as("pid"), col("split"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    // offset of (pid, split) = that split's tokens in all earlier partitions
+    val offsets: Map[(Int, String), Long] = partTotals.map { case ((pid, sp), _) =>
+      (pid, sp) -> partTotals.collect {
+        case ((p2, s2), t) if s2 == sp && p2 < pid => t
+      }.sum
+    }.toMap
+    val bOffsets = s.sparkContext.broadcast(offsets)
+    // pass 2: stream each partition once, running sum from its offset
+    val assigned = docs
+      .select(col("split"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val cum = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (sp, id, tok) =>
+          val before = cum.getOrElse(sp,
+            bOffsets.value.getOrElse((pid, sp), 0L))
+          cum(sp) = before + tok
+          (sp, id, tok, before / budget)
+        }
+      }
+      .toDF("split", "doc_id", "n_tokens", "shard_id")
+    assigned
       .groupBy(col("split"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
       .orderBy(col("split"), col("shard_id"))
