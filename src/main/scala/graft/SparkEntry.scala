@@ -72,8 +72,8 @@ object SparkEntry {
     "t04_fingerprint" -> (TextAnalysis.fingerprint _),
     "t05_normalize" -> (TextAnalysis.normalize _),
     "t06_bigrams" -> (TextAnalysis.bigrams _),
-    "t07_repetition" -> (TextAnalysis.repetition _),
-    "t08_pii_redact" -> (TextAnalysis.piiRedact _),
+    "t07_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
+    "t08_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "t09_tfidf" -> (TextAnalysis.tfidf _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),

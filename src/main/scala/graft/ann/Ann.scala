@@ -146,8 +146,13 @@ object Ann {
    * quantization pipeline reports. Pure narrow array lambdas — one scan,
    * no shuffle, no UDFs.
    */
-  def quantize(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+  /** (vec_id, embedding, scale, q): per-vector symmetric int8 scale
+    * (max|x| / 127, 1e-12 floor) and the quantized ints with the pinned
+    * floor(x/scale + 0.5) tie rule — THE quantization semantics, defined
+    * once and shared by a04 and a05 (both oracles replay these exact
+    * constants, so the kernel must not fork). */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb
       // scale materialized once per row (multi-referenced below)
       .select(col("vec_id"), col("embedding"),
         (greatest(expr(
@@ -156,6 +161,9 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("scale"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT))")
           .as("q"))
+
+  def quantize(s: SparkSession, d: String): DataFrame =
+    quantized(Tables.embeddings(s, d))
       .select(col("vec_id"),
         round(col("scale"), 8).as("scale"),
         expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
@@ -165,17 +173,13 @@ object Ann {
           6).as("q_err_l2"))
       .orderBy(col("vec_id"))
 
-  /** Dequantized (int8 round-trip) embeddings: floor(x/scale + 0.5) * scale
-    * per element — the vectors an int8 ANN index actually searches. */
+  /** Dequantized (int8 round-trip) embeddings: q * scale per element —
+    * the vectors an int8 ANN index actually searches. Derived from the
+    * shared [[quantized]] kernel so the tie rule cannot fork. */
   private def dequantized(emb: DataFrame): DataFrame =
-    emb
+    quantized(emb)
       .select(col("vec_id"), col("embedding"),
-        (greatest(expr(
-          "aggregate(embedding, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"),
-          lit(1e-12)) / 127.0).as("scale"))
-      .select(col("vec_id"), col("embedding"),
-        expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5D) * scale)")
-          .as("qe"))
+        expr("transform(q, v -> v * scale)").as("qe"))
 
   /**
    * a05: quantization recall@10 — the eval every quantized-index rollout

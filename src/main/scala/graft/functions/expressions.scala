@@ -254,8 +254,12 @@ case class GeometricMean(child: Expression)
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sumLog, n)
   override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0L))
 
+  // NaN must be excluded explicitly: Spark's double ordering ranks NaN
+  // above every value, so GreaterThan(NaN, 0) holds and one NaN row would
+  // otherwise poison the group's sumLog to NaN.
   private def valid: Expression =
-    And(IsNotNull(child), GreaterThan(Cast(child, DoubleType), Literal(0.0)))
+    And(And(IsNotNull(child), Not(IsNaN(Cast(child, DoubleType)))),
+      GreaterThan(Cast(child, DoubleType), Literal(0.0)))
 
   override lazy val updateExpressions: Seq[Expression] = Seq(
     If(valid, Add(sumLog, Log(Cast(child, DoubleType))), sumLog),

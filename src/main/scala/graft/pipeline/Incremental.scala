@@ -24,12 +24,20 @@ object Incremental {
    * same-key rows of `base`, unmatched keys pass through, ties within
    * `updates` resolved by highest `versionCol`. One unionByName + one
    * row_number shuffle on the key — no driver-side diffing.
+   *
+   * Version ties (two rows with the same key AND version) are broken by a
+   * hash of the full row content, so the winner is a deterministic
+   * function of the data — never of shuffle arrival order. Identical
+   * duplicate rows hash equal, and then either copy is the same result.
    */
   def upsert(base: DataFrame, updates: DataFrame, key: String,
              versionCol: String): DataFrame = {
+    val all = base.unionByName(updates)
+    val contentHash = md5(concat_ws("\u0001",
+      all.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(versionCol).desc)
-    base.unionByName(updates)
+      .orderBy(col(versionCol).desc, contentHash)
+    all
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

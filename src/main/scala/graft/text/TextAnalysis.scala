@@ -119,8 +119,12 @@ object TextAnalysis {
    * them. One hash shuffle on (doc_id, word) with partial aggregation; the
    * per-doc rollup is a second small shuffle on doc_id.
    */
-  def repetition(s: SparkSession, d: String): DataFrame = {
-    val perWord = Tables.documents(s, d)
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetition(Tables.documents(s, d))
+
+  /** Same kernel over any (doc_id, text) frame — the unit-testable form. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val perWord = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -158,7 +162,11 @@ object TextAnalysis {
    * codegen'd regex builtins — a narrow projection, no shuffle, and the
    * oracle replays the same regexes so a missed match breaks the hash.
    */
-  def piiRedact(s: SparkSession, d: String): DataFrame = {
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedact(Tables.documents(s, d))
+
+  /** Same kernel over any (doc_id, text) frame — the unit-testable form. */
+  def piiRedact(docs: DataFrame): DataFrame = {
     val injected = when(col("doc_id") % 5 === 0,
       concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com from "),
@@ -171,7 +179,7 @@ object TextAnalysis {
           regexp_replace(col("t"), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), injected.as("t"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),

@@ -116,8 +116,9 @@ class ExpressionsSpec extends GraftSpec {
     val df = Seq(2.0, 8.0).toDF("x")
     val got = df.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
     assert(math.abs(got - 4.0) < 1e-12) // sqrt(2*8)
-    // nulls and non-positive values are excluded, not poisoning
-    val mixed = Seq(Some(3.0), None, Some(-5.0), Some(27.0), Some(0.0)).toDF("x")
+    // nulls, NaN, and non-positive values are excluded, not poisoning
+    val mixed = Seq(Some(3.0), None, Some(-5.0), Some(27.0), Some(0.0),
+      Some(Double.NaN)).toDF("x")
     val g2 = mixed.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
     assert(math.abs(g2 - 9.0) < 1e-12) // geomean(3, 27)
     // all-invalid group -> null, not NaN

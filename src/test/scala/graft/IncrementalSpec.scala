@@ -18,6 +18,14 @@ class IncrementalSpec extends GraftSpec {
     val got = Incremental.upsert(base, upd, "k", "ver")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
     assert(got == Map(1L -> ("a", 0), 2L -> ("b2", 1), 3L -> ("c", 0), 4L -> ("d", 1)))
+    // version ties resolve by content hash — a deterministic function of
+    // the data, stable across shuffles and repartitionings
+    val tied = Seq((9L, "zz", 1), (9L, "aa", 1)).toDF("k", "v", "ver")
+    val winners = (1 to 3).map { i =>
+      Incremental.upsert(base.repartition(i), tied.repartition(4 - i), "k", "ver")
+        .filter($"k" === 9L).head().getString(1)
+    }
+    assert(winners.distinct.size == 1)
   }
 
   test("p04 incremental dedup classifies recrawls, batch dupes, and fresh docs") {
@@ -34,28 +42,31 @@ class IncrementalSpec extends GraftSpec {
     val df = Seq(
       (1L, "spam spam spam spam spam spam ham"),
       (2L, "every word in this sentence is different")).toDF("doc_id", "text")
-    val perWord = df
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg((lit(1.0) - count(lit(1)).cast("double") / sum($"cnt")).as("dup_frac"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(perWord(1L) > 0.6 && perWord(2L) == 0.0)
+    val got = TextAnalysis.repetition(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("dup_word_frac") > 0.6)
+    assert(got(1L).getAs[String]("top_word") == "spam")
+    assert(got(1L).getAs[Double]("top_word_frac") > 0.8)
+    assert(got(2L).getAs[Double]("dup_word_frac") == 0.0)
+    // tiebreak: equal counts pick the lexicographically first word
+    val tie = Seq((3L, "bb aa")).toDF("doc_id", "text")
+    assert(TextAnalysis.repetition(tie).head().getAs[String]("top_word") == "aa")
   }
 
-  test("t08 PII regexes find and redact emails, IPs, and phones") {
-    val df = Seq("mail me at jo.doe@corp.example.org or 192.168.0.12 tel 555-1234 ok")
-      .toDF("t")
-    val r = df.select(
-      size(regexp_extract_all($"t", lit(TextAnalysis.EmailRe), lit(0))).as("e"),
-      size(regexp_extract_all($"t", lit(TextAnalysis.Ipv4Re), lit(0))).as("i"),
-      size(regexp_extract_all($"t", lit(TextAnalysis.PhoneRe), lit(0))).as("p"),
-      regexp_replace(regexp_replace(regexp_replace($"t",
-        TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.Ipv4Re, "<IP>"),
-        TextAnalysis.PhoneRe, "<PHONE>").as("red"))
-      .head()
-    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
-    assert(r.getString(3) == "mail me at <EMAIL> or <IP> tel <PHONE> ok")
+  test("t08 PII redaction finds and redacts emails, IPs, and phones") {
+    // doc_id 1 dodges the %5 injection, so the kernel runs on the raw text
+    val df = Seq(
+      (1L, "mail me at jo.doe@corp.example.org or 192.168.0.12 tel 555-1234 ok"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(df).head()
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_ips") == 1)
+    assert(r.getAs[Int]("n_phones") == 1)
+    val expected = "mail me at <EMAIL> or <IP> tel <PHONE> ok"
+    assert(r.getAs[Int]("redacted_len") == expected.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("redacted_md5") == md)
   }
 
   test("d07 contamination flags exactly the docs sharing benchmark 8-grams") {
