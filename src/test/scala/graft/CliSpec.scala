@@ -25,6 +25,16 @@ class CliSpec extends GraftSpec {
     assert(GraftCli.splitStatements("  ;;  ") == Seq.empty)
   }
 
+  test("SHOW TABLES / DESCRIBE work through the SQL front door (catalog parity)") {
+    val tables = GraftCli.sql(spark, sf, "SHOW TABLES")
+      .collect().map(_.getAs[String]("tableName")).toSet
+    assert(Set("lineitem", "orders", "customer", "documents", "embeddings")
+      .subsetOf(tables), s"missing tables in $tables")
+    val cols = GraftCli.sql(spark, sf, "DESCRIBE lineitem")
+      .collect().map(_.getString(0)).toSet
+    assert(cols.contains("l_orderkey") && cols.contains("l_quantity"))
+  }
+
   test("EXPLAIN works through the SQL front door (reference CLI parity)") {
     val plan = GraftCli.sql(spark, sf,
       "EXPLAIN SELECT n_name, count(*) FROM customer " +
