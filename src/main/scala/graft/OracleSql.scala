@@ -1628,6 +1628,18 @@ object OracleSql {
         ON e.probe_id = q.probe_id AND e.cand_id = q.cand_id
       GROUP BY e.probe_id ORDER BY e.probe_id""",
 
+    // Replays Events.sliding: each event belongs to exactly 4 hopping
+    // windows (1h span, 15-min slide, epoch-aligned like Spark's window()).
+    "e06_sliding_window" -> """
+      WITH expanded AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i.i * INTERVAL 15 MINUTE AS w,
+               value
+        FROM events, LATERAL (SELECT unnest(range(0, 4)) AS i) i)
+      SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM expanded GROUP BY w ORDER BY window_start""",
+
     // Replays Events.funnel: first signup, first view after it, first
     // purchase after that view; stage counts unpivoted.
     "e05_funnel" -> """

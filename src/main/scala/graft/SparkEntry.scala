@@ -65,6 +65,7 @@ object SparkEntry {
     "e03_topk_users" -> (Events.topkUsers _),
     "e04_moving_avg" -> (Events.movingAvg _),
     "e05_funnel" -> (Events.funnel _),
+    "e06_sliding_window" -> (Events.sliding _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

@@ -57,6 +57,22 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** e06: sliding (hopping) window aggregation — 1-hour windows advancing
+    * every 15 minutes, so each event contributes to 4 overlapping windows.
+    * Spark expands the event to its covering windows (a bounded 4x narrow
+    * fan-out), then it's an ordinary hash aggregation — the same shape
+    * runs under Structured Streaming with a watermark. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"))
+
   /** e03: per-event-type top-5 users by summed value (window top-k). */
   def topkUsers(s: SparkSession, d: String): DataFrame = {
     val agg = Tables.events(s, d)
