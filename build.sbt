@@ -17,6 +17,10 @@ run / fork := true
 // Pass the forked JVM's stdout straight through (no "[info] " logger
 // prefix): Bench's JSON metrics line must be machine-parseable.
 run / outputStrategy := Some(StdoutOutput)
+// Wire sbt's stdin into the forked JVM: GraftCli's REPL mode reads
+// ;-terminated statements from stdin and would otherwise see EOF-less
+// silence under `sbt "runMain graft.GraftCli <sfDir>"`.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

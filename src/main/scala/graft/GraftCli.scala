@@ -14,8 +14,12 @@ import graft.sources.Tables
  *
  * Usage:
  *   runMain graft.GraftCli <sfDir> "SELECT ...;" ["SELECT ...;" ...]
+ *   runMain graft.GraftCli <sfDir> -f script.sql   # ;-terminated statements
  *   runMain graft.GraftCli <sfDir>          # REPL: reads ;-terminated
  *                                           # statements from stdin
+ *                                           # (under sbt prefer argv/-f:
+ *                                           # sbt does not reliably forward
+ *                                           # stdin to the forked JVM)
  */
 object GraftCli {
 
@@ -56,7 +60,11 @@ object GraftCli {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     open(spark, sfDir)
     val statements: Iterator[String] =
-      if (args.length > 1) args.iterator.drop(1)
+      if (args.length > 2 && args(1) == "-f")
+        splitStatements(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2))),
+          "UTF-8")).iterator
+      else if (args.length > 1) args.iterator.drop(1)
       else {
         // stdin REPL: statements are ;-terminated, like the reference's CLI
         splitStatements(scala.io.Source.stdin.mkString).iterator

@@ -28,6 +28,21 @@ class IncrementalSpec extends GraftSpec {
     assert(winners.distinct.size == 1)
   }
 
+  test("upsert is idempotent: re-applying the same update batch changes nothing") {
+    val base = Seq((1L, "a", 0), (2L, "b", 0)).toDF("k", "v", "ver")
+    val upd = Seq((2L, "b2", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    val once = Incremental.upsert(base, upd, "k", "ver")
+    val twice = Incremental.upsert(once, upd, "k", "ver")
+    assert(once.orderBy($"k").collect().toSeq == twice.orderBy($"k").collect().toSeq)
+  }
+
+  test("p05 shard packing is deterministic across independent executions") {
+    // two fresh range-shuffles (fresh sampler seeds) must agree
+    val a = graft.pipeline.Splits.shardPack(spark, sf).collect().toSeq
+    val b = graft.pipeline.Splits.shardPack(spark, sf, budget = 2000L).collect().toSeq
+    assert(a == b)
+  }
+
   test("p04 incremental dedup classifies recrawls, batch dupes, and fresh docs") {
     val got = Incremental.incrementalDedup(spark, sf)
       .groupBy($"decision").count()

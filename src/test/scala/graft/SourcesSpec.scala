@@ -107,6 +107,20 @@ class SourcesSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("raw text-file corpus ingestion: line and whole-file modes") {
+    // the rawest LLM-corpus source: .txt files on distributed storage
+    val dir = Files.createTempDirectory("graft-txt")
+    Files.write(dir.resolve("a.txt"), java.util.Arrays.asList("first doc line 1", "first doc line 2"))
+    Files.write(dir.resolve("b.txt"), java.util.Arrays.asList("second doc"))
+    val lines = spark.read.text(dir.toString)
+    assert(lines.count() == 3)
+    val whole = spark.read.option("wholetext", "true").text(dir.toString)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), $"value")
+    assert(whole.count() == 2)
+    val byFile = whole.collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(byFile("a.txt").contains("line 2") && byFile("b.txt").trim == "second doc")
+  }
+
   test("jdbc builder constructs a partitioned reader config") {
     val j = Formats.Jdbc("jdbc:mysql://localhost:3306/test", "user_table", "u", "p",
       partitionColumn = Some("id"), lowerBound = 0, upperBound = 1000, numPartitions = 8)
