@@ -84,6 +84,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SelfHammingRule)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions", "cosine_sim"),

@@ -33,9 +33,12 @@ object SelfHammingRule extends Rule[LogicalPlan] {
 object Rules {
   /** Attach graft optimizer rules to an existing session (the
     * SparkSessionExtensions path in GraftExtensions covers new sessions). */
-  def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(SelfHammingRule)) {
+  def install(spark: SparkSession): Unit = {
+    val rules = Seq(SelfHammingRule, IntervalJoinRule)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty) {
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ SelfHammingRule
+        spark.experimental.extraOptimizations ++ missing
     }
+  }
 }

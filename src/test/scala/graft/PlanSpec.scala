@@ -131,6 +131,36 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("natural interval join is rewritten to a bucketed equi-join, result-identical") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts"))
+    // the natural formulation every user writes first — no equi key
+    val joined = purchases.join(signups,
+      col("ts") >= col("lo") && col("ts") < col("hi"))
+    val plan = executedPlan(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must not plan a nested loop under IntervalJoinRule:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"expected the bucket explosion in:\n$plan")
+    // exact result equality vs an in-memory nested loop on the same rows
+    val ss = signups.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val expected = (for {
+      (pid, ts) <- ps
+      (sid, lo, hi) <- ss
+      if !ts.before(lo) && ts.before(hi)
+    } yield (pid, sid)).toSet
+    val got = joined.select(col("pid"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"bucketed rewrite changed the result: ${got.size} vs ${expected.size}")
+    assert(expected.nonEmpty, "test data must produce at least one interval match")
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
