@@ -551,6 +551,32 @@ object OracleSql {
       SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM s GROUP BY user_id ORDER BY user_id""",
 
+    // Replays Events.sessionWindows (native session_window): windows
+    // [ts, ts+30min) merge while they overlap, so a NEW session starts at
+    // gap >= 30min (note: >=, unlike e02's lag-convention strict >);
+    // session end = last event + gap.
+    "e07_session_window" -> """
+      WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+      g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM e
+      ), s AS (
+        SELECT user_id, ts, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g
+      )
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      FROM s GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start""",
+
     "e03_topk_users" -> s"""
       SELECT event_type, user_id, total, rn FROM (
         SELECT event_type, user_id, ${dsum("value", 6)} AS total,

@@ -66,6 +66,7 @@ object SparkEntry {
     "e04_moving_avg" -> (Events.movingAvg _),
     "e05_funnel" -> (Events.funnel _),
     "e06_sliding_window" -> (Events.sliding _),
+    "e07_session_window" -> (Events.sessionWindows _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

@@ -73,6 +73,24 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"))
 
+  /** e07: NATIVE session windows — the same 30-minute-gap sessionization
+    * as e02, but through Spark's session_window() operator (merging
+    * windows inside the aggregation) instead of the lag+cumsum idiom.
+    * Emits one row per session with its span and size; session end is
+    * last event + gap by definition. Same shape runs under Structured
+    * Streaming with a watermark. */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** e03: per-event-type top-5 users by summed value (window top-k). */
   def topkUsers(s: SparkSession, d: String): DataFrame = {
     val agg = Tables.events(s, d)
