@@ -86,11 +86,23 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val pBucket = Alias(bucket(ts), "__graft_pbucket")()
           val probeProj = Project(probe.output :+ pBucket, probe)
           val iBucketAttr = AttributeReference("__graft_ibucket", LongType, nullable = false)()
-          val gen = Generate(
+          // A malformed interval (hi < lo) matches nothing under the
+          // original predicate; Sequence with a positive step would THROW
+          // on it instead — emit an empty bucket list so behavior stays
+          // identical to the nested-loop plan. (Null bounds likewise: the
+          // If is null-safe via the <= predicate evaluating to null ->
+          // empty branch.)
+          val lob = bucket(lo)
+          val hib = bucket(hi)
+          val buckets = If(And(And(IsNotNull(lob), IsNotNull(hib)),
+            LessThanOrEqual(lob, hib)),
             // Sequence is TimeZoneAware — it must carry a zone id or the
             // plan we emit is unresolved (long inputs never consult it)
-            Explode(Sequence(bucket(lo), bucket(hi), Some(Literal(1L)),
-              Some(conf.sessionLocalTimeZone))),
+            Sequence(lob, hib, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+            Literal.create(Array.empty[Long],
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+          val gen = Generate(
+            Explode(buckets),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(iBucketAttr), child = intervals)
           val newCond = And(EqualTo(pBucket.toAttribute, iBucketAttr), cond)

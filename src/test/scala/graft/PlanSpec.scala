@@ -159,6 +159,20 @@ class PlanSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"bucketed rewrite changed the result: ${got.size} vs ${expected.size}")
     assert(expected.nonEmpty, "test data must produce at least one interval match")
+    // malformed intervals (hi < lo) match nothing — and must not make the
+    // rewritten Sequence throw where the nested loop would just skip them
+    import spark.implicits._
+    val malformed = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),  // hi < lo
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("sid", "lo", "hi")
+    val probes = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("pid", "ts")
+    val rows = probes.join(malformed, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select(col("sid")).collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L))
   }
 
   test("lineitem scan prunes columns for a 2-column projection") {
