@@ -75,7 +75,8 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        if j.resolved && !j.isStreaming &&
+          hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
       // try (left=probe, right=intervals) then the mirror
       val hit = matchRange(conjuncts, left, right).map((_, true))
