@@ -192,6 +192,43 @@ class StreamingSpec extends GraftSpec {
       Set("doc_id", "ts", "source", "score", "h"))
   }
 
+  test("native session_window aggregates merge across micro-batches under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+    // session-window streaming aggregation emits in Append mode only:
+    // a session row appears once the watermark passes its end
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("native_sess_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 3, "click", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // 2 hours later: a separate session for the same user
+      input.addData(Event(3, ts("2024-01-01 11:30:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      // push the watermark (15:00 - 2h = 13:00) past both session ends so
+      // they flush; the pusher's own session stays open and unemitted
+      input.addData(Event(4, ts("2024-01-01 15:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT s, n_events FROM native_sess_test WHERE user_id = 3 ORDER BY s")
+        .collect()
+      // first session merged the two close events; the late event opened a new one
+      assert(rows.length == 2)
+      assert(rows(0).getTimestamp(0) == ts("2024-01-01 09:00:00") && rows(0).getLong(1) == 2)
+      assert(rows(1).getTimestamp(0) == ts("2024-01-01 11:30:00") && rows(1).getLong(1) == 1)
+      assert(spark.sql("SELECT count(*) FROM native_sess_test WHERE user_id = 99")
+        .head().getLong(0) == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
