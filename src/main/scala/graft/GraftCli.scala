@@ -54,21 +54,36 @@ object GraftCli {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Resolve the statement source from the CLI arguments (after sfDir):
+    * `-f <script>` reads ;-terminated statements from the file (and
+    * rejects a missing/extra operand or unreadable file with a clear
+    * message BEFORE any work happens), bare arguments are statements
+    * themselves, no arguments means the stdin REPL. Pulled out of main so
+    * the arg handling is unit-testable without a session. */
+  private[graft] def statementsFrom(args: Array[String]): Iterator[String] =
+    if (args.length > 1 && args(1) == "-f") {
+      if (args.length != 3) throw new IllegalArgumentException(
+        "usage: GraftCli <sfDir> -f <script.sql>  (exactly one script file)")
+      val p = java.nio.file.Paths.get(args(2))
+      if (!java.nio.file.Files.isReadable(p)) throw new IllegalArgumentException(
+        s"GraftCli: script file not found or unreadable: ${args(2)}")
+      splitStatements(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).iterator
+    } else if (args.length > 1) args.iterator.drop(1)
+    else {
+      // stdin REPL: statements are ;-terminated, like the reference's CLI
+      splitStatements(scala.io.Source.stdin.mkString).iterator
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
-      sys.error("usage: GraftCli <sfDir> [sql...]"))
+      sys.error("usage: GraftCli <sfDir> [-f script.sql | sql...]"))
+    val statements = try statementsFrom(args) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        sys.exit(2)
+    }
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     open(spark, sfDir)
-    val statements: Iterator[String] =
-      if (args.length > 2 && args(1) == "-f")
-        splitStatements(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2))),
-          "UTF-8")).iterator
-      else if (args.length > 1) args.iterator.drop(1)
-      else {
-        // stdin REPL: statements are ;-terminated, like the reference's CLI
-        splitStatements(scala.io.Source.stdin.mkString).iterator
-      }
     statements.foreach { stmt =>
       try spark.sql(stmt.stripSuffix(";")).show(100, truncate = false)
       catch { case e: Exception =>

@@ -38,6 +38,12 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketSeconds = 3600L
 
+  /** Max interval span (in buckets) eligible for the bucketed rewrite —
+    * one leap year of hourly buckets. Wider (open-ended / sentinel)
+    * intervals keep the original nested-loop shape instead of exploding
+    * to unbounded bucket rows; see the wide arm below. */
+  val MaxSpanBuckets = 8784L
+
   /** floor(epoch-seconds / bucket) of a timestamp expression. */
   private def bucket(ts: Expression): Expression =
     IntegralDivide(Cast(ts, LongType), Literal(BucketSeconds))
@@ -87,16 +93,19 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val pBucket = Alias(bucket(ts), "__graft_pbucket")()
           val probeProj = Project(probe.output :+ pBucket, probe)
           val iBucketAttr = AttributeReference("__graft_ibucket", LongType, nullable = false)()
-          // A malformed interval (hi < lo) matches nothing under the
-          // original predicate; Sequence with a positive step would THROW
-          // on it instead — emit an empty bucket list so behavior stays
-          // identical to the nested-loop plan. (Null bounds likewise: the
-          // If is null-safe via the <= predicate evaluating to null ->
-          // empty branch.)
           val lob = bucket(lo)
           val hib = bucket(hi)
-          val buckets = If(And(And(IsNotNull(lob), IsNotNull(hib)),
-            LessThanOrEqual(lob, hib)),
+          val span = Subtract(hib, lob)
+
+          // NARROW arm — intervals of bounded span take the bucketed path.
+          // The malformed shape (hi < lo) matches nothing under the
+          // original predicate; Sequence with a positive step would THROW
+          // on it instead — emit an empty bucket list so behavior stays
+          // identical to the nested-loop plan. (Null bounds are excluded
+          // by the arm filters: null span passes neither.)
+          val narrow = Filter(And(And(IsNotNull(lob), IsNotNull(hib)),
+            LessThanOrEqual(span, Literal(MaxSpanBuckets))), intervals)
+          val buckets = If(LessThanOrEqual(lob, hib),
             // Sequence is TimeZoneAware — it must carry a zone id or the
             // plan we emit is unresolved (long inputs never consult it)
             Sequence(lob, hib, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
@@ -105,12 +114,28 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val gen = Generate(
             Explode(buckets),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(iBucketAttr), child = intervals)
+            generatorOutput = Seq(iBucketAttr), child = narrow)
           val newCond = And(EqualTo(pBucket.toAttribute, iBucketAttr), cond)
           val (nl, nr) =
             if (probeIsLeft) (probeProj, gen) else (gen, probeProj)
-          // restore the original output (drop the helper bucket columns)
-          Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+          val bucketed =
+            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+
+          // WIDE arm — open-ended/sentinel intervals (validity until
+          // 9999-12-31 is routine) would explode to millions of bucket
+          // rows, turning a slow-but-finishing nested loop into an OOM.
+          // Those rare rows keep the original join shape. The empty
+          // HintInfo is load-bearing: this rule skips hinted joins, so it
+          // cannot re-fire on its own wide arm inside the fixed point
+          // (a bare marker conjunct would be pushed out of the condition
+          // by PushPredicateThroughJoin and re-expose the pattern).
+          val wideFilter = Filter(GreaterThan(span, Literal(MaxSpanBuckets)), intervals)
+          val (wl, wr) =
+            if (probeIsLeft) (probe, wideFilter) else (wideFilter, probe)
+          val wide = Project(j.output,
+            Join(wl, wr, Inner, Some(cond), JoinHint(Some(HintInfo()), None)))
+
+          Union(Seq(bucketed, wide))
         case None => j
       }
   }

@@ -44,6 +44,23 @@ class CliSpec extends GraftSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("-f script mode reads statements and rejects bad invocations clearly") {
+    val f = java.nio.file.Files.createTempFile("cli", ".sql")
+    java.nio.file.Files.write(f,
+      "SELECT 1;\nSELECT 'a;b' AS x;\n".getBytes("UTF-8"))
+    val stmts = GraftCli.statementsFrom(Array("sf", "-f", f.toString)).toSeq
+    assert(stmts == Seq("SELECT 1", "SELECT 'a;b' AS x"))
+    // argv mode unchanged
+    assert(GraftCli.statementsFrom(Array("sf", "SELECT 2")).toSeq == Seq("SELECT 2"))
+    // -f with no operand / extra operands / missing file -> clear errors,
+    // not a fall-through that executes "-f" as SQL
+    intercept[IllegalArgumentException](GraftCli.statementsFrom(Array("sf", "-f")))
+    intercept[IllegalArgumentException](
+      GraftCli.statementsFrom(Array("sf", "-f", f.toString, "extra.sql")))
+    intercept[IllegalArgumentException](
+      GraftCli.statementsFrom(Array("sf", "-f", "/nonexistent/x.sql")))
+  }
+
   test("all s-entries run through the SQL-text path and return rows") {
     GraftCli.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")

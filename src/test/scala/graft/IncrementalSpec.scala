@@ -39,7 +39,7 @@ class IncrementalSpec extends GraftSpec {
   test("p05 shard packing is deterministic across independent executions") {
     // two fresh range-shuffles (fresh sampler seeds) must agree
     val a = graft.pipeline.Splits.shardPack(spark, sf).collect().toSeq
-    val b = graft.pipeline.Splits.shardPack(spark, sf, budget = 2000L).collect().toSeq
+    val b = graft.pipeline.Splits.shardPack(spark, sf).collect().toSeq
     assert(a == b)
   }
 

@@ -143,10 +143,15 @@ class PlanSpec extends GraftSpec {
     val joined = purchases.join(signups,
       col("ts") >= col("lo") && col("ts") < col("hi"))
     val plan = executedPlan(joined)
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"interval join must not plan a nested loop under IntervalJoinRule:\n$plan")
+    // the rewrite fired: narrow intervals hash-join on the bucket key
+    assert(plan.contains("__graft_pbucket") &&
+      (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+      s"interval join must hash-join on the bucket under IntervalJoinRule:\n$plan")
     assert(plan.contains("Generate") || plan.contains("explode"),
       s"expected the bucket explosion in:\n$plan")
+    // only the wide (sentinel-interval) arm may retain a nested loop, and
+    // it is runtime-empty for bounded intervals like these
+    assert(plan.split('\n').count(_.contains("BroadcastNestedLoopJoin")) <= 1, plan)
     // exact result equality vs an in-memory nested loop on the same rows
     val ss = signups.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
     val ps = purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
@@ -160,19 +165,23 @@ class PlanSpec extends GraftSpec {
     assert(got == expected, s"bucketed rewrite changed the result: ${got.size} vs ${expected.size}")
     assert(expected.nonEmpty, "test data must produce at least one interval match")
     // malformed intervals (hi < lo) match nothing — and must not make the
-    // rewritten Sequence throw where the nested loop would just skip them
+    // rewritten Sequence throw where the nested loop would just skip them;
+    // sentinel open-validity intervals (hi = 9999-12-31) must still MATCH,
+    // via the wide arm, without exploding millions of bucket rows
     import spark.implicits._
-    val malformed = Seq(
+    val edgy = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
         java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),  // hi < lo
       (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
-        java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+        java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00")))  // open-ended
       .toDF("sid", "lo", "hi")
     val probes = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
       .toDF("pid", "ts")
-    val rows = probes.join(malformed, col("ts") >= col("lo") && col("ts") < col("hi"))
-      .select(col("sid")).collect().map(_.getLong(0)).toSeq
-    assert(rows == Seq(2L))
+    val rows = probes.join(edgy, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select(col("sid")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(2L, 3L))
   }
 
   test("lineitem scan prunes columns for a 2-column projection") {
