@@ -238,8 +238,12 @@ case class Hamming64(left: Expression, right: Expression)
  * the buffer is (sum of logs, count), so partial (map-side) aggregation
  * and codegen come for free from the algebraic form — exactly how a
  * custom aggregate should scale (merge is two additions, state is 16
- * bytes regardless of group size). Non-positive and null inputs are
- * excluded (the mathematical domain), matching Presto.
+ * bytes regardless of group size). Presto computes exp(avg(ln(x))) over
+ * IEEE doubles, so out-of-domain inputs PROPAGATE rather than being
+ * filtered: a negative or NaN input poisons the group to NaN
+ * (ln off-domain), a zero drives it to 0 (exp(-inf)). This aggregate
+ * reproduces that propagation exactly. Nulls are skipped, as in every
+ * SQL aggregate; an all-null group evaluates to null.
  */
 case class GeometricMean(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
@@ -254,16 +258,22 @@ case class GeometricMean(child: Expression)
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sumLog, n)
   override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0L))
 
-  // NaN must be excluded explicitly: Spark's double ordering ranks NaN
-  // above every value, so GreaterThan(NaN, 0) holds and one NaN row would
-  // otherwise poison the group's sumLog to NaN.
-  private def valid: Expression =
-    And(And(IsNotNull(child), Not(IsNaN(Cast(child, DoubleType)))),
-      GreaterThan(Cast(child, DoubleType), Literal(0.0)))
+  private def x: Expression = Cast(child, DoubleType)
+
+  // Presto's ln over doubles: ln(x>0) real, ln(0) = -Infinity, ln(x<0)
+  // and ln(NaN) = NaN. Spark's Log returns NULL off-domain and the
+  // buffer is non-nullable, so the two poison branches are spelled out.
+  // (NaN ranks above 0 under Spark's ordering, so a NaN input takes the
+  // Log branch — whose NaN <= 0 guard is a primitive comparison that
+  // NaN fails, yielding Math.log(NaN) = NaN. Both routes poison.)
+  private def lnPresto: Expression =
+    If(GreaterThan(x, Literal(0.0)), Log(x),
+      If(EqualTo(x, Literal(0.0)), Literal(Double.NegativeInfinity),
+        Literal(Double.NaN)))
 
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(valid, Add(sumLog, Log(Cast(child, DoubleType))), sumLog),
-    If(valid, Add(n, Literal(1L)), n))
+    If(IsNotNull(child), Add(sumLog, lnPresto), sumLog),
+    If(IsNotNull(child), Add(n, Literal(1L)), n))
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     Add(sumLog.left, sumLog.right),

@@ -59,20 +59,23 @@ object Splits {
   def shardPack(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
     import s.implicits._
     val parts = math.max(s.sparkContext.defaultParallelism, 4)
-    // persisted because BOTH passes must observe the SAME range
-    // boundaries: the range sampler's seed varies per job, so two
-    // unpersisted executions of this exchange could place boundary rows
-    // in different partitions and desynchronize the collected offsets
-    // from the assignment pass. (A multi-pass algorithm re-reads its
-    // working set either way; persisting trades the second shuffle for
-    // storage, MEMORY_AND_DISK so 100 TB spills instead of OOMing.)
+    // localCheckpoint (eager) because BOTH passes must observe the SAME
+    // range boundaries: the range sampler's seed varies per job, so two
+    // unmaterialized executions of this exchange could place boundary
+    // rows in different partitions and desynchronize the collected
+    // offsets from the assignment pass. A cacheManager persist would do
+    // the same job but leaks a session-lifetime cache entry per
+    // invocation (and LRU eviction of it would silently reintroduce the
+    // divergence); the checkpoint RDD instead dies with this frame's
+    // lineage, reclaimed by the ContextCleaner once the returned report
+    // is materialized.
     val docs = Tables.documents(s, d)
       .select(splitLabel(col("doc_id")).as("split"), col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         scatter(col("doc_id")).as("ord"))
       .repartitionByRange(parts, col("split"), col("ord"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("ord"), col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // pass 1: per-(partition, split) totals — numPartitions x splits rows
     val partTotals = docs
       .groupBy(spark_partition_id().as("pid"), col("split"))

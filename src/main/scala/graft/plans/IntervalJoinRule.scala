@@ -48,6 +48,22 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bucket(ts: Expression): Expression =
     IntegralDivide(Cast(ts, LongType), Literal(BucketSeconds))
 
+  /** True when nothing anywhere in the subtree can change between
+    * executions: no nondeterministic expression on any node, and no
+    * Sample (a seeded sample is still partition-order-dependent, so two
+    * executions of the same Sample plan may keep different rows). The
+    * rewrite below emits a Union whose two arms each re-execute the
+    * probe and intervals subtrees INDEPENDENTLY — if either subtree is
+    * nondeterministic, a row's interval span can differ between the
+    * narrow-arm and wide-arm evaluations, duplicating or dropping
+    * matches relative to the original single join. Such plans keep
+    * their original shape. */
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    !p.exists {
+      case _: Sample => true
+      case n => n.expressions.exists(e => !e.deterministic)
+    }
+
   private def isTs(e: Expression): Boolean = e.dataType == TimestampType
 
   /** (probeTs, lo, hi) if the two conjuncts form ts >= lo AND ts < hi with
@@ -82,7 +98,8 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !j.isStreaming &&
-          hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+          hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
+          planDeterministic(left) && planDeterministic(right) =>
       val conjuncts = splitConjunctivePredicates(cond)
       // try (left=probe, right=intervals) then the mirror
       val hit = matchRange(conjuncts, left, right).map((_, true))

@@ -116,13 +116,20 @@ class ExpressionsSpec extends GraftSpec {
     val df = Seq(2.0, 8.0).toDF("x")
     val got = df.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
     assert(math.abs(got - 4.0) < 1e-12) // sqrt(2*8)
-    // nulls, NaN, and non-positive values are excluded, not poisoning
-    val mixed = Seq(Some(3.0), None, Some(-5.0), Some(27.0), Some(0.0),
-      Some(Double.NaN)).toDF("x")
-    val g2 = mixed.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
+    // nulls are skipped, as in every SQL aggregate
+    val withNull = Seq(Some(3.0), None, Some(27.0)).toDF("x")
+    val g2 = withNull.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
     assert(math.abs(g2 - 9.0) < 1e-12) // geomean(3, 27)
-    // all-invalid group -> null, not NaN
-    val none = Seq(-1.0).toDF("x")
+    // Presto exp(avg(ln)) propagation: a negative or NaN input poisons
+    // the group to NaN; a zero drives it to 0 (exp(-inf))
+    val neg = Seq(3.0, -5.0, 27.0).toDF("x")
+    assert(neg.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0).isNaN)
+    val withNaN = Seq(2.0, Double.NaN).toDF("x")
+    assert(withNaN.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0).isNaN)
+    val withZero = Seq(4.0, 0.0).toDF("x")
+    assert(withZero.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0) == 0.0)
+    // all-null group -> null
+    val none = Seq(Option.empty[Double]).toDF("x")
     assert(none.agg(graft.functions.GraftFunctions.geometricMean($"x")).head().isNullAt(0))
     // SQL registration path
     graft.functions.GraftFunctions.install(spark)

@@ -41,6 +41,11 @@ class IncrementalSpec extends GraftSpec {
     val a = graft.pipeline.Splits.shardPack(spark, sf).collect().toSeq
     val b = graft.pipeline.Splits.shardPack(spark, sf).collect().toSeq
     assert(a == b)
+    // and the two invocations left nothing behind: shardPack pins its
+    // range boundaries via localCheckpoint, not a session-lifetime cache
+    // entry (the round-4 ADVICE leak)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shardPack must not leak cacheManager entries")
   }
 
   test("p04 incremental dedup classifies recrawls, batch dupes, and fresh docs") {

@@ -184,6 +184,51 @@ class PlanSpec extends GraftSpec {
     assert(rows == Seq(2L, 3L))
   }
 
+  test("interval join with a nondeterministic subtree keeps its original shape") {
+    import org.apache.spark.sql.functions._
+    // the intervals subtree carries a rand() column: the Union rewrite
+    // would re-execute that subtree once per arm, so the rule must bail —
+    // even though the join condition itself only touches deterministic
+    // columns. (This is the round-4 ADVICE medium: condition-level
+    // determinism is not plan-level determinism.)
+    val ev = Tables.events(spark, sf)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"),
+        rand().as("junk"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts"))
+    val joined = purchases.join(signups,
+      col("ts") >= col("lo") && col("ts") < col("hi"))
+    val plan = executedPlan(joined)
+    assert(!plan.contains("__graft_pbucket") && !plan.contains("Union"),
+      s"rule must not rewrite a nondeterministic subtree:\n$plan")
+    // and the un-rewritten join still answers correctly on the
+    // deterministic columns
+    val ss = signups.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val expected = (for {
+      (pid, ts) <- ps
+      (sid, lo, hi) <- ss
+      if !ts.before(lo) && ts.before(hi)
+    } yield (pid, sid)).toSet
+    val got = joined.select(col("pid"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && expected.nonEmpty)
+    // a sampled intervals subtree must equally keep the original shape:
+    // a seeded sample is still partition-order-dependent across
+    // re-executions
+    val sampled = purchases.join(
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+        .sample(0.5, seed = 42),
+      col("ts") >= col("lo") && col("ts") < col("hi"))
+    val samplePlan = executedPlan(sampled)
+    assert(!samplePlan.contains("__graft_pbucket"),
+      s"rule must not rewrite a Sample subtree:\n$samplePlan")
+  }
+
   test("lineitem scan prunes columns for a 2-column projection") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val plan = executedPlan(df)
