@@ -13,13 +13,17 @@ import graft.sources.Tables
  * and serve SQL text.
  *
  * Usage:
- *   runMain graft.GraftCli <sfDir> "SELECT ...;" ["SELECT ...;" ...]
- *   runMain graft.GraftCli <sfDir> -f script.sql   # ;-terminated statements
+ *   runMain graft.GraftCli <sfDir> [--format table|csv|json] "SELECT ...;" [...]
+ *   runMain graft.GraftCli <sfDir> [--format ...] -f script.sql
  *   runMain graft.GraftCli <sfDir>          # REPL: reads ;-terminated
  *                                           # statements from stdin
  *                                           # (under sbt prefer argv/-f:
  *                                           # sbt does not reliably forward
  *                                           # stdin to the forked JVM)
+ *
+ * `--format csv|json` emits machine-readable rows to stdout — the
+ * reference CLI's `--output-format CSV` (Presto CLI docs); the default
+ * `table` keeps the human show() rendering.
  */
 object GraftCli {
 
@@ -68,29 +72,82 @@ object GraftCli {
       if (!java.nio.file.Files.isReadable(p)) throw new IllegalArgumentException(
         s"GraftCli: script file not found or unreadable: ${args(2)}")
       splitStatements(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).iterator
-    } else if (args.length > 1) args.iterator.drop(1)
-    else {
+    } else if (args.length > 1) {
+      // a stray -f after the first statement would otherwise be executed
+      // as literal SQL, producing a confusing parse error instead of the
+      // usage string — fail fast on any misplaced flag
+      if (args.iterator.drop(1).contains("-f")) throw new IllegalArgumentException(
+        "usage: GraftCli <sfDir> -f <script.sql>  (-f must come immediately after <sfDir>)")
+      args.iterator.drop(1)
+    } else {
       // stdin REPL: statements are ;-terminated, like the reference's CLI
       splitStatements(scala.io.Source.stdin.mkString).iterator
     }
 
+  /** Pull an optional `--format <fmt>` (immediately after sfDir) out of
+    * the argument vector; returns (format, args-without-the-flag). A
+    * stray `--format` anywhere else fails fast like a stray `-f`. */
+  private[graft] def parseFormat(args: Array[String]): (String, Array[String]) =
+    if (args.length > 2 && args(1) == "--format") {
+      val fmt = args(2)
+      if (!Set("table", "csv", "json").contains(fmt)) throw new IllegalArgumentException(
+        s"usage: GraftCli <sfDir> [--format table|csv|json] ... (got --format $fmt)")
+      (fmt, args.patch(1, Nil, 2))
+    } else if (args.iterator.drop(1).contains("--format")) {
+      throw new IllegalArgumentException(
+        "usage: GraftCli <sfDir> [--format table|csv|json] ... " +
+          "(--format must come immediately after <sfDir>)")
+    } else ("table", args)
+
+  /** RFC-4180 quoting: a field containing a comma, quote, or newline is
+    * wrapped in quotes with inner quotes doubled. */
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\"" else s
+
+  /** Render one result to `out`. csv/json stream via toLocalIterator —
+    * partition-at-a-time on the driver, never a full collect, so a
+    * 100 TB result set pipes through the CLI the way the reference's
+    * `--output-format CSV` does. `table` keeps show()'s 100-row peek. */
+  private[graft] def render(df: DataFrame, format: String,
+                            out: java.io.PrintStream): Unit = format match {
+    case "csv" =>
+      out.println(df.columns.map(csvField).mkString(","))
+      df.toLocalIterator().forEachRemaining { row =>
+        out.println(row.toSeq.map(v =>
+          if (v == null) "" else csvField(v.toString)).mkString(","))
+      }
+    case "json" =>
+      df.toJSON.toLocalIterator().forEachRemaining(out.println)
+    case _ => df.show(100, truncate = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
-      sys.error("usage: GraftCli <sfDir> [-f script.sql | sql...]"))
-    val statements = try statementsFrom(args) catch {
+      sys.error("usage: GraftCli <sfDir> [--format table|csv|json] [-f script.sql | sql...]"))
+    val (format, rest) = try parseFormat(args) catch {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage)
         sys.exit(2)
     }
+    val statements = try statementsFrom(rest) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        sys.exit(2)
+    }
+    // when embedded in a JVM that already holds a session (tests, a
+    // notebook), borrow it and leave it running; only stop what we started
+    val preexisting = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     open(spark, sfDir)
     statements.foreach { stmt =>
-      try spark.sql(stmt.stripSuffix(";")).show(100, truncate = false)
+      try render(spark.sql(stmt.stripSuffix(";")), format, System.out)
       catch { case e: Exception =>
         System.err.println(s"[graft-cli] error: ${e.getMessage}")
       }
     }
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 
   /** Inventory entries exercised THROUGH the SQL-text path (same driver

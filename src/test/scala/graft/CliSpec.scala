@@ -59,6 +59,58 @@ class CliSpec extends GraftSpec {
       GraftCli.statementsFrom(Array("sf", "-f", f.toString, "extra.sql")))
     intercept[IllegalArgumentException](
       GraftCli.statementsFrom(Array("sf", "-f", "/nonexistent/x.sql")))
+    // a misplaced -f among bare statements fails fast with the usage
+    // string instead of being executed as literal SQL
+    val stray = intercept[IllegalArgumentException](
+      GraftCli.statementsFrom(Array("sf", "SELECT 1", "-f", f.toString)))
+    assert(stray.getMessage.contains("usage"), stray.getMessage)
+  }
+
+  test("--format csv emits a parseable round-trip of s01 through the real main") {
+    val s01 = """SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+    val baos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(baos, true, "UTF-8")
+    val saved = System.out
+    System.setOut(ps)
+    try GraftCli.main(Array(sf, "--format", "csv", s01))
+    finally { System.setOut(saved); ps.flush() }
+    // main borrowed the suite session and must NOT have stopped it
+    assert(!spark.sparkContext.isStopped, "CLI main must not stop a borrowed session")
+    val lines = new String(baos.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    assert(lines.head == "l_returnflag,l_linestatus,sum_qty,n", lines.head)
+    val parsed = lines.tail.map(_.split(",", -1).toSeq)
+    val expected = GraftCli.queries("s01_sql_agg")(spark, sf).collect().map(r =>
+      Seq(r.getString(0), r.getString(1), r.getDouble(2).toString, r.getLong(3).toString))
+    assert(parsed == expected.toSeq, s"CSV round-trip mismatch:\n$parsed\nvs\n${expected.toSeq}")
+  }
+
+  test("--format json streams one JSON object per row; quoting rules hold") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(lit("a,b").as("c1"), lit("say \"hi\"").as("c2"),
+      lit(7L).as("n"))
+    val baos = new java.io.ByteArrayOutputStream()
+    GraftCli.render(df, "json", new java.io.PrintStream(baos, true, "UTF-8"))
+    assert(new String(baos.toByteArray, "UTF-8").trim ==
+      """{"c1":"a,b","c2":"say \"hi\"","n":7}""")
+    val csv = new java.io.ByteArrayOutputStream()
+    GraftCli.render(df, "csv", new java.io.PrintStream(csv, true, "UTF-8"))
+    val Seq(hdr, row) = new String(csv.toByteArray, "UTF-8").linesIterator.toSeq
+    assert(hdr == "c1,c2,n")
+    assert(row == "\"a,b\",\"say \"\"hi\"\"\",7") // RFC-4180 quoting
+  }
+
+  test("--format parses only immediately after sfDir; bad values fail fast") {
+    assert(GraftCli.parseFormat(Array("sf", "--format", "csv", "SELECT 1"))._1 == "csv")
+    assert(GraftCli.parseFormat(Array("sf", "SELECT 1"))._1 == "table")
+    intercept[IllegalArgumentException](
+      GraftCli.parseFormat(Array("sf", "--format", "xml", "SELECT 1")))
+    intercept[IllegalArgumentException](
+      GraftCli.parseFormat(Array("sf", "SELECT 1", "--format", "csv")))
   }
 
   test("all s-entries run through the SQL-text path and return rows") {
