@@ -1772,6 +1772,17 @@ object OracleSql {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // q108: deterministic TABLESAMPLE — the oracle replays the exact
+    // hash threshold, so the sampled set (not just its size) must agree.
+    "q108_tablesample" -> s"""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_sampled,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+        ${dsum("o_totalprice")} AS sampled_value
+      FROM orders
+      WHERE (o_orderkey * 69069 + 12345) % 1048576 < 104858
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q105_conditional_scalars" -> """
       SELECT l_orderkey, l_linenumber,
         round(GREATEST(l_quantity, l_discount * 100, l_tax * 100), 2) AS hi,

@@ -155,6 +155,7 @@ object SparkEntry {
     "q105_conditional_scalars" -> (Relational.q105 _),
     "q106_sketch_merge" -> (Relational.q106 _),
     "q107_geomean" -> (Relational.q107 _),
+    "q108_tablesample" -> (Relational.q108 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

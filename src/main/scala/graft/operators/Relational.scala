@@ -1390,6 +1390,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  // --- q108: deterministic TABLESAMPLE ----------------------------------
+  // Presto's `TABLESAMPLE BERNOULLI(10)` draws rows by RNG. Spark's
+  // seeded df.sample(fraction, seed) is NOT the engine form of that: its
+  // RNG is applied per partition in row-arrival order, so the kept set
+  // changes whenever the partition layout does — a different cluster, an
+  // AQE coalesce, or a re-read after a shuffle all sample DIFFERENT rows
+  // under the same seed. The engine's sampling operator is a hash
+  // threshold on the stable key instead (the same multiplicative scatter
+  // as pipeline/Splits.splitLabel): ~10% of rows, bit-reproducible on any
+  // layout, SQL-replayable by the oracle, and a pure narrow filter that
+  // evaluates inside the scan — no shuffle, no RNG state, pushdown-able.
+  def q108(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey") * lit(69069L) + lit(12345L),
+        lit(1048576L)) < lit(104858L))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("o_orderkey")).as("key_checksum"),
+        dsum(col("o_totalprice")).as("sampled_value"))
+      .orderBy(col("o_orderpriority"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
