@@ -1716,6 +1716,65 @@ object OracleSql {
         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
       FROM c GROUP BY split, shard_id ORDER BY split, shard_id""",
 
+    "p06_global_shuffle" -> """
+      WITH t AS (
+        SELECT doc_id, (doc_id * 69069 + 12345) % 1048576 AS pos_key,
+               ((doc_id * 69069 + 12345) % 1048576) % 16 AS shard
+        FROM documents),
+      r AS (
+        SELECT shard, doc_id,
+          row_number() OVER (PARTITION BY shard ORDER BY pos_key, doc_id) AS rn
+        FROM t)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+        CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
+      FROM r GROUP BY shard ORDER BY shard""",
+
+    "p07_mixture" -> """
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+        CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE (doc_id * 48271 + 11) % 1048576 <
+        CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) < 5 THEN 1048576
+             WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) < 10 THEN 524288
+             ELSE 104858 END
+      GROUP BY source ORDER BY source""",
+
+    // d08: the oracle groups on the chunk text itself — md5 on the Spark
+    // side is only the shuffle-key narrowing, multiplicities are equal.
+    "d08_chunk_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(len(ws) // 10)) AS j FROM w),
+      c AS (SELECT doc_id,
+              array_to_string(ws[j*10+1 : j*10+10], ' ') AS chunk FROM idx),
+      cnt AS (SELECT chunk, COUNT(*) AS cn FROM c GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      FROM c JOIN cnt USING(chunk)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "t10_unigram_lm" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      f AS (SELECT word, COUNT(*) AS wn FROM w GROUP BY 1),
+      t AS (SELECT COUNT(*) AS tot FROM w)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        round(CAST(SUM(CAST(ln(CAST(wn AS DOUBLE) / CAST(tot AS DOUBLE))
+                            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+      FROM w JOIN f USING(word), t
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "e08_retention" -> """
+      WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+            FROM p GROUP BY 1)
+      SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', cw, date_trunc('week', p.ts)) / 7 AS INTEGER) AS week_k,
+        COUNT(DISTINCT p.user_id) AS n_active
+      FROM p JOIN f USING(user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_k""",
+
     // q101: struct min/max replayed as asc/desc row_number picks.
     "q101_struct_minmax" -> """
       WITH ranked AS (

@@ -67,6 +67,7 @@ object SparkEntry {
     "e05_funnel" -> (Events.funnel _),
     "e06_sliding_window" -> (Events.sliding _),
     "e07_session_window" -> (Events.sessionWindows _),
+    "e08_retention" -> (Events.retention _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "t07_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetition(s, d)),
     "t08_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "t09_tfidf" -> (TextAnalysis.tfidf _),
+    "t10_unigram_lm" -> (TextAnalysis.unigramLm _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -87,11 +89,14 @@ object SparkEntry {
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
     "d07_contamination" -> (Dedup.contamination _),
+    "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
     "p04_incremental_dedup" -> (graft.pipeline.Incremental.incrementalDedup _),
     "p05_shard_pack" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.shardPack(s, d)),
+    "p06_global_shuffle" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.globalShuffle(s, d)),
+    "p07_mixture" -> (graft.pipeline.Splits.mixture _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),

@@ -239,4 +239,38 @@ object Dedup {
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
       .orderBy(col("vec_id"))
   }
+
+  /** Non-overlapping `n`-word chunks of `text` (the CCNet "line" unit
+    * when the corpus has no line structure). Pure higher-order builtins,
+    * fully codegen; the k>0 guard keeps sequence() from going descending
+    * on short docs. */
+  private def chunks(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    val k = floor(size(ws) / n).cast("int")
+    when(k > lit(0),
+      transform(sequence(lit(0), k - 1),
+        i => array_join(slice(ws, i * n + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** d08: corpus-wide chunk-level exact dedup — the CCNet line-dedup
+    * topology (boilerplate headers/footers repeat across millions of
+    * pages; removing repeated chunks, not whole docs, is what actually
+    * cleans a web corpus). Each doc explodes to its 10-word chunks; the
+    * shuffle key is md5(chunk) — a fixed 16-byte digest, so the exchange
+    * never carries chunk text — chunk multiplicities aggregate, and a
+    * digest-keyed join labels each instance. Per-doc report: chunk count
+    * and how many of its chunks also occur elsewhere in the corpus. */
+  def chunkDedup(s: SparkSession, d: String, chunkWords: Int = 10): DataFrame = {
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"), explode(chunks(col("text"), chunkWords)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ck"))
+    val counts = inst.groupBy(col("ck")).agg(count(lit(1)).as("cn"))
+    inst.join(counts, Seq("ck"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -147,4 +147,30 @@ object Events {
       .select(col("r.stage"), col("r.n_users"), col("r.conv_from_signup"))
       .orderBy(col("stage"))
   }
+
+  /** e08: weekly cohort retention — the classic product-analytics matrix
+    * Presto serves. Cohort = ISO week of a user's first purchase; cell
+    * (cohort, k) = distinct users of that cohort purchasing again k weeks
+    * later. Two hash shuffles total (first-purchase agg on user_id, then
+    * the cohort×k distinct-count) plus one equi-join of the events frame
+    * to the per-user cohort dim — at corpus scale the dim is orders of
+    * magnitude smaller than the fact and broadcasts; nothing here is
+    * driver-side or partition-order-dependent. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val cohorts = purchases
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    purchases.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / lit(7))
+          .cast("int").as("week_k"))
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_k"), col("n_active"))
+      .orderBy(col("cohort_week"), col("week_k"))
+  }
 }

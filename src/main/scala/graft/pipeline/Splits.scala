@@ -110,6 +110,53 @@ object Splits {
       .orderBy(col("split"), col("shard_id"))
   }
 
+  /** p06: deterministic global training shuffle — the order a dataloader
+    * reads. rand()-based shuffling is partition-order-dependent and
+    * unrepeatable; instead each doc's position is its key scatter: shard
+    * = scatter % nShards (balanced, stable), position within shard =
+    * scatter order. The window partitions BY SHARD, so at corpus scale
+    * each shard sorts independently in parallel — there is no global
+    * single-task sort anywhere. The report checksums the ORDER itself
+    * (sum of position·doc_id), not just membership, so any change to the
+    * shuffle order breaks the oracle hash. */
+  def globalShuffle(s: SparkSession, d: String, nShards: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pos_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), scatter(col("doc_id")).as("pos_key"),
+        pmod(scatter(col("doc_id")), lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** p07: weighted source mixture — the up/down-sampling step every
+    * training recipe applies (keep all of the curated sources, half of
+    * the mid tier, a tenth of the web crawl). Sampling is a hash
+    * threshold like q108, but with a DIFFERENT multiplier (48271,
+    * MINSTD) than the split/shuffle scatter (69069): a shifted version
+    * of the same hash would correlate the mixture with the train/val
+    * split; a different multiplier decorrelates them. Pure narrow
+    * filter; only the per-source report aggregates. */
+  def mixture(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val threshold = when(srcNum < 5, lit(1048576L))   // keep 100%
+      .when(srcNum < 10, lit(524288L))                // keep ~50%
+      .otherwise(lit(104858L))                        // keep ~10%
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id") * lit(48271L) + lit(11L), lit(1048576L)) < threshold)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   /** p02: stratified cap — keep at most `cap` docs per language, chosen
     * by deterministic hash order (so the sample is stable and unbiased by
     * ingestion order). The window sorts only within each stratum; at

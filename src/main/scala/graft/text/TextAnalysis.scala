@@ -231,6 +231,32 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** t10: unigram language-model scoring — the cheapest useful
+    * perplexity proxy for corpus quality filtering (a doc of globally
+    * rare tokens scores low; a doc of common tokens scores high;
+    * gibberish sinks). Pass 1 aggregates corpus word frequencies (a
+    * vocabulary-bounded shuffle); pass 2 joins each word instance to its
+    * log-probability on the word key and averages per doc. The corpus
+    * text is scanned twice and shuffled only as (word, count) pairs —
+    * never as documents. Decimal accumulation of the per-word logs makes
+    * the per-doc average independent of partition order. */
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freqs = words.groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    val total = words.agg(count(lit(1)).as("tot"))
+    words.join(freqs, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("wn").cast("double") / col("tot").cast("double")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round((sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

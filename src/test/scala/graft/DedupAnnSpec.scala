@@ -78,4 +78,19 @@ class DedupAnnSpec extends GraftSpec {
     val buckets = res.map(_.getAs[Long]("bucket")).distinct
     assert(buckets.forall(b => b >= 0 && b < (1L << 16)))
   }
+
+  test("d08 chunk dedup finds repeated chunks and preserves every chunked doc") {
+    val res = Dedup.chunkDedup(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))
+      assert(n >= 1 && dup >= 0 && dup <= n)
+    }
+    // the synthetic corpus has genuinely repeated 10-word runs — if this
+    // ever goes to zero the operator is vacuous, not passing
+    assert(res.map(_.getAs[Long]("n_dup_chunks")).sum > 0)
+    // the chunk-count shuffle keys on the md5 digest, never the text
+    val plan = Dedup.chunkDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

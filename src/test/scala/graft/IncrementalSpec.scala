@@ -195,4 +195,47 @@ class IncrementalSpec extends GraftSpec {
       assert(math.abs(p99 - e(2)) / e(2) < 0.01)
     }
   }
+
+  test("p06 global shuffle covers every doc once, shards balanced, order pinned") {
+    val res = graft.pipeline.Splits.globalShuffle(spark, sf).collect()
+    assert(res.length == 16)
+    val total = res.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == nDocs, s"shuffle must be a permutation: $total vs $nDocs")
+    val counts = res.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= counts.min * 2, s"hash sharding skewed: ${counts.toSeq}")
+    // identical across independent executions — that's the whole point
+    val res2 = graft.pipeline.Splits.globalShuffle(spark, sf).collect()
+    assert(res.sameElements(res2))
+  }
+
+  test("p07 mixture keeps full top tier and downsamples the web tier ~10x") {
+    val kept = graft.pipeline.Splits.mixture(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val totals = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    (0 until 5).foreach { i =>
+      assert(kept(s"src$i") == totals(s"src$i"), s"src$i must keep 100%")
+    }
+    val webKept = (10 until 20).map(i => kept.getOrElse(s"src$i", 0L)).sum.toDouble
+    val webTotal = (10 until 20).map(i => totals(s"src$i")).sum.toDouble
+    assert(webKept / webTotal > 0.03 && webKept / webTotal < 0.25,
+      s"web tier keep rate ${webKept / webTotal} should be ~0.1")
+  }
+
+  test("e08 retention matrix: k=0 reproduces each cohort's size") {
+    val rows = graft.operators.Events.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k0 = rows.filter(_.getAs[Int]("week_k") == 0)
+      .map(r => r.getAs[String]("cohort_week") -> r.getAs[Long]("n_active")).toMap
+    // every cohort appears at k=0 (a user purchases in their own first week
+    // by construction) and no later week exceeds the cohort's size
+    rows.foreach { r =>
+      val c = r.getAs[String]("cohort_week")
+      assert(k0.contains(c), s"cohort $c missing k=0 row")
+      assert(r.getAs[Long]("n_active") <= k0(c))
+      assert(r.getAs[Int]("week_k") >= 0)
+    }
+  }
 }

@@ -62,4 +62,19 @@ class TextAnalysisSpec extends GraftSpec {
     val res2 = graft.text.TextAnalysis.fingerprint(spark, sf).collect()
     assert(res.sameElements(res2))
   }
+
+  test("t10 unigram LM scores are finite, negative, and rank common above rare") {
+    val res = graft.text.TextAnalysis.unigramLm(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val lp = r.getAs[Double]("avg_logp")
+      assert(!lp.isNaN && !lp.isInfinite && lp < 0.0, s"bad avg_logp $lp")
+      assert(r.getAs[Long]("n_tokens") >= 1)
+    }
+    // every word's unigram probability is at most the most-frequent
+    // word's, so no doc can out-score ln(max_p); and a doc made of the
+    // corpus's commonest words must beat the corpus median score
+    val scores = res.map(_.getAs[Double]("avg_logp")).sorted
+    assert(scores.last > scores(scores.length / 2))
+  }
 }
