@@ -1285,6 +1285,20 @@ object OracleSql {
     // Replays Multimodal.decodeStub: byte stats over the UTF-8 payload.
     // Entropy sums in group order vs the kernel's byte-ascending order —
     // double-add jitter ~1e-15, absorbed by the 4dp rounding.
+    // m05: the oracle replays the doc_id-derived WAV parameters — the
+    // Spark side must recover the same values from the actual RIFF bytes.
+    "m05_audio_meta" -> """
+      SELECT doc_id, 'wav' AS format,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             ELSE 44100 END AS INTEGER) AS sample_rate,
+        CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        CAST(16 AS INTEGER) AS bits,
+        CAST(n_chars AS BIGINT) AS n_samples,
+        CAST(n_chars * 1000000 // (CASE doc_id % 3 WHEN 0 THEN 8000
+             WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_us,
+        true AS decode_ok
+      FROM documents ORDER BY doc_id""",
+
     "m01_multimodal_meta" -> """
       WITH n AS (
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -179,7 +179,8 @@ object SparkEntry {
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
-    "m04_perceptual_hash" -> (Multimodal.perceptualHash _)
+    "m04_perceptual_hash" -> (Multimodal.perceptualHash _),
+    "m05_audio_meta" -> (Multimodal.audioMeta _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

@@ -173,4 +173,37 @@ object Multimodal {
         round(col("frame_mean"), 4).as("frame_mean"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** m05: audio metadata extraction — the audio arm of the multimodal
+    * ingest. Each payload carries a REAL RIFF/WAVE PCM header (built by
+    * [[AudioHeaders]] with rate/channels derived from doc_id, so the
+    * oracle verifies the byte-level parse recovers them exactly) over
+    * text bytes standing in for PCM. The decoder is a narrow
+    * partition-wise chunk walk that never reads the body — the 100 TB
+    * first-pass shape for audio corpora. duration_us is integer
+    * microseconds (exact arithmetic, no float jitter cross-engine). */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val channels = (id % 2 + 1).toInt
+        (id, AudioHeaders.wav(rate, channels, 16, nChars) ++ text.getBytes("UTF-8"))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioHeaders.parseWav(bytes) match {
+            case Some(p) =>
+              (id, "wav", p.sampleRate, p.channels, p.bits, p.nSamples,
+                p.nSamples * 1000000L / p.sampleRate, true)
+            case None => (id, "unknown", 0, 0, 0, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "sample_rate", "channels", "bits",
+        "n_samples", "duration_us", "decode_ok")
+      .orderBy(col("doc_id"))
+  }
 }

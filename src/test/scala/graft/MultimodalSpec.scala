@@ -80,4 +80,37 @@ class MultimodalSpec extends GraftSpec {
       assert(ent >= 0.0 && ent <= 8.0)
     }
   }
+
+  test("WAV codec round-trips, walks extra chunks, and rejects corrupt bytes") {
+    import graft.multimodal.AudioHeaders
+    val h = AudioHeaders.wav(44100, 2, 16, 1000L)
+    assert(h.length == 44)
+    val p = AudioHeaders.parseWav(h ++ Array.fill[Byte](64)(7)).get
+    assert(p.sampleRate == 44100 && p.channels == 2 && p.bits == 16 &&
+      p.nSamples == 1000L && p.headerLen == 44)
+    // a LIST chunk between fmt and data must be skipped by declared size
+    val withList = h.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++ h.drop(36)
+    val p2 = AudioHeaders.parseWav(withList).get
+    assert(p2.nSamples == 1000L && p2.sampleRate == 44100)
+    // corrupt magic / truncated / non-PCM all refuse instead of garbage
+    assert(AudioHeaders.parseWav("JUNKJUNKJUNK".getBytes ++ h.drop(12)).isEmpty)
+    assert(AudioHeaders.parseWav(h.take(20)).isEmpty)
+    val nonPcm = h.clone(); nonPcm(20) = 3 // format tag != 1
+    assert(AudioHeaders.parseWav(nonPcm).isEmpty)
+  }
+
+  test("m05 audio metadata parses every record from real RIFF bytes") {
+    val rows = Multimodal.audioMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(Set(8000, 16000, 44100).contains(r.getAs[Int]("sample_rate")))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("channels") == (id % 2 + 1).toInt)
+      assert(r.getAs[Long]("duration_us") ==
+        r.getAs[Long]("n_samples") * 1000000L / r.getAs[Int]("sample_rate"))
+    }
+  }
 }
