@@ -1299,6 +1299,18 @@ object OracleSql {
         true AS decode_ok
       FROM documents ORDER BY doc_id""",
 
+    // m06: same discipline as m05 — the doc_id-derived MP4 parameters
+    // must be recovered from the actual ISO-BMFF box walk to match.
+    "m06_video_meta" -> """
+      SELECT doc_id, 'isom' AS brand,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             ELSE 90000 END AS BIGINT) AS timescale,
+        CAST(n_chars AS BIGINT) AS duration_ticks,
+        CAST(n_chars * 1000 // (CASE doc_id % 3 WHEN 0 THEN 600
+             WHEN 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS duration_ms,
+        true AS decode_ok
+      FROM documents ORDER BY doc_id""",
+
     "m01_multimodal_meta" -> """
       WITH n AS (
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -180,7 +180,8 @@ object SparkEntry {
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "m04_perceptual_hash" -> (Multimodal.perceptualHash _),
-    "m05_audio_meta" -> (Multimodal.audioMeta _)
+    "m05_audio_meta" -> (Multimodal.audioMeta _),
+    "m06_video_meta" -> (Multimodal.videoMeta _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

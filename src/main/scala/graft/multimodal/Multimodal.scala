@@ -206,4 +206,33 @@ object Multimodal {
         "n_samples", "duration_us", "decode_ok")
       .orderBy(col("doc_id"))
   }
+
+  /** m06: video metadata extraction — the video arm. Each payload is a
+    * REAL MP4 (ISO-BMFF) structure built by [[VideoHeaders]] with
+    * timescale/duration derived from doc_id; the decoder walks the box
+    * tree (ftyp brand, moov → mvhd timing) and never opens mdat — the
+    * 100 TB first-pass shape for video corpora. Integer-millisecond
+    * durations keep the oracle float-free. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val timescale = (id % 3) match { case 0 => 600; case 1 => 1000; case _ => 90000 }
+        (id, VideoHeaders.mp4(timescale, nChars.toInt) ++ text.getBytes("UTF-8"))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          VideoHeaders.parseMp4(bytes) match {
+            case Some(p) =>
+              (id, p.brand, p.timescale, p.durationTicks,
+                p.durationTicks * 1000L / p.timescale, true)
+            case None => (id, "unknown", 0L, 0L, 0L, false)
+          }
+        }
+      }
+      .toDF("doc_id", "brand", "timescale", "duration_ticks", "duration_ms", "decode_ok")
+      .orderBy(col("doc_id"))
+  }
 }

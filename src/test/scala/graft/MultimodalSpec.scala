@@ -101,6 +101,39 @@ class MultimodalSpec extends GraftSpec {
     assert(AudioHeaders.parseWav(nonPcm).isEmpty)
   }
 
+  test("MP4 codec round-trips v0 and v1 mvhd and refuses malformed boxes") {
+    import graft.multimodal.VideoHeaders
+    val b = VideoHeaders.mp4(90000, 12345)
+    val p = VideoHeaders.parseMp4(b ++ "trailing-bytes".getBytes).get
+    assert(p.brand == "isom" && p.timescale == 90000L && p.durationTicks == 12345L)
+    // hand-build a v1 mvhd (64-bit times) and check the other layout
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val v1body = Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1000) ++ be32(0) ++ be32(7000)
+    val mvhd = be32(8 + v1body.length) ++ "mvhd".getBytes ++ v1body
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "mp42".getBytes ++ be32(0)
+    val p1 = VideoHeaders.parseMp4(ftyp ++ moov).get
+    assert(p1.brand == "mp42" && p1.timescale == 1000L && p1.durationTicks == 7000L)
+    // malformed: missing moov, truncated, lying box size
+    assert(VideoHeaders.parseMp4(ftyp).isEmpty)
+    assert(VideoHeaders.parseMp4(b.take(30)).isEmpty)
+    val lying = b.clone(); lying(0) = 127 // ftyp size far past the buffer
+    assert(VideoHeaders.parseMp4(lying).isEmpty)
+  }
+
+  test("m06 video metadata parses every record from real MP4 boxes") {
+    val rows = Multimodal.videoMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[String]("brand") == "isom")
+      assert(Set(600L, 1000L, 90000L).contains(r.getAs[Long]("timescale")))
+      assert(r.getAs[Long]("duration_ms") ==
+        r.getAs[Long]("duration_ticks") * 1000L / r.getAs[Long]("timescale"))
+    }
+  }
+
   test("m05 audio metadata parses every record from real RIFF bytes") {
     val rows = Multimodal.audioMeta(spark, sf).collect()
     assert(rows.nonEmpty)
