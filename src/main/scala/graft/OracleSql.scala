@@ -1884,6 +1884,207 @@ object OracleSql {
       FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ws FROM documents) a
       JOIN (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ws FROM documents) b
         ON b.doc_id = a.doc_id + 1
-      ORDER BY id_a"""
+      ORDER BY id_a""",
+
+    // q109: Wilson interval — exact counts in, pure IEEE scalar math out;
+    // both engines compute bit-identical doubles before the 6dp round.
+    "q109_wilson" -> """
+      WITH agg AS (
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM lineitem GROUP BY l_returnflag),
+      s AS (
+        SELECT l_returnflag, n, k,
+          CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        FROM agg)
+      SELECT l_returnflag, n, k,
+        round(p, 6) AS p_hat,
+        round((p + 1.96*1.96/(nd*2) - 1.96*sqrt(p*(1.0-p)/nd + 1.96*1.96/(nd*nd*4)))
+          / (1.0 + 1.96*1.96/nd), 6) AS wilson_lower,
+        round((p + 1.96*1.96/(nd*2) + 1.96*sqrt(p*(1.0-p)/nd + 1.96*1.96/(nd*nd*4)))
+          / (1.0 + 1.96*1.96/nd), 6) AS wilson_upper
+      FROM s ORDER BY l_returnflag""",
+
+    "e09_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      stats AS (
+        SELECT event_type,
+          CAST(CAST(SUM(CAST(n AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean,
+          sqrt((CAST(SUM(CAST(n * n AS DECIMAL(28,2))) AS DOUBLE)
+            - CAST(SUM(CAST(n AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(n AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)) AS std
+        FROM hourly GROUP BY event_type)
+      SELECT event_type, hour_start, n, z, rn FROM (
+        SELECT h.event_type,
+          strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+          h.n, round((h.n - s.mean) / s.std, 4) AS z,
+          CAST(row_number() OVER (PARTITION BY h.event_type
+            ORDER BY abs((h.n - s.mean) / s.std) DESC, h.hour) AS INTEGER) AS rn
+        FROM hourly h JOIN stats s USING (event_type)) t
+      WHERE rn <= 5 ORDER BY event_type, rn""",
+
+    // e10: ordering key is (microsecond epoch, event_id) on BOTH sides so
+    // nanosecond source precision cannot fork ranks between engines.
+    "e10_attribution" -> """
+      WITH ranked AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+          last_value(CASE WHEN event_type IN ('click','view') THEN event_id END
+            IGNORE NULLS) OVER w AS touch_id,
+          last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+            IGNORE NULLS) OVER w AS touch_type,
+          last_value(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END
+            IGNORE NULLS) OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, touch_id, touch_type,
+        CAST(us - touch_us AS BIGINT) AS gap_us
+      FROM ranked
+      WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+      ORDER BY event_id""",
+
+    "t11_gopher_quality" -> raw"""
+      WITH f AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_words,
+          CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1)
+            AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS mean_raw,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> regexp_matches(w, '^[a-zA-Z]+$$'))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+')) AS alpha_raw,
+          CAST((length(' ' || lower(text) || ' ')
+                - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+             + (length(' ' || lower(text) || ' ')
+                - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+             + (length(' ' || lower(text) || ' ')
+                - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+             + (length(' ' || lower(text) || ' ')
+                - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+            AS INTEGER) AS n_stopwords
+        FROM documents)
+      SELECT doc_id, n_words,
+        round(mean_raw, 4) AS mean_word_len,
+        round(alpha_raw, 4) AS alpha_frac,
+        n_stopwords,
+        (n_words BETWEEN 50 AND 100000
+          AND round(mean_raw, 4) BETWEEN 3.0 AND 10.0
+          AND round(alpha_raw, 4) >= 0.8 AND n_stopwords >= 1) AS keep
+      FROM f ORDER BY doc_id""",
+
+    // t12: same padded-occurrence tf, df/avgdl replayed; per-term
+    // contributions decimal-accumulate before the 4dp round.
+    "t12_bm25" -> raw"""
+      WITH terms(term) AS (VALUES ('spark'), ('query'), ('join'), ('vector'), ('stream')),
+      docs AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS padded,
+          len(string_split_regex(trim(text), '\s+')) AS dl
+        FROM documents),
+      per_term AS (
+        SELECT doc_id, dl, term,
+          CAST((length(padded) - length(replace(padded, ' ' || term || ' ', '')))
+            AS DOUBLE) / (length(term) + 2) AS tf
+        FROM docs CROSS JOIN terms),
+      stats AS (
+        SELECT term, COUNT(*) AS n_docs,
+          SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        FROM per_term GROUP BY term),
+      g AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM docs)
+      SELECT doc_id, n_tokens, bm25 FROM (
+        SELECT p.doc_id, MAX(p.dl) AS n_tokens,
+          round(CAST(SUM(CAST(
+            ln((s.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+              * p.tf * (1.2 + 1.0)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / g.avgdl))
+            AS DECIMAL(26,12))) AS DOUBLE), 4) AS bm25
+        FROM per_term p JOIN stats s USING (term) CROSS JOIN g
+        GROUP BY p.doc_id) t
+      WHERE bm25 > 0 ORDER BY doc_id""",
+
+    // t13: OLS closed form over decimal sums of 8dp-rounded logs — builtin
+    // regr_slope accumulates engine-specifically, the closed form is exact.
+    "t13_zipf" -> raw"""
+      WITH counts AS (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents) t
+        GROUP BY w),
+      vocab AS (SELECT COUNT(*) AS n_vocab FROM counts),
+      top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk
+        FROM counts ORDER BY n DESC, w LIMIT 100),
+      fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+          CAST(SUM(CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(round(ln(CAST(rnk AS DOUBLE)), 8)
+            * round(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(round(ln(CAST(rnk AS DOUBLE)), 8)
+            * round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        FROM top)
+      SELECT CAST(n_vocab AS BIGINT) AS n_vocab, CAST(k AS BIGINT) AS n_top,
+        round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+        round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4) AS intercept
+      FROM fit CROSS JOIN vocab""",
+
+    // a06: centroid replay (LIMIT 8 of the scatter order), argmax by
+    // (sim DESC, cent_id DESC) — the a02 rule — then the Lloyd update as
+    // per-(cell, dim) decimal sums.
+    "a06_kmeans" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+               ORDER BY (vec_id * 69069 + 1) % 1048576, vec_id LIMIT 8),
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cent_id FROM cent
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cent_id DESC LIMIT 1) AS cell,
+          (SELECT round(MAX(${cos("e.emb", "cemb")}), 6) FROM cent) AS sim
+        FROM e),
+      cohesion AS (
+        SELECT cell, COUNT(*) AS n_members,
+          round(CAST(SUM(CAST(sim AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS avg_sim
+        FROM assigned GROUP BY cell),
+      dims AS (
+        SELECT cell, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+        FROM assigned),
+      sums AS (
+        SELECT cell, i,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx, COUNT(*) AS n
+        FROM dims GROUP BY cell, i),
+      norms AS (
+        SELECT cell,
+          round(sqrt(CAST(SUM(CAST((sx / n) * (sx / n) AS DECIMAL(28,12))) AS DOUBLE)), 6)
+            AS centroid_norm
+        FROM sums GROUP BY cell)
+      SELECT cell, n_members, avg_sim, centroid_norm
+      FROM cohesion JOIN norms USING (cell) ORDER BY cell""",
+
+    // a07: within-cell pairs only (i < j), threshold on round(cos, 4),
+    // victim = higher vec_id — collect-order independence replayed.
+    "a07_semantic_dedup" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+               ORDER BY (vec_id * 69069 + 1) % 1048576, vec_id LIMIT 32),
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cent_id FROM cent
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cent_id DESC LIMIT 1) AS cell
+        FROM e),
+      pairs AS (
+        SELECT a.cell, b.vec_id AS victim
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(${cos("a.emb", "b.emb")}, 4) >= 0.35),
+      dropped AS (
+        SELECT cell, COUNT(DISTINCT victim) AS n_dropped FROM pairs GROUP BY cell)
+      SELECT a.cell, COUNT(*) AS n_members,
+        COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
+        COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS n_kept
+      FROM assigned a LEFT JOIN dropped d ON d.cell = a.cell
+      GROUP BY a.cell ORDER BY a.cell"""
   )
 }

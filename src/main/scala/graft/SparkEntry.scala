@@ -68,6 +68,8 @@ object SparkEntry {
     "e06_sliding_window" -> (Events.sliding _),
     "e07_session_window" -> (Events.sessionWindows _),
     "e08_retention" -> (Events.retention _),
+    "e09_anomaly" -> (Events.anomaly _),
+    "e10_attribution" -> (Events.attribution _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -79,6 +81,9 @@ object SparkEntry {
     "t08_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "t09_tfidf" -> (TextAnalysis.tfidf _),
     "t10_unigram_lm" -> (TextAnalysis.unigramLm _),
+    "t11_gopher_quality" -> (TextAnalysis.gopherQuality _),
+    "t12_bm25" -> (TextAnalysis.bm25 _),
+    "t13_zipf" -> (TextAnalysis.zipfSlope _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -161,6 +166,7 @@ object SparkEntry {
     "q106_sketch_merge" -> (Relational.q106 _),
     "q107_geomean" -> (Relational.q107 _),
     "q108_tablesample" -> (Relational.q108 _),
+    "q109_wilson" -> (Relational.q109 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
@@ -175,6 +181,8 @@ object SparkEntry {
     "a03_knn_join" -> (Ann.knnJoin _),
     "a04_quantize" -> (Ann.quantize _),
     "a05_quantized_recall" -> (Ann.quantizedRecall _),
+    "a06_kmeans" -> (Ann.kmeansStep _),
+    "a07_semantic_dedup" -> (Ann.semanticDedup _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

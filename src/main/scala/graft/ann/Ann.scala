@@ -130,12 +130,29 @@ object Ann {
     * constants keep vec_id * 69069 within Long for any plausible corpus
     * (overflow needs vec_id > 1.3e14 ≈ 300x a 100 TB embedding table).
     * Package-visible so PlanSpec can pin the TakeOrdered shape. */
-  private[graft] def centroidFrame(emb: DataFrame): DataFrame = {
+  private[graft] def centroidFrame(emb: DataFrame, k: Int = NList): DataFrame = {
     val scatter = pmod(col("vec_id") * lit(69069L) + lit(1L), lit(1048576L))
     emb.select(col("vec_id"), col("embedding"))
       .orderBy(scatter, col("vec_id"))
-      .limit(NList)
+      .limit(k)
   }
+
+  /** Collected centroid set — the ONLY driver materialization in the ANN
+    * family, provably bounded at k rows whatever the corpus size (the
+    * frame above is a TakeOrderedAndProject). */
+  private def collectCentroids(emb: DataFrame, k: Int): Array[(Long, Seq[Float])] =
+    centroidFrame(emb, k).collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+
+  /** (sim, cent_id) structs for a vector against every centroid literal —
+    * lexicographic array_max = argmax with ties to the higher cent_id
+    * (the a02 rule; every oracle replays `ORDER BY sim DESC, cent_id
+    * DESC LIMIT 1`). Narrow codegen'd projection, no shuffle. */
+  private def centroidSims(centroids: Array[(Long, Seq[Float])])(v: Column): Column =
+    array(centroids.map { case (id, ce) =>
+      struct(
+        GraftFunctions.cosineSim(v, typedLit(ce)).as("sim"),
+        lit(id).as("cent_id"))
+    }: _*)
 
   /**
    * a04: int8 embedding quantization — the memory-scale path for ANN (4x
@@ -227,16 +244,7 @@ object Ann {
 
   def ivf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val centroids: Array[(Long, Seq[Float])] = centroidFrame(emb)
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
-
-    // (sim, cent_id) structs compare lexicographically → array_max = argmax.
-    def simStructs(v: Column): Column = array(centroids.map { case (id, ce) =>
-      struct(
-        GraftFunctions.cosineSim(v, typedLit(ce)).as("sim"),
-        lit(id).as("cent_id"))
-    }: _*)
+    val simStructs = centroidSims(collectCentroids(emb, NList)) _
 
     val assigned = emb.select(col("vec_id"), col("embedding"),
       array_max(simStructs(col("embedding"))).getField("cent_id").as("cell"))
@@ -257,5 +265,105 @@ object Ann {
         row_number().over(wTop).as("rn"))
       .filter(col("rn") <= K)
       .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** k for the a06 Lloyd step — like NList, a CONSTANT of the index, never
+    * a function of corpus size. */
+  private val KClusters = 8
+
+  /**
+   * a06: one distributed Lloyd iteration of k-means over the embedding
+   * corpus — THE canonical embedding-clustering kernel (SemDeDup, IVF
+   * training, topic bucketing all start here). Assign = narrow max-cosine
+   * projection against k broadcast-literal centroids (no shuffle, no
+   * crossJoin); update = the textbook (cell, dim) partial-aggregated
+   * shuffle — rows × dim pairs combine map-side, so the shuffle volume is
+   * O(k · dim · partitions), independent of corpus rows. Per-cluster
+   * report: size, mean member→centroid cosine (cohesion), updated-centroid
+   * L2 norm. All sums decimal-accumulated → partition-order independent;
+   * cosines rounded to 6dp BEFORE averaging so the report is replayable
+   * bit-for-bit by the SQL oracle.
+   */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d)
+    val simStructs = centroidSims(collectCentroids(emb, KClusters)) _
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        array_max(simStructs(col("embedding"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cent_id").as("cell"), round(col("best.sim"), 6).as("sim"))
+
+    val cohesion = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("sim").cast(DecimalType(18, 8))).cast("double") / count(lit(1)))
+          .as("avg_sim_raw"))
+
+    // Lloyd update: per-(cell, dim) decimal sums; then the new centroid's
+    // norm from the per-dim means. m*m instead of pow(m,2): both engines'
+    // multiply is correctly rounded, pow need not be.
+    val byDim = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("x").cast(DecimalType(28, 12))).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+    val m = col("sx") / col("n")
+    val norms = byDim.groupBy(col("cell"))
+      .agg(sqrt(sum((m * m).cast(DecimalType(28, 12))).cast("double")).as("norm_raw"))
+
+    cohesion.join(norms, Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        round(col("avg_sim_raw"), 6).as("avg_sim"),
+        round(col("norm_raw"), 6).as("centroid_norm"))
+      .orderBy(col("cell"))
+  }
+
+  /** a07 prune threshold on round(cos, 4) — rounding BEFORE the compare
+    * pins the threshold edge across engines. */
+  private val SemTau = 0.35
+
+  /**
+   * a07: SemDeDup-style semantic dedup — the pruning topology for
+   * embedding near-dups at corpus scale: k-means cells bound the pairwise
+   * work (no all-pairs join anywhere; candidate pairs exist only INSIDE a
+   * cell), then pairs above the cosine threshold drop the higher vec_id.
+   * Cells are capped at [[MaxBucket]] like every LSH bucket in the dedup
+   * family — a degenerate pile of identical embeddings (exactly what dedup
+   * corpora contain) must not expand O(b²) in one task. Per-cell report:
+   * members, dropped, kept.
+   */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val simStructs = centroidSims(collectCentroids(emb, NList)) _
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      array_max(simStructs(col("embedding"))).getField("cent_id").as("cell"))
+
+    // the d05 bounded in-bucket pair expansion, keyed by cell
+    val pairs = assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("recs"))
+      .filter(size(col("recs")).between(2, MaxBucket))
+      .select(col("cell"), explode(expr(
+        """flatten(transform(sequence(0, size(recs) - 2),
+          |  i -> transform(slice(recs, i + 2, size(recs) - i - 1),
+          |       y -> struct(recs[i].vec_id AS a, y.vec_id AS b,
+          |                   recs[i].embedding AS ea, y.embedding AS eb))))""".stripMargin))
+        .as("p"))
+      .select(col("cell"),
+        // collect_list order is nondeterministic → (a, b) arrives in either
+        // order; the victim is ALWAYS the higher vec_id, so the drop set is
+        // order-independent.
+        greatest(col("p.a"), col("p.b")).as("victim"),
+        round(GraftFunctions.cosineSim(col("p.ea"), col("p.eb")), 4).as("cos"))
+      .filter(col("cos") >= SemTau)
+
+    val dropped = pairs.groupBy(col("cell"))
+      .agg(countDistinct(col("victim")).as("n_dropped"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell"))
   }
 }

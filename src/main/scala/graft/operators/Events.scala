@@ -173,4 +173,61 @@ object Events {
         col("week_k"), col("n_active"))
       .orderBy(col("cohort_week"), col("week_k"))
   }
+
+  /** e09: rate-anomaly detection — per event type, the 5 most anomalous
+    * hours by |z-score| of the hourly event count against that type's own
+    * hourly distribution. The monitoring query behind every ops dashboard
+    * ("did errors spike?"). Two small aggregations (hourly rollup, then a
+    * per-type moment rollup joined back — at scale the per-type stats are
+    * a broadcast dim) and a top-k window over the hourly frame. Moments
+    * accumulate in decimal, so mean/std — and therefore the z ranking —
+    * are partition-order independent; std uses the n−1 sample form. */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("n").cast(DecimalType(18, 2))).cast("double").as("sn"),
+        sum((col("n") * col("n")).cast(DecimalType(28, 2))).cast("double").as("snn"))
+      .select(col("event_type"), (col("sn") / col("k")).as("mean"),
+        sqrt((col("snn") - col("sn") * col("sn") / col("k")) / (col("k") - 1))
+          .as("std"))
+    val z = (col("n") - col("mean")) / col("std")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("z")).desc, col("hour"))
+    hourly.join(stats, Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"), z.as("z"))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n"), round(col("z"), 4).as("z"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** e10: last-touch attribution — each purchase credited to the user's
+    * most recent PRECEDING click/view (the marketing-attribution join
+    * Presto serves daily). One shuffle on user_id, then a running
+    * `last(..., ignoreNulls)` over an unbounded-preceding-to-previous-row
+    * frame — no self-join, no per-user collect; the same frame yields the
+    * touch id, type, and timestamp consistently (they null out together).
+    * Ordering is pinned to (microsecond ts, event_id) — the exact key the
+    * oracle replays — so nanosecond source precision cannot fork ranks. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    def lastTouch(c: org.apache.spark.sql.Column) =
+      last(when(isTouch, c), ignoreNulls = true).over(w)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        lastTouch(col("event_id")).as("touch_id"),
+        lastTouch(col("event_type")).as("touch_type"),
+        lastTouch(unix_micros(col("ts"))).as("touch_us"))
+      .filter(col("event_type") === "purchase" && col("touch_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("touch_id"), col("touch_type"),
+        (unix_micros(col("ts")) - col("touch_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
 }

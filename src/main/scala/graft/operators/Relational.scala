@@ -1412,6 +1412,31 @@ object Relational {
         dsum(col("o_totalprice")).as("sampled_value"))
       .orderBy(col("o_orderpriority"))
 
+  /** q109: Wilson score confidence interval — Presto's
+    * `wilson_interval_lower/upper` (presto 0.248 math functions), the
+    * ranking statistic for proportions ("sort by lower bound of the
+    * rating"). Per return flag: the share of high-quantity lineitems with
+    * its 95% Wilson bounds. One partial-aggregated scan; the interval
+    * arithmetic is pure IEEE scalar math on exact counts, so both engines
+    * compute bit-identical doubles before the 6dp round. */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val z = lit(1.96)
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = p + z * z / (n * 2)
+    val margin = z * sqrt(p * (lit(1.0) - p) / n + z * z / (n * n * 4))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("k"))
+      .select(col("l_returnflag"), col("n"), col("k"),
+        round(p, 6).as("p_hat"),
+        round((center - margin) / denom, 6).as("wilson_lower"),
+        round((center + margin) / denom, 6).as("wilson_upper"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

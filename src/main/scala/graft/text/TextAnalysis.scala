@@ -257,6 +257,120 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * t11: Gopher-style rule filters — the rule battery (Rae et al. 2021,
+   * §A1.1) every web-corpus pipeline runs before model-based scoring:
+   * word-count bounds, mean-word-length band, alphabetic-word fraction,
+   * stopword presence. Pure narrow projection over codegen builtins (one
+   * corpus scan, no shuffle); each signal is emitted alongside the verdict
+   * so downstream can re-threshold without re-scanning.
+   */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nWords = size(words)
+    // single-space-separated corpus: non-space chars / words = mean length
+    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
+    val alphaFrac = size(filter(words, w => w.rlike("^[A-Za-z]+$"))).cast("double") / nWords
+    val stops = (occ(padded, " the ") + occ(padded, " a ") +
+      occ(padded, " and ") + occ(padded, " of ")).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"), stops.as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("n_stopwords") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 parameters + fixed query-term set (shared with the oracle). */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Terms = Seq("spark", "query", "join", "vector", "stream")
+
+  /**
+   * t12: BM25 relevance scoring against a FIXED query-term set — the
+   * retrieval scorer for corpus search / RAG indexing. The scale trick:
+   * the corpus is never exploded to words. Each doc fans out only to the
+   * |Q| query terms (a bounded 5× narrow expansion); tf comes from the
+   * same padded-occurrence count the langid kernel uses; df and avgdl are
+   * one tiny aggregate broadcast back. So: one corpus scan, one |Q|-row
+   * broadcast, one doc_id-keyed rollup of 5 rows each — no (doc, word)
+   * shuffle at any point. Per-term products decimal-accumulate before the
+   * 4dp round.
+   */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val dl = size(split(trim(col("text")), "\\s+"))
+    // (doc_id, dl, term, tf): occurrence count of " term " in padded text
+    val marker = concat(lit(" "), col("term"), lit(" "))
+    val tf = (length(col("padded")) -
+      length(replace(col("padded"), marker, lit("")))).cast("double") /
+      (length(col("term")) + 2)
+    val perTerm = Tables.documents(s, d)
+      .select(col("doc_id"), padded.as("padded"), dl.as("dl"))
+      .select(col("doc_id"), col("dl"),
+        explode(typedLit(Bm25Terms)).as("term"), col("padded"))
+      .select(col("doc_id"), col("dl"), col("term"), tf.as("tf"))
+    val stats = perTerm.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tf") > 0, 1).otherwise(0)).as("df"))
+    val avgdl = Tables.documents(s, d)
+      .agg((sum(dl.cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * col("tf") * (lit(Bm25K1) + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+        lit(Bm25B) * col("dl").cast("double") / col("avgdl")))
+    perTerm
+      .join(broadcast(stats), Seq("term"))
+      .crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("n_tokens"),
+        round(sum(contrib.cast(DecimalType(26, 12))).cast("double"), 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * t13: Zipf rank–frequency fit — the corpus-health diagnostic (natural
+   * language tracks slope ≈ −1 on log-log rank/frequency; template spam
+   * and gibberish bend it). Word counts shuffle vocabulary-bounded
+   * (word, n) pairs; the top-100 ranks come from a TakeOrdered (bounded
+   * driver/exchange, never a global sort of the vocabulary); the OLS slope
+   * is computed from decimal-accumulated Σx, Σy, Σxy, Σx² over 8dp-rounded
+   * logs — the same closed form the oracle replays (builtin regr_slope
+   * accumulates engine-specifically; the closed form is exact).
+   */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vocab = counts.agg(count(lit(1)).as("n_vocab"))
+    val top = counts.orderBy(col("n").desc, col("w")).limit(100)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("w"))))
+    val x = round(log(col("rank").cast("double")), 8)
+    val y = round(log(col("n").cast("double")), 8)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 12))).cast("double")
+    val fit = top
+      .select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    fit.crossJoin(broadcast(vocab))
+      .select(col("n_vocab"), col("k").cast("long").as("n_top"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("k"), 4).as("intercept"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

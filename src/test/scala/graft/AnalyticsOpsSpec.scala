@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.operators.{Events, Relational}
+import graft.text.TextAnalysis
+
+/** Semantics + plan-shape specs for the round-6 analytics batch
+  * (a06/a07, t11–t13, e09/e10, q109). */
+class AnalyticsOpsSpec extends GraftSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a06 kmeans: cells partition the corpus; no cartesian/nested-loop join") {
+    val res = Ann.kmeansStep(spark, sf)
+    val p = plan(res)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val rows = res.collect()
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus,
+      "every vector must land in exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_sim") > 0.0 && r.getAs[Double]("avg_sim") <= 1.0)
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+    }
+  }
+
+  test("a07 semantic dedup: kept + dropped = members per cell; no cartesian") {
+    val res = Ann.semanticDedup(spark, sf)
+    val p = plan(res)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    res.collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_kept") >= 1, "a cell never drops ALL members")
+    }
+  }
+
+  test("t11 gopher: keep is exactly the conjunction of the emitted signals") {
+    val rows = TextAnalysis.gopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Int]("n_words") >= 50 && r.getAs[Int]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("alpha_frac") >= 0.8 && r.getAs[Int]("n_stopwords") >= 1
+      assert(r.getAs[Boolean]("keep") == expect, r.toString)
+    }
+  }
+
+  test("t12 bm25: corpus is never exploded to words (only 5-term Generates)") {
+    val df = TextAnalysis.bm25(spark, sf)
+    val p = plan(df)
+    // one Generate per pass (df stats + scoring), each a bounded 5-term
+    // fan-out; a (doc, word) explode would add more and shuffle on words
+    assert("Generate".r.findAllIn(p).length <= 2,
+      s"bm25 must fan out only to the fixed query terms:\n$p")
+    assert(!p.contains("hashpartitioning(w#"),
+      s"bm25 must never shuffle word-keyed corpus rows:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("bm25") > 0.0))
+  }
+
+  test("t13 zipf: slope is negative (frequency decays with rank)") {
+    val r = TextAnalysis.zipfSlope(spark, sf).collect().head
+    assert(r.getAs[Long]("n_top") >= 10)
+    assert(r.getAs[Double]("zipf_slope") < 0.0, r.toString)
+  }
+
+  test("e09 anomaly: five rows per type, ranked by |z| descending") {
+    val rows = Events.anomaly(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val zs = rs.sortBy(_.getAs[Int]("rn")).map(r => math.abs(r.getAs[Double]("z")))
+      assert(zs.sameElements(zs.sorted.reverse), zs.mkString(","))
+    }
+  }
+
+  test("e10 attribution: touch precedes the purchase and is a click/view") {
+    val df = Events.attribution(spark, sf)
+    val p = plan(df)
+    // one hash exchange for the per-user window + the final range sort only
+    assert("Exchange".r.findAllIn(p).length <= 2, s"extra shuffle:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_us") > 0, "touch must strictly precede purchase")
+      assert(Set("click", "view").contains(r.getAs[String]("touch_type")))
+    }
+  }
+
+  test("q109 wilson: bounds bracket p_hat and stay inside [0,1]") {
+    val rows = Relational.q109(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"),
+        r.getAs[Double]("wilson_lower"), r.getAs[Double]("wilson_upper"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo < p && p < hi, r.toString)
+    }
+  }
+}
