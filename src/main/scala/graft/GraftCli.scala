@@ -184,7 +184,12 @@ object GraftCli {
       SELECT a.vec_id,
         round(cosine_sim(a.embedding, b.embedding), 4) AS sim_next
       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-      ORDER BY a.vec_id"""))
+      ORDER BY a.vec_id""")),
+    "s06_sql_native_agg" -> ((s, d) => sql(s, d, """
+      SELECT l_returnflag,
+        round(geometric_mean(l_quantity), 4) AS geo_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -223,6 +228,12 @@ object GraftCli {
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings) a
       JOIN (SELECT vec_id AS vb, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings) b
         ON b.vb = a.vec_id + 1
-      ORDER BY a.vec_id"""
+      ORDER BY a.vec_id""",
+    // the graft GeometricMean aggregate IS exp(avg(ln)) on positive input
+    "s06_sql_native_agg" -> """
+      SELECT l_returnflag,
+        round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

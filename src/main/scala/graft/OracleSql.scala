@@ -2085,6 +2085,91 @@ object OracleSql {
         COALESCE(MAX(d.n_dropped), 0) AS n_dropped,
         COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS n_kept
       FROM assigned a LEFT JOIN dropped d ON d.cell = a.cell
-      GROUP BY a.cell ORDER BY a.cell"""
+      GROUP BY a.cell ORDER BY a.cell""",
+
+    "q110_ntile" -> """
+      SELECT c_mktsegment, quartile, COUNT(*) AS n,
+        round(MIN(c_acctbal), 2) AS min_bal,
+        round(MAX(c_acctbal), 2) AS max_bal
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+          CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        FROM customer) t
+      GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile""",
+
+    "q111_gaps_islands" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id < 100),
+      runs AS (
+        SELECT user_id,
+          day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+            AS INTEGER) AS anchor
+        FROM days),
+      grouped AS (
+        SELECT user_id, anchor, COUNT(*) AS run_len
+        FROM runs GROUP BY user_id, anchor)
+      SELECT user_id,
+        CAST(SUM(run_len) AS BIGINT) AS n_days,
+        COUNT(*) AS n_islands,
+        CAST(MAX(run_len) AS BIGINT) AS max_run
+      FROM grouped GROUP BY user_id ORDER BY user_id""",
+
+    "e11_transitions" -> """
+      WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS from_type
+        FROM events),
+      counts AS (
+        SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, event_type)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) /
+          SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM counts ORDER BY from_type, to_type""",
+
+    "t14_entropy" -> raw"""
+      WITH perword AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents) t
+        GROUP BY doc_id, w),
+      withlen AS (
+        SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+        FROM perword)
+      SELECT doc_id,
+        CAST(MAX(n) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct,
+        round(-CAST(SUM(CAST(
+          (CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)
+          AS DECIMAL(26,12))) AS DOUBLE), 6) AS entropy
+      FROM withlen GROUP BY doc_id ORDER BY doc_id""",
+
+    // d09: signature agreement from the SAME sigj components d02 replays;
+    // exact Jaccard over distinct 3-gram shingle sets from the sh CTE.
+    "d09_minhash_est" -> s"""
+      WITH $minhashCtes,
+      est AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          CAST(SUM(CASE WHEN x.sv = y.sv THEN 1 ELSE 0 END) AS DOUBLE) / 128
+            AS est_raw
+        FROM sigj x JOIN sigj y ON y.doc_id = x.doc_id + 1 AND y.j = x.j
+        GROUP BY x.doc_id, y.doc_id),
+      sets AS (SELECT doc_id, list_distinct(list(s)) AS ss FROM sh GROUP BY doc_id),
+      ex AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ss, b.ss))) AS exact_raw
+        FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1)
+      SELECT est.id_a, est.id_b,
+        round(est_raw, 6) AS est_jaccard,
+        round(exact_raw, 6) AS exact_jaccard,
+        round(abs(round(est_raw, 6) - round(exact_raw, 6)), 6) AS abs_err
+      FROM est JOIN ex ON ex.id_a = est.id_a
+      ORDER BY est.id_a"""
   )
 }

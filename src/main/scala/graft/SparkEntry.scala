@@ -70,6 +70,7 @@ object SparkEntry {
     "e08_retention" -> (Events.retention _),
     "e09_anomaly" -> (Events.anomaly _),
     "e10_attribution" -> (Events.attribution _),
+    "e11_transitions" -> (Events.transitions _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "t11_gopher_quality" -> (TextAnalysis.gopherQuality _),
     "t12_bm25" -> (TextAnalysis.bm25 _),
     "t13_zipf" -> (TextAnalysis.zipfSlope _),
+    "t14_entropy" -> (TextAnalysis.entropy _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
     "d07_contamination" -> (Dedup.contamination _),
     "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
+    "d09_minhash_est" -> (Dedup.minhashEstimate _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
@@ -167,6 +170,8 @@ object SparkEntry {
     "q107_geomean" -> (Relational.q107 _),
     "q108_tablesample" -> (Relational.q108 _),
     "q109_wilson" -> (Relational.q109 _),
+    "q110_ntile" -> (Relational.q110 _),
+    "q111_gaps_islands" -> (Relational.q111 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -93,6 +93,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * d09: MinHash estimator evaluation — per adjacent-doc pair, the
+   * signature-agreement Jaccard estimate vs the exact shingle-set Jaccard
+   * and the absolute error. The eval every LSH deployment runs before
+   * trusting its thresholds ("is 128 permutations enough for THIS
+   * corpus?"): E[agreement] = J, σ = √(J(1−J)/k). The estimate is a
+   * zip_with over two 128-long signatures, the exact value an
+   * intersect/union over distinct shingle sets — one adjacent-key
+   * equi-join, no pair explosion beyond the probe pairs themselves.
+   */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withSets = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("shingles"))
+      .select(col("doc_id"),
+        GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"),
+        array_distinct(col("shingles")).as("ss"))
+    val a = withSets.select(col("doc_id").as("id_a"),
+      col("sig").as("sig_a"), col("ss").as("ss_a"))
+    val b = withSets.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"), col("ss").as("ss_b"))
+    val est = expr(
+      s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .cast("double") / MinhashK
+    val exact = size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+      size(array_union(col("ss_a"), col("ss_b")))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(est, 6).as("est_jaccard"), round(exact, 6).as("exact_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .orderBy(col("id_a"))
+  }
+
   /** d06: near-dup clusters — LSH candidate pairs resolved into connected
     * components; every doc labeled with its component's min doc_id. */
   def minhashClusters(s: SparkSession, d: String): DataFrame = {

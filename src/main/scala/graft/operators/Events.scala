@@ -205,6 +205,30 @@ object Events {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** e11: event-type transition matrix (first-order Markov) — the
+    * sequence statistic behind session modeling and bot detection: for
+    * every consecutive (prev → next) event pair per user, the count and
+    * row-normalized probability. One user_id shuffle for the lag window,
+    * then a types²-bounded aggregate; the per-from normalization runs as a
+    * window over the ≤|types|² aggregate frame, never over events.
+    * Ordering pinned to (µs epoch, event_id) like e10. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(byUser).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("total", sum(col("n")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** e10: last-touch attribution — each purchase credited to the user's
     * most recent PRECEDING click/view (the marketing-attribution join
     * Presto serves daily). One shuffle on user_id, then a running

@@ -1437,6 +1437,45 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q110: NTILE quartiles (Presto window function family): per market
+    * segment, customers bucketed into account-balance quartiles with
+    * per-bucket stats. The standard-SQL ntile definition (larger buckets
+    * first) is identical in both engines; ordering carries a c_custkey
+    * tie-break so equal balances can't straddle a bucket boundary
+    * differently per engine. */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** q111: gaps-and-islands — per user, runs of consecutive active days
+    * (the classic streak/tenure SQL shape Presto serves constantly). The
+    * date-minus-row_number anchor groups each run; one user shuffle, one
+    * distinct, no self-join. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = Tables.events(s, d)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("run_len")).as("n_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("max_run"))
+      .orderBy(col("user_id"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

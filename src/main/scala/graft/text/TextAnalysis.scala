@@ -371,6 +371,33 @@ object TextAnalysis {
         round((col("sy") - slope * col("sx")) / col("k"), 4).as("intercept"))
   }
 
+  /**
+   * t14: per-document word entropy — the information-density quality
+   * signal (templated/repetitive text scores low, natural prose high;
+   * complements t07's repetition ratios with the proper Shannon measure).
+   * H = −Σ (c/n)·ln(c/n) over the doc's word distribution. Same scale
+   * shape as t07: one (doc, word) count shuffle with partial aggregation,
+   * then a per-doc rollup; entropy terms decimal-accumulate so the sum is
+   * partition-order independent.
+   */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perWord = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val withLen = perWord.withColumn("n",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val p = col("cnt").cast("double") / col("n")
+    withLen
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum((p * log(p)).cast(DecimalType(26, 12))).cast("double"), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

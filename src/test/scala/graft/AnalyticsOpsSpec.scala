@@ -91,6 +91,60 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("d09 minhash estimator: agreement tracks exact Jaccard within theory") {
+    val rows = graft.dedup.Dedup.minhashEstimate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // σ = √(J(1−J)/128) ≤ 0.0442; mean |err| across pairs must sit well
+    // inside a few σ or the signature kernel is broken
+    val errs = rows.map(_.getAs[Double]("abs_err"))
+    assert(errs.sum / errs.length < 0.06, s"mean err ${errs.sum / errs.length}")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+  }
+
+  test("e11 transitions: probabilities row-normalize to 1 per from_type") {
+    val rows = Events.transitions(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"Σp = $total")
+    }
+  }
+
+  test("q110 ntile: 4 balanced quartiles per segment, non-overlapping ranges") {
+    val rows = Relational.q110(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      assert(rs.length == 4)
+      val sorted = rs.sortBy(_.getAs[Int]("quartile"))
+      val counts = sorted.map(_.getAs[Long]("n"))
+      assert(counts.max - counts.min <= 1, counts.mkString(","))
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_bal") <= hi.getAs[Double]("min_bal"))
+      case _ => }
+    }
+  }
+
+  test("q111 gaps-islands: island arithmetic is internally consistent") {
+    val rows = Relational.q111(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (days, islands, maxRun) = (r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_islands"), r.getAs[Long]("max_run"))
+      assert(islands >= 1 && maxRun >= 1 && maxRun <= days && islands <= days)
+    }
+  }
+
+  test("t14 entropy: 0 ≤ H ≤ ln(n_distinct)") {
+    val rows = TextAnalysis.entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val hmax = math.log(r.getAs[Long]("n_distinct").toDouble)
+      assert(h >= 0.0 && h <= hmax + 1e-6, r.toString)
+    }
+  }
+
   test("q109 wilson: bounds bracket p_hat and stay inside [0,1]") {
     val rows = Relational.q109(spark, sf).collect()
     assert(rows.nonEmpty)
