@@ -18,6 +18,9 @@ case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
 case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
 
+/** One consecutive (from → to) event-type transition of a user. */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
 /**
  * Structured Streaming forms of the event analytics (batch equivalents:
  * graft.operators.Events — oracle-verified). readStream → transform →
@@ -153,6 +156,33 @@ object EventPipelines {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming form of the e11 transition matrix (batch:
+    * Events.transitions): per-user flatMapGroupsWithState keeping only the
+    * LAST event type in state — O(1) state per user regardless of stream
+    * volume — and emitting one Transition row per consumed event that has
+    * a predecessor. Downstream aggregates (from, to) counts however it
+    * likes; correctness requires per-user batch arrival in event-time
+    * order, the same contract every lag-shaped streaming computation
+    * carries. */
+  def transitionPairs(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[String]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(userId, l, e.event_type))
+            last = Some(e.event_type)
+          }
+          last.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -229,6 +229,39 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs match the batch lag-window across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.transitionPairs(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("trans_test").start()
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 09:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 09:05:00"), 7, "click", 1.0),
+      Event(3, ts("2024-01-01 09:01:00"), 8, "signup", 1.0))
+    val batch2 = Seq(
+      // user 7's chain continues ACROSS the micro-batch boundary via state
+      Event(4, ts("2024-01-01 09:20:00"), 7, "purchase", 1.0),
+      Event(5, ts("2024-01-01 09:30:00"), 8, "view", 1.0),
+      Event(6, ts("2024-01-01 09:31:00"), 8, "purchase", 1.0))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT from_type, to_type, count(*) AS n FROM trans_test GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // batch reference: the e11 lag-window over the SAME combined events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val expected = (batch1 ++ batch2).toDS()
+        .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("from_type"))
+        .filter($"from_type".isNotNull)
+        .groupBy($"from_type", $"event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == expected, s"streamed=$streamed expected=$expected")
+      assert(streamed(("view", "click")) == 1 && streamed(("click", "purchase")) == 1)
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
