@@ -189,7 +189,40 @@ object GraftCli {
       SELECT l_returnflag,
         round(geometric_mean(l_quantity), 4) AS geo_qty,
         COUNT(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    // WITH RECURSIVE (hierarchy walk) — Presto serves recursive CTEs as
+    // iterated self-joins; Spark's UnionLoop executes each level as one
+    // distributed join against the previous level's frame only, so a
+    // 100 TB dimension hierarchy iterates O(depth) bounded jobs, never a
+    // driver loop. Synthetic binary-heap parent: parent(n) = ⌊(n−1)/2⌋.
+    "s07_sql_recursive" -> ((s, d) => sql(s, d, """
+      WITH RECURSIVE tree AS (
+        SELECT n_nationkey, 0 AS depth, CAST(n_nationkey AS STRING) AS path
+        FROM nation WHERE n_nationkey = 0
+        UNION ALL
+        SELECT n.n_nationkey, t.depth + 1 AS depth,
+          concat(t.path, '>', CAST(n.n_nationkey AS STRING)) AS path
+        FROM nation n JOIN tree t
+          ON CAST(floor((n.n_nationkey - 1) / 2.0) AS BIGINT) = t.n_nationkey
+        WHERE n.n_nationkey > 0)
+      SELECT t.n_nationkey, n.n_name, t.depth, t.path
+      FROM tree t JOIN nation n ON n.n_nationkey = t.n_nationkey
+      ORDER BY t.n_nationkey""")),
+    // LATERAL correlated subquery (top-2-per-outer-row) — Catalyst
+    // decorrelates the per-row subquery into one join + ranked window
+    // (DecorrelateInnerQuery), so the "for each row run a query" shape
+    // never executes per-row at any scale.
+    "s08_sql_lateral" -> ((s, d) => sql(s, d, """
+      SELECT r.r_name, l.n_name, l.n_cust
+      FROM region r,
+      LATERAL (
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY n_cust DESC, n_name
+        LIMIT 2) l
+      ORDER BY r.r_name, l.n_cust DESC, l.n_name"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -234,6 +267,30 @@ object GraftCli {
       SELECT l_returnflag,
         round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
         COUNT(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s07_sql_recursive" -> """
+      WITH RECURSIVE tree AS (
+        SELECT n_nationkey, 0 AS depth, CAST(n_nationkey AS VARCHAR) AS path
+        FROM nation WHERE n_nationkey = 0
+        UNION ALL
+        SELECT n.n_nationkey, t.depth + 1 AS depth,
+          t.path || '>' || CAST(n.n_nationkey AS VARCHAR) AS path
+        FROM nation n JOIN tree t
+          ON CAST(floor((n.n_nationkey - 1) / 2.0) AS BIGINT) = t.n_nationkey
+        WHERE n.n_nationkey > 0)
+      SELECT t.n_nationkey, n.n_name, t.depth, t.path
+      FROM tree t JOIN nation n ON n.n_nationkey = t.n_nationkey
+      ORDER BY t.n_nationkey""",
+    "s08_sql_lateral" -> """
+      SELECT r.r_name, l.n_name, l.n_cust
+      FROM region r,
+      LATERAL (
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY n_cust DESC, n_name
+        LIMIT 2) l
+      ORDER BY r.r_name, l.n_cust DESC, l.n_name"""
   )
 }

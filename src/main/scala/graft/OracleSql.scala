@@ -1680,6 +1680,73 @@ object OracleSql {
         ON e.probe_id = q.probe_id AND e.cand_id = q.cand_id
       GROUP BY e.probe_id ORDER BY e.probe_id""",
 
+    // a08: replays the seed-11 32-plane sign sketch, the xor+popcount
+    // Hamming ranking (integer-exact on both engines), and a01's exact
+    // cosine top-k, then counts the overlap per probe.
+    "a08_hamming_recall" -> s"""
+      WITH planes(p, v) AS (VALUES ${planesValues(11, 32)}),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      sig AS (
+        SELECT vec_id,
+          (SELECT CAST(SUM(CASE WHEN list_dot_product(emb, v) > 0
+                     THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+           FROM planes) AS sig
+        FROM e),
+      ham AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          bit_count(xor(p.sig, c.sig)) AS ham
+        FROM (SELECT * FROM sig WHERE vec_id < 5) p, sig c),
+      hr AS (
+        SELECT probe_id, cand_id,
+          row_number() OVER (PARTITION BY probe_id ORDER BY ham, cand_id) AS rn
+        FROM ham),
+      px AS (
+        SELECT vec_id AS probe_id, i, CAST(x AS DOUBLE) AS pe
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) t),
+      cx AS (
+        SELECT vec_id AS cand_id, i, CAST(x AS DOUBLE) AS ce
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t),
+      pairs AS (
+        SELECT probe_id, cand_id,
+          CAST(SUM(CAST(pe * ce AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(pe * pe AS DECIMAL(30,15))) AS DOUBLE) AS pp,
+          CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+        FROM px JOIN cx ON px.i = cx.i
+        GROUP BY probe_id, cand_id),
+      er AS (
+        SELECT probe_id, cand_id,
+          row_number() OVER (PARTITION BY probe_id
+            ORDER BY round(dot / (sqrt(pp) * sqrt(cc)), 4) DESC, cand_id) AS rn
+        FROM pairs)
+      SELECT e2.probe_id, COUNT(*) AS n_common,
+        round(COUNT(*) / 10.0, 2) AS recall_at_10
+      FROM (SELECT * FROM er WHERE rn <= 10) e2
+      JOIN (SELECT * FROM hr WHERE rn <= 10) h
+        ON e2.probe_id = h.probe_id AND e2.cand_id = h.cand_id
+      GROUP BY e2.probe_id ORDER BY e2.probe_id""",
+
+    // p08: the d02 minhash pair kernel + the p01 split labels; only
+    // pairs whose two docs land in different splits survive.
+    "p08_split_leakage" -> s"""
+      WITH $minhashCtes,
+      lab AS (
+        SELECT doc_id,
+          CASE ((doc_id * 69069 + 12345) % 1048576) % 10
+            WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      SELECT least(la.split, lb.split) AS split_lo,
+        greatest(la.split, lb.split) AS split_hi,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(pr.a + pr.b) AS BIGINT) AS pair_checksum
+      FROM pr JOIN lab la ON la.doc_id = pr.a
+              JOIN lab lb ON lb.doc_id = pr.b
+      WHERE la.split != lb.split
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Replays Events.sliding: each event belongs to exactly 4 hopping
     // windows (1h span, 15-min slide, epoch-aligned like Spark's window()).
     "e06_sliding_window" -> """
@@ -2098,6 +2165,56 @@ object OracleSql {
         FROM customer) t
       GROUP BY c_mktsegment, quartile
       ORDER BY c_mktsegment, quartile""",
+
+    // q112: power sums are exact BIGINTs on both engines; the central-
+    // moment arithmetic uses only IEEE-correctly-rounded doubles ops in
+    // the IDENTICAL order as the Spark plan, so values match bit-for-bit
+    // before the 6dp round.
+    "q112_skew_kurt" -> """
+      WITH base AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(q) AS BIGINT) AS s1,
+          CAST(SUM(q * q) AS BIGINT) AS s2,
+          CAST(SUM(q * q * q) AS BIGINT) AS s3,
+          CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM base GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+          CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+          CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        FROM agg),
+      mm AS (
+        SELECT l_returnflag, n, nd, mu,
+          d2 - d1 * mu AS m2,
+          d3 - 3.0 * mu * d2 + 2.0 * nd * mu * mu * mu AS m3,
+          d4 - 4.0 * mu * d3 + 6.0 * mu * mu * d2
+             - 3.0 * nd * mu * mu * mu * mu AS m4
+        FROM m)
+      SELECT l_returnflag, n,
+        round(mu, 6) AS mean_qty,
+        round(sqrt(nd) * m3 / sqrt(m2 * m2 * m2), 6) AS skew_qty,
+        round(nd * m4 / (m2 * m2) - 3.0, 6) AS kurt_qty
+      FROM mm ORDER BY l_returnflag""",
+
+    // q113: multimap emission is canonically sorted on both engines
+    // (keys, then values ascending) — Presto's arrival-order multimap is
+    // not reproducible on any distributed engine.
+    "q113_multimap" -> """
+      WITH yearly AS (
+        SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3),
+      per_key AS (
+        SELECT l_returnflag, l_linestatus,
+          '[' || string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY cnt) || ']' AS vs
+        FROM yearly GROUP BY 1, 2)
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS INTEGER) AS n_keys,
+        string_agg(l_linestatus || ':' || vs, '|' ORDER BY l_linestatus) AS multimap
+      FROM per_key GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q111_gaps_islands" -> """
       WITH days AS (

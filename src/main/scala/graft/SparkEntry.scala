@@ -105,6 +105,7 @@ object SparkEntry {
     "p05_shard_pack" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.shardPack(s, d)),
     "p06_global_shuffle" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.globalShuffle(s, d)),
     "p07_mixture" -> (graft.pipeline.Splits.mixture _),
+    "p08_split_leakage" -> (graft.pipeline.Splits.splitLeakage _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -172,6 +173,8 @@ object SparkEntry {
     "q109_wilson" -> (Relational.q109 _),
     "q110_ntile" -> (Relational.q110 _),
     "q111_gaps_islands" -> (Relational.q111 _),
+    "q112_skew_kurt" -> (Relational.q112 _),
+    "q113_multimap" -> (Relational.q113 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
@@ -188,6 +191,7 @@ object SparkEntry {
     "a05_quantized_recall" -> (Ann.quantizedRecall _),
     "a06_kmeans" -> (Ann.kmeansStep _),
     "a07_semantic_dedup" -> (Ann.semanticDedup _),
+    "a08_hamming_recall" -> (Ann.binaryHammingRecall _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

@@ -55,12 +55,12 @@ object Ann {
   private val Dim = 64
   private val NPlanes = 16
 
-  /** 16 sign bits from seeded random hyperplanes packed into a long bucket
-    * id — one narrow projection, no shuffle. Seed selects the hash table. */
-  private def lshBucket(seed: Long): Column = {
+  /** Sign bits from seeded random hyperplanes packed into a long —
+    * one narrow projection, no shuffle. Seed selects the hash table. */
+  private def lshBucket(seed: Long, nPlanes: Int = NPlanes): Column = {
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(NPlanes, Dim)(rnd.nextGaussian())
-    (0 until NPlanes).map { p =>
+    val planes = Array.fill(nPlanes, Dim)(rnd.nextGaussian())
+    (0 until nPlanes).map { p =>
       val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
       when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
         lit(1L << p)).otherwise(lit(0L))
@@ -235,6 +235,45 @@ object Ann {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")), "e")
     val quant = topk(deq.select(col("vec_id"), col("qe")), "qe")
     exact.join(quant, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("probe_id"), col("n_common"),
+        round(col("n_common").cast("double") / K, 2).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Sign-sketch width for a08: 32 hyperplane bits = 4 bytes per vector
+    * vs 256 bytes of f32 — the 64x-smaller representation a binary
+    * pre-filter index holds in memory at corpus scale. */
+  private val SignBits = 32
+
+  /**
+   * a08: binary (sign-bit) embedding search + recall eval — the third
+   * point on the index compression curve after a04/a05's int8: each
+   * vector collapses to a 32-bit hyperplane sign sketch, candidates rank
+   * by Hamming distance (xor + popcount — the codegen `Hamming64`
+   * expression, integer-exact so ranking can never fork on float
+   * summation), and the report is recall@10 of the Hamming top-k against
+   * exact cosine. The search topology is a01's: probes broadcast, corpus
+   * scanned once, never shuffled; at 100 TB the sketch column is what an
+   * in-memory pre-filter actually scans. The oracle replays the seeded
+   * hyperplanes, the popcount ranking, and the exact top-k.
+   */
+  def binaryHammingRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sigs = emb.select(col("vec_id"), lshBucket(11L, SignBits).as("sig"))
+    val probes = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+    val wH = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham"), col("cand_id"))
+    val hamTop = sigs.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        GraftFunctions.hamming64(col("psig"), col("sig")).as("ham"))
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = bruteForce(s, d).select(col("probe_id"), col("cand_id"))
+    exact.join(hamTop, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_common"))
       .select(col("probe_id"), col("n_common"),

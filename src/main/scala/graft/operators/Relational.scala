@@ -1476,6 +1476,68 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q112: skewness/kurtosis (Presto's `skewness`/`kurtosis` statistical
+    * aggregates) computed from exact integer power sums (n, Σx, Σx², Σx³,
+    * Σx⁴) with the closed-form central-moment identities. The builtin
+    * CentralMomentAgg accumulates doubles merge-order-dependently (fine
+    * numerically, unstable for a cross-engine hash), while the algebraic
+    * power-sum form is exact, perfectly map-side combinable (one partial
+    * agg, five BIGINT cells per group — the textbook distributed-moments
+    * shape), and the final double arithmetic uses only IEEE-correctly-
+    * rounded ops (*, /, sqrt — no pow, whose libm rounding differs across
+    * runtimes), so the oracle replays it bit-for-bit. RelationalSpec pins
+    * the closed form to Spark's builtin definition within 1e-6:
+    * skewness = √n·m₃/√m₂³, kurtosis = n·m₄/m₂² − 3 (population, as both
+    * Spark and Presto define them). */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val agged = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") - col("s1").cast("double") * mu
+    val m3 = col("s3").cast("double") - lit(3.0) * mu * col("s2").cast("double") +
+      lit(2.0) * nD * mu * mu * mu
+    val m4 = col("s4").cast("double") - lit(4.0) * mu * col("s3").cast("double") +
+      lit(6.0) * mu * mu * col("s2").cast("double") - lit(3.0) * nD * mu * mu * mu * mu
+    agged.select(col("l_returnflag"), col("n"),
+      round(mu, 6).as("mean_qty"),
+      round(sqrt(nD) * m3 / sqrt(m2 * m2 * m2), 6).as("skew_qty"),
+      round(nD * m4 / (m2 * m2) - lit(3.0), 6).as("kurt_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q113: multimap_agg (Presto) — map key → ALL values per key, not just
+    * the last one like map_agg. Per return flag: l_linestatus → the list
+    * of its per-ship-year lineitem counts. Presto's multimap keeps arrival
+    * order, which no distributed engine can reproduce, so the canonical
+    * emission sorts keys and values (the q37 map_agg / q68 histogram
+    * discipline) and serializes to one string both engines hash stably.
+    * Two partial-aggregated shuffles over shrinking frames (year rollup →
+    * per-key lists); the collect_list runs over the tiny aggregate, never
+    * raw lineitem rows. */
+  def q113(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sort_array(collect_list(col("cnt"))).as("vals"))
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(struct(col("l_linestatus"), col("vals")))).as("es"))
+      .select(col("l_returnflag"),
+        size(col("es")).as("n_keys"),
+        expr("""concat_ws('|', transform(es, e ->
+          concat(e.l_linestatus, ':[',
+            array_join(transform(e.vals, v -> CAST(v AS STRING)), ','), ']')))""")
+          .as("multimap"))
+      .orderBy(col("l_returnflag"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -157,6 +157,33 @@ object Splits {
       .orderBy(col("source"))
   }
 
+  /** p08: cross-split leakage audit — near-duplicate pairs (MinHash LSH,
+    * the d02 kernel verbatim) that straddle train/val/test splits. Exact
+    * dedup before splitting still leaves NEAR-dups of a test doc in
+    * train, which silently inflates eval scores — this is the audit every
+    * split rollout runs. Topology: one signature pass, one (band, bucket)
+    * hash shuffle, bounded pair expansion (all inherited from the dedup
+    * kernel), then the tiny pair set joins the narrow split labels; the
+    * corpus never shuffles twice. The (lo, hi) split labels are
+    * canonically ordered so A→B and B→A leaks land in one row. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.dedup.Dedup.lshCandidatePairs(
+      graft.dedup.Dedup.minhashBands(graft.dedup.Dedup.minhashSignatures(docs)))
+    val labels = docs.select(col("doc_id"), splitLabel(col("doc_id")).as("split"))
+    pairs
+      .join(labels.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(labels.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        (col("id_a") + col("id_b")).as("pair_sum"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pair_sum")).as("pair_checksum"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
   /** p02: stratified cap — keep at most `cap` docs per language, chosen
     * by deterministic hash order (so the sample is stable and unbiased by
     * ingestion order). The window sorts only within each stratum; at
