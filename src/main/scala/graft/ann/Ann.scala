@@ -87,7 +87,7 @@ object Ann {
     val emb = Tables.embeddings(s, d)
     // (vec_id, tbl, bucket): both hash tables from one scan.
     val tb = emb.select(col("vec_id"),
-      posexplode(array(TableSeeds.map(lshBucket): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array(TableSeeds.map(seed => lshBucket(seed)): _*)).as(Seq("tbl", "bucket")))
     // Reuse the dedup LSH pair kernel: capped buckets, bounded in-bucket
     // expansion, distinct (a < b) id pairs.
     val idPairs = Dedup.lshCandidatePairs(tb.select(

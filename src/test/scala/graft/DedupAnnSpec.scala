@@ -79,6 +79,34 @@ class DedupAnnSpec extends GraftSpec {
     assert(buckets.forall(b => b >= 0 && b < (1L << 16)))
   }
 
+  test("a08 hamming recall: self always found; recall bounded; no re-shuffle of the corpus") {
+    val df = Ann.binaryHammingRecall(spark, sf)
+    val res = df.collect()
+    assert(res.length == 5, "one row per probe")
+    res.foreach { r =>
+      val n = r.getAs[Long]("n_common")
+      // the probe itself is rank 1 on both the exact and hamming side
+      assert(n >= 1 && n <= 10, r.toString)
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec == n / 10.0, r.toString)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"probe fan-out must be a broadcast, not a cartesian:\n$plan")
+  }
+
+  test("p08 split leakage: pairs straddle splits, counts consistent with d02's pair set") {
+    val res = graft.pipeline.Splits.splitLeakage(spark, sf).collect()
+    res.foreach { r =>
+      assert(r.getAs[String]("split_lo") <= r.getAs[String]("split_hi"))
+      assert(r.getAs[Long]("n_pairs") >= 1)
+    }
+    // cross-split leaks must never exceed the total near-dup pair count
+    val totalPairs = Dedup.lshCandidatePairs(Dedup.minhashBands(
+      Dedup.minhashSignatures(spark.read.parquet(s"$sf/documents.parquet")))).count()
+    assert(res.map(_.getAs[Long]("n_pairs")).sum <= totalPairs)
+  }
+
   test("d08 chunk dedup finds repeated chunks and preserves every chunked doc") {
     val res = Dedup.chunkDedup(spark, sf).collect()
     assert(res.nonEmpty)
