@@ -41,6 +41,44 @@ class CompactionSpec extends GraftSpec {
     }
   }
 
+  test("z-order clusters BOTH columns; single-column sort leaves the other unclustered") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val in = s"$base/in"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(32)
+      .write.parquet(in)
+
+    // mean per-file span of `c`, normalized by its global span: ~1.0 when
+    // every file covers the whole value range (no pruning possible),
+    // → 0 as files tighten (this is exactly what min/max pruning sees)
+    def meanSpan(dir: String, c: String): Double = {
+      val g = spark.read.parquet(dir).agg(min(c), max(c)).head()
+      val global = (g.getLong(1) - g.getLong(0)).toDouble
+      val spans = partFiles(dir).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(min(c), max(c)).head()
+        (r.getLong(1) - r.getLong(0)) / global
+      }
+      spans.sum / spans.length
+    }
+
+    Compaction.compact(spark, in, s"$base/plain", "l_orderkey", nFiles = 16)
+    Compaction.zOrder(spark, in, s"$base/z", Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    assert(partFiles(s"$base/z").length == 16)
+
+    // same rows either way
+    assert(spark.read.parquet(s"$base/z").count() ==
+      spark.read.parquet(in).count())
+
+    val plainOther = meanSpan(s"$base/plain", "l_partkey")
+    assert(plainOther > 0.8,
+      f"single-column sort should leave l_partkey unclustered, got $plainOther%.2f")
+    val zA = meanSpan(s"$base/z", "l_orderkey")
+    val zB = meanSpan(s"$base/z", "l_partkey")
+    assert(zA < 0.65 && zB < 0.65,
+      f"z-order must tighten BOTH columns' file spans, got $zA%.2f / $zB%.2f")
+  }
+
   test("targetFilesFor sizes the file count from actual bytes") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact2").toString
     graft.sources.Tables.documents(spark, sf).write.parquet(s"$base/t")
