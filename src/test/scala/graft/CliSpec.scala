@@ -119,4 +119,20 @@ class CliSpec extends GraftSpec {
     }
     assert(GraftCli.queries.keySet == GraftCli.oracles.keySet)
   }
+
+  test("join-strategy hints pass through the SQL front door") {
+    // Presto tunes join strategy with session properties
+    // (join_distribution_type); the Spark front door takes plan hints in
+    // the SQL text — both directions must actually reach the planner.
+    val q = """SELECT %s n_name, COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""
+    val broadcast = GraftCli.sql(spark, sf, q.format("/*+ BROADCAST(nation) */"))
+      .queryExecution.executedPlan.toString
+    assert(broadcast.contains("BroadcastHashJoin"), broadcast)
+    val merge = GraftCli.sql(spark, sf, q.format("/*+ MERGE(nation) */"))
+      .queryExecution.executedPlan.toString
+    assert(merge.contains("SortMergeJoin"),
+      s"MERGE hint must override the broadcast default:\n$merge")
+  }
 }

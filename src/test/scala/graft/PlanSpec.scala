@@ -131,6 +131,29 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout: the fact table is directory-partitioned on the
+    // join key (here customer by nation), so a selective dim predicate
+    // should reach the fact scan as a runtime partition filter — reading
+    // 1/25th of the directories instead of all of them
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.customer(spark, sf)
+      .write.partitionBy("c_nationkey").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = Tables.nation(spark, sf).filter(col("n_name") === "NATION_7")
+    val j = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy().count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"selective dim filter must prune fact partitions at runtime:\n$plan")
+    assert(j.head().getLong(0) ==
+      Tables.customer(spark, sf).filter(col("c_nationkey") ===
+        Tables.nation(spark, sf).filter(col("n_name") === "NATION_7")
+          .head().getAs[Number]("n_nationkey").longValue).count(),
+      "pruned plan must return the unpruned result")
+  }
+
   test("natural interval join is rewritten to a bucketed equi-join, result-identical") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
