@@ -275,7 +275,7 @@ object TextAnalysis {
     val stops = (occ(padded, " the ") + occ(padded, " a ") +
       occ(padded, " and ") + occ(padded, " of ")).cast("int")
     Tables.documents(s, d)
-      .select(col("doc_id"), nWords.as("n_words"),
+      .select(col("doc_id"), nWords.cast("long").as("n_words"),
         round(meanLen, 4).as("mean_word_len"),
         round(alphaFrac, 4).as("alpha_frac"), stops.as("n_stopwords"))
       .withColumn("keep",
@@ -330,7 +330,7 @@ object TextAnalysis {
       .join(broadcast(stats), Seq("term"))
       .crossJoin(broadcast(avgdl))
       .groupBy(col("doc_id"))
-      .agg(max(col("dl")).as("n_tokens"),
+      .agg(max(col("dl")).cast("long").as("n_tokens"),
         round(sum(contrib.cast(DecimalType(26, 12))).cast("double"), 4).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("doc_id"))
