@@ -2042,18 +2042,18 @@ object OracleSql {
           AND round(alpha_raw, 4) >= 0.8 AND n_stopwords >= 1) AS keep
       FROM f ORDER BY doc_id""",
 
-    // t12: same padded-occurrence tf, df/avgdl replayed; per-term
-    // contributions decimal-accumulate before the 4dp round.
+    // t12: same exact word-boundary tf (list_filter over the split words),
+    // df/avgdl replayed; per-term contributions decimal-accumulate before
+    // the 4dp round.
     "t12_bm25" -> raw"""
       WITH terms(term) AS (VALUES ('spark'), ('query'), ('join'), ('vector'), ('stream')),
       docs AS (
-        SELECT doc_id, ' ' || lower(text) || ' ' AS padded,
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws,
           len(string_split_regex(trim(text), '\s+')) AS dl
         FROM documents),
       per_term AS (
         SELECT doc_id, dl, term,
-          CAST((length(padded) - length(replace(padded, ' ' || term || ' ', '')))
-            AS DOUBLE) / (length(term) + 2) AS tf
+          CAST(len(list_filter(ws, w -> w = term)) AS DOUBLE) AS tf
         FROM docs CROSS JOIN terms),
       stats AS (
         SELECT term, COUNT(*) AS n_docs,

@@ -294,26 +294,26 @@ object TextAnalysis {
    * t12: BM25 relevance scoring against a FIXED query-term set — the
    * retrieval scorer for corpus search / RAG indexing. The scale trick:
    * the corpus is never exploded to words. Each doc fans out only to the
-   * |Q| query terms (a bounded 5× narrow expansion); tf comes from the
-   * same padded-occurrence count the langid kernel uses; df and avgdl are
-   * one tiny aggregate broadcast back. So: one corpus scan, one |Q|-row
+   * |Q| query terms (a bounded 5× narrow expansion); tf is an exact
+   * word-boundary count (`size(filter(split(...)))`, still narrow — the
+   * words array never leaves the row); df and avgdl are one tiny
+   * aggregate broadcast back. So: one corpus scan, one |Q|-row
    * broadcast, one doc_id-keyed rollup of 5 rows each — no (doc, word)
    * shuffle at any point. Per-term products decimal-accumulate before the
    * 4dp round.
    */
   def bm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val words = split(lower(trim(col("text"))), "\\s+")
     val dl = size(split(trim(col("text")), "\\s+"))
-    // (doc_id, dl, term, tf): occurrence count of " term " in padded text
-    val marker = concat(lit(" "), col("term"), lit(" "))
-    val tf = (length(col("padded")) -
-      length(replace(col("padded"), marker, lit("")))).cast("double") /
-      (length(col("term")) + 2)
+    // (doc_id, dl, term, tf): exact count of words equal to the term —
+    // unlike the earlier padded-substring delta, adjacent duplicates
+    // ("cat cat") each count (they shared a delimiter space before)
+    val tf = size(filter(col("ws"), w => w === col("term"))).cast("double")
     val perTerm = Tables.documents(s, d)
-      .select(col("doc_id"), padded.as("padded"), dl.as("dl"))
+      .select(col("doc_id"), words.as("ws"), dl.as("dl"))
       .select(col("doc_id"), col("dl"),
-        explode(typedLit(Bm25Terms)).as("term"), col("padded"))
+        explode(typedLit(Bm25Terms)).as("term"), col("ws"))
       .select(col("doc_id"), col("dl"), col("term"), tf.as("tf"))
     val stats = perTerm.groupBy(col("term"))
       .agg(count(lit(1)).as("n_docs"),

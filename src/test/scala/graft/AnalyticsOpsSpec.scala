@@ -42,7 +42,7 @@ class AnalyticsOpsSpec extends GraftSpec {
     val rows = TextAnalysis.gopherQuality(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val expect = r.getAs[Int]("n_words") >= 50 && r.getAs[Int]("n_words") <= 100000 &&
+      val expect = r.getAs[Long]("n_words") >= 50L && r.getAs[Long]("n_words") <= 100000L &&
         r.getAs[Double]("mean_word_len") >= 3.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
         r.getAs[Double]("alpha_frac") >= 0.8 && r.getAs[Int]("n_stopwords") >= 1
       assert(r.getAs[Boolean]("keep") == expect, r.toString)
