@@ -51,6 +51,39 @@ object OracleSql {
   private def cos(a: String, b: String) =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
+  /** The a09/a10 Lloyd training prefix: e (double-cast corpus), cent0
+    * (scatter-seeded k=8), then 3 rounds of assignment (argmax by sim
+    * DESC, cell DESC) and update (per-(cell, dim) decimal means rounded
+    * 8dp; emptied cells carry the prior centroid) — ends at cent3/a3. */
+  private val lloydPrefixSql: String = {
+    def iter(t: Int): String = {
+      val pc = s"cent${t - 1}"
+      s"""
+      a$t AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cell FROM $pc
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cell DESC LIMIT 1) AS cell,
+          (SELECT round(MAX(${cos("e.emb", "cemb")}), 6) FROM $pc) AS sim
+        FROM e),
+      d$t AS (
+        SELECT cell, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+        FROM a$t),
+      s$t AS (
+        SELECT cell, i,
+          round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 8) AS m
+        FROM d$t GROUP BY cell, i),
+      cent$t AS (
+        SELECT p.cell, COALESCE(u.cemb, p.cemb) AS cemb
+        FROM $pc p LEFT JOIN
+          (SELECT cell, list(m ORDER BY i) AS cemb FROM s$t GROUP BY cell) u
+          USING (cell))"""
+    }
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent0 AS (SELECT vec_id AS cell, emb AS cemb FROM e
+                ORDER BY (vec_id * 69069 + 1) % 1048576, vec_id LIMIT 8),
+      ${(1 to 3).map(iter).mkString(",")}"""
+  }
+
   // --- unsigned-64 arithmetic in HUGEINT (for replaying JVM long hashes) --
   // (a*b) mod 2^64 without overflowing the signed 128-bit HUGEINT:
   // split a into hi/lo 32-bit halves; each partial product stays < 2^96.
@@ -2154,6 +2187,68 @@ object OracleSql {
       FROM assigned a LEFT JOIN dropped d ON d.cell = a.cell
       GROUP BY a.cell ORDER BY a.cell""",
 
+    // a09: the full 3-round Lloyd trajectory replayed — per round the
+    // argmax assignment (sim DESC, cell DESC — the a02 rule), then the
+    // update as per-(cell, dim) decimal means rounded to 8dp (the pin that
+    // makes the trajectory engine-portable); empty cells carry the prior
+    // centroid via the LEFT JOIN COALESCE. norm/shift use decimal sums
+    // over per-dim terms (the a06 norms discipline).
+    "a09_kmeans_train" -> s"""
+      WITH $lloydPrefixSql,
+      cohesion AS (
+        SELECT cell, COUNT(*) AS n_members,
+          round(CAST(SUM(CAST(sim AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS avg_sim
+        FROM a3 GROUP BY cell),
+      gd AS (
+        SELECT c3.cell, generate_subscripts(c3.cemb, 1) AS i,
+          unnest(c3.cemb) AS mn, unnest(c2.cemb) AS mp
+        FROM cent3 c3 JOIN cent2 c2 USING (cell)),
+      geom AS (
+        SELECT cell,
+          round(sqrt(CAST(SUM(CAST(mn * mn AS DECIMAL(28,12))) AS DOUBLE)), 6) AS centroid_norm,
+          round(sqrt(CAST(SUM(CAST((mn - mp) * (mn - mp) AS DECIMAL(28,12))) AS DOUBLE)), 6) AS shift
+        FROM gd GROUP BY cell)
+      SELECT cell, n_members, avg_sim, centroid_norm, shift
+      FROM cohesion JOIN geom USING (cell) ORDER BY cell""",
+
+    // a10: the same 3-round trajectory, then a02's probe replay over the
+    // TRAINED centroids (cent3): per-vector cell argmax, per-probe top-2
+    // cells (sim DESC, cell DESC), in-cell cosine top-10 vs the exact
+    // brute-force top-10 — recall join identical to a05/a08.
+    "a10_ivf_trained_recall" -> s"""
+      WITH $lloydPrefixSql,
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cell FROM cent3
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cell DESC LIMIT 1) AS cell
+        FROM e),
+      probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 5),
+      pcells AS (
+        SELECT probe_id, pemb, cell FROM (
+          SELECT p.probe_id, p.pemb, c.cell,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY ${cos("p.pemb", "c.cemb")} DESC, c.cell DESC) AS rn
+          FROM probes p CROSS JOIN cent3 c) t
+        WHERE rn <= 2),
+      ivf_top AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT pc.probe_id, a.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY pc.probe_id
+              ORDER BY round(${cos("pc.pemb", "a.emb")}, 4) DESC, a.vec_id) AS rn
+          FROM pcells pc JOIN assigned a USING (cell)) t
+        WHERE rn <= 10),
+      exact_top AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.probe_id, e.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY round(${cos("p.pemb", "e.emb")}, 4) DESC, e.vec_id) AS rn
+          FROM probes p CROSS JOIN e) t
+        WHERE rn <= 10)
+      SELECT probe_id, COUNT(*) AS n_common,
+        round(COUNT(*) / 10.0, 2) AS recall_at_10
+      FROM exact_top JOIN ivf_top USING (probe_id, cand_id)
+      GROUP BY probe_id ORDER BY probe_id""",
+
     "q110_ntile" -> """
       SELECT c_mktsegment, quartile, COUNT(*) AS n,
         round(MIN(c_acctbal), 2) AS min_bal,
@@ -2215,6 +2310,76 @@ object OracleSql {
         CAST(COUNT(*) AS INTEGER) AS n_keys,
         string_agg(l_linestatus || ':' || vs, '|' ORDER BY l_linestatus) AS multimap
       FROM per_key GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q114: the map round-trips to entry rows, so the oracle replays the
+    // entry algebra directly — duplicate keys first-wins by priority
+    // (min_by), canonical sorted emission (the q113 discipline).
+    "q114_map_union" -> """
+      WITH yearly AS (
+        SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+          COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2, 3),
+      resolved AS (
+        SELECT o_orderstatus, yr, min_by(cnt, o_orderpriority) AS v
+        FROM yearly GROUP BY 1, 2)
+      SELECT o_orderstatus, CAST(COUNT(*) AS INTEGER) AS n_keys,
+        string_agg(CAST(yr AS VARCHAR) || ':' || CAST(v AS VARCHAR), '|'
+          ORDER BY CAST(yr AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS map_union
+      FROM resolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // q115: identical explicit floor binning, window CDF, bin-lower-edge
+    // quantiles; BIGINT casts where DuckDB's window SUM widens to HUGEINT.
+    "q115_sketch_quantile" -> """
+      WITH li AS (
+        SELECT l_returnflag, l_linestatus, CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem),
+      b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM li),
+      leaf AS (
+        SELECT l_returnflag, l_linestatus,
+          LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256) AS bin,
+          COUNT(*) AS cnt
+        FROM li CROSS JOIN b GROUP BY 1, 2, 3),
+      merged AS (
+        SELECT l_returnflag, 'ALL' AS l_linestatus, bin,
+          CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM leaf GROUP BY 1, 2, 3),
+      both_h AS (
+        SELECT 'leaf' AS level, l_returnflag, l_linestatus, bin, cnt FROM leaf
+        UNION ALL
+        SELECT 'merged' AS level, l_returnflag, l_linestatus, bin, cnt FROM merged),
+      cdf AS (
+        SELECT level, l_returnflag, l_linestatus, bin, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY level, l_returnflag, l_linestatus
+            ORDER BY bin) AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY level, l_returnflag, l_linestatus)
+            AS BIGINT) AS total
+        FROM both_h),
+      qs AS (
+        SELECT level, l_returnflag, l_linestatus,
+          CAST(MAX(total) AS BIGINT) AS n,
+          MIN(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) AS b50,
+          MIN(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) AS b95,
+          MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
+        FROM cdf GROUP BY 1, 2, 3)
+      SELECT level, l_returnflag, l_linestatus, n,
+        round(lo + (b50 - 1) * (hi - lo) / 256, 4) AS p50,
+        round(lo + (b95 - 1) * (hi - lo) / 256, 4) AS p95,
+        round(lo + (b99 - 1) * (hi - lo) / 256, 4) AS p99
+      FROM qs CROSS JOIN b
+      ORDER BY level, l_returnflag, l_linestatus""",
+
+    "q116_set_union" -> """
+      WITH yearly AS (
+        SELECT o_orderstatus, year(o_orderdate) AS yr,
+          list_sort(list_distinct(list(o_orderpriority))) AS prios
+        FROM orders GROUP BY 1, 2),
+      u AS (
+        SELECT o_orderstatus, COUNT(*) AS n_years,
+          list_sort(list_distinct(flatten(list(prios)))) AS um
+        FROM yearly GROUP BY 1)
+      SELECT o_orderstatus, n_years, CAST(len(um) AS INTEGER) AS n_prios,
+        array_to_string(um, ',') AS prio_union
+      FROM u ORDER BY o_orderstatus""",
 
     "q111_gaps_islands" -> """
       WITH days AS (

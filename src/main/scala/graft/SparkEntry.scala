@@ -175,6 +175,9 @@ object SparkEntry {
     "q111_gaps_islands" -> (Relational.q111 _),
     "q112_skew_kurt" -> (Relational.q112 _),
     "q113_multimap" -> (Relational.q113 _),
+    "q114_map_union" -> (Relational.q114 _),
+    "q115_sketch_quantile" -> (Relational.q115 _),
+    "q116_set_union" -> (Relational.q116 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),
@@ -192,6 +195,8 @@ object SparkEntry {
     "a06_kmeans" -> (Ann.kmeansStep _),
     "a07_semantic_dedup" -> (Ann.semanticDedup _),
     "a08_hamming_recall" -> (Ann.binaryHammingRecall _),
+    "a09_kmeans_train" -> (Ann.kmeansTrain _),
+    "a10_ivf_trained_recall" -> (Ann.ivfTrainedRecall _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

@@ -357,6 +357,162 @@ object Ann {
       .orderBy(col("cell"))
   }
 
+  /** Lloyd rounds for a09 — a CONSTANT training budget (the d06
+    * bounded-iterations discipline), never a function of corpus size. */
+  private val TrainIters = 3
+
+  /**
+   * a09: multi-iteration k-means training — the iterate-to-convergence
+   * driver that SemDeDup / IVF training actually run, built from a06's
+   * single Lloyd step. Per round: assignment is a narrow projection
+   * against k broadcast-literal centroids (the corpus never shuffles);
+   * the update shuffles per-(cell, dim) decimal partial sums — map-side
+   * combined, so O(k · dim · partitions) rows independent of corpus
+   * size — and collects exactly the k·dim centroid matrix to the driver
+   * (bounded-driver rule: centroids are index constants, never
+   * corpus-sized). Per-dim means round to 8dp each round so the whole
+   * trajectory replays bit-for-bit in any engine; an emptied cell
+   * carries its previous centroid. The report is a06's shape after the
+   * final round plus `shift` — the L2 distance each centroid moved in
+   * the last update, the convergence signal a production trainer
+   * thresholds on.
+   */
+  /** The a09 Lloyd trajectory: [[TrainIters]] rounds from the scatter-
+    * seeded centroids. Returns (previous, final) centroid matrices plus
+    * the final-round assignment frame (lazy — its centroids are baked as
+    * literals, so re-execution is stable). Shared by a09 (report) and
+    * a10 (trained-index search). */
+  private def lloydRounds(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])], DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val sims = array(cents.map { case (id, ce) =>
+        struct(cosD(col("emb"), typedLit(ce)).as("sim"), lit(id).as("cent_id"))
+      }: _*)
+      emb.select(col("vec_id"), col("emb"), array_max(sims).as("best"))
+        .select(col("vec_id"), col("emb"),
+          col("best.cent_id").as("cell"), round(col("best.sim"), 6).as("sim"))
+    }
+
+    // ≤ k·dim rows collected — the only driver materialization per round,
+    // corpus-size independent (same bound as collectCentroids).
+    def update(assigned: DataFrame,
+               prev: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 8).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      prev.map { case (cell, old) => cell -> means.getOrElse(cell, old) }
+    }
+
+    var cents: Seq[(Long, Seq[Double])] =
+      centroidFrame(Tables.embeddings(s, d), KClusters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+        .toSeq
+    var prev = cents
+    var lastAssigned: DataFrame = assign(cents)
+    (1 to TrainIters).foreach { t =>
+      if (t > 1) lastAssigned = assign(cents)
+      prev = cents
+      cents = update(lastAssigned, cents)
+    }
+    (prev, cents, lastAssigned)
+  }
+
+  def kmeansTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (prev, cents, lastAssigned) = lloydRounds(s, d)
+
+    val cohesion = lastAssigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sim").cast(DecimalType(18, 8))).cast("double") /
+          count(lit(1)), 6).as("avg_sim"))
+
+    // norm/shift from the final and previous centroid matrices as literal
+    // rows — decimal sums over per-dim terms, the a06 norms discipline.
+    import s.implicits._
+    val prevMap = prev.toMap
+    val geom = cents.sortBy(_._1)
+      .map { case (cell, cNew) => (cell, cNew, prevMap(cell)) }
+      .toDF("cell", "c_new", "c_prev")
+      .select(col("cell"),
+        posexplode(arrays_zip(col("c_new"), col("c_prev"))).as(Seq("i", "p")))
+      .groupBy(col("cell"))
+      .agg(
+        round(sqrt(sum((col("p.c_new") * col("p.c_new"))
+          .cast(DecimalType(28, 12))).cast("double")), 6).as("centroid_norm"),
+        round(sqrt(sum(((col("p.c_new") - col("p.c_prev")) *
+          (col("p.c_new") - col("p.c_prev")))
+          .cast(DecimalType(28, 12))).cast("double")), 6).as("shift"))
+
+    cohesion.join(geom, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("avg_sim"),
+        col("centroid_norm"), col("shift"))
+      .orderBy(col("cell"))
+  }
+
+  /**
+   * a10: IVF search over the TRAINED centroids + recall eval — the full
+   * train → index → search loop (a09's Lloyd rounds feeding a02's probe
+   * topology): vectors assign to their trained cell (narrow projection,
+   * corpus never shuffles), probes keep their top-`NProbe` trained cells,
+   * candidates rank by exact cosine inside the probed cells only, and the
+   * report is recall@10 against the exact brute-force top-k — the number
+   * that justifies the ~k/NProbe scan cut an IVF index buys at 100 TB.
+   * Everything double-precision with 4dp ranking rounds, so the oracle
+   * replays the trajectory, the probe choice, and both top-k sets exactly.
+   */
+  def ivfTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    val (_, cents, _) = lloydRounds(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    def sims(v: Column) = array(cents.sortBy(_._1).map { case (id, ce) =>
+      struct(cosD(v, typedLit(ce)).as("sim"), lit(id).as("cent_id"))
+    }: _*)
+
+    val assigned = emb.select(col("vec_id"), col("emb"),
+      array_max(sims(col("emb"))).getField("cent_id").as("cell"))
+    val probeCells = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        sims(col("emb")).as("cells"))
+      .select(col("probe_id"), col("pemb"), explode(expr(
+        s"slice(transform(reverse(array_sort(cells)), c -> c.cent_id), 1, $NProbe)"))
+        .as("cell"))
+
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val ivfTop = assigned.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(cosD(col("pemb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val exactTop = emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(cosD(col("pemb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+
+    exactTop.join(ivfTop, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("probe_id"), col("n_common"),
+        round(col("n_common").cast("double") / K, 2).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
+
   /** a07 prune threshold on round(cos, 4) — rounding BEFORE the compare
     * pins the threshold edge across engines. */
   private val SemTau = 0.35

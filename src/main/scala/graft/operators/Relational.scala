@@ -1538,6 +1538,118 @@ object Relational {
           .as("multimap"))
       .orderBy(col("l_returnflag"))
 
+  /** q114: map_union (Presto 0.248 map aggregate) — merge per-group maps
+    * into one map per super-group. Per (orderstatus, orderpriority) the
+    * yearly-count map is built with map_from_entries over a sorted entry
+    * list; the union across priorities then merges WITHOUT ever collecting
+    * map payloads: entries explode back to rows, duplicate keys resolve
+    * first-wins in priority order (min_by — Presto's "arbitrary value on
+    * duplicate keys" pinned to a deterministic choice), and the merged map
+    * emits canonically sorted (the q113 discipline: arrival-order maps
+    * don't replay on a distributed engine). Entry rows shuffle keyed by
+    * (status, key) — the map type itself never crosses a wide shuffle, so
+    * the topology holds when the maps are large. */
+  def q114(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("yr"), col("cnt"))))).as("m"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        explode(col("m")).as(Seq("k", "v")))
+      .groupBy(col("o_orderstatus"), col("k"))
+      .agg(min_by(col("v"), col("o_orderpriority")).as("v"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("int").as("n_keys"),
+        concat_ws("|", sort_array(collect_list(
+          concat(col("k").cast("string"), lit(":"), col("v").cast("string")))))
+          .as("map_union"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q115 sketch resolution — a CONSTANT of the sketch (its size/accuracy
+    * trade), never a function of row count. */
+  private val HistBins = 256
+
+  /** q115: mergeable equi-width histogram quantile sketch — the
+    * re-aggregatable percentile family (Presto's qdigest_agg + merge(...)):
+    * each leaf group reduces to an O(bins)-row histogram; the rollup level
+    * merges the SKETCHES (bin-count addition over already-reduced rows),
+    * never re-touching the corpus — the two-level topology a 100 TB
+    * percentile rollup actually runs. Quantiles read off the merged CDF at
+    * the bin's lower edge, so error is bounded by one bin width (spec-
+    * asserted against the exact percentile — the q104/q106 discipline,
+    * except this sketch is deterministic and therefore hash-verifiable).
+    * Global [lo, hi] comes from one tiny broadcast aggregate; the CDF
+    * windows run over ≤ `HistBins` rows per group. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("double").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // explicit floor binning (not builtin width_bucket — its internal op
+    // order is engine-specific; this exact formula replays anywhere)
+    val leafHist = li.crossJoin(broadcast(bounds))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / HistBins)) + 1,
+          lit(HistBins.toLong)).as("bin"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      // materialize the leaf sketch (≤ groups·bins rows) so the merged
+      // level provably aggregates sketch rows, not a corpus re-scan —
+      // the p05 localCheckpoint discipline
+      .localCheckpoint()
+    val mergedHist = leafHist
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("l_returnflag"), lit("ALL").as("l_linestatus"),
+        col("bin"), col("cnt"))
+
+    def quantiles(h: DataFrame, level: String): DataFrame = {
+      val grp = Seq(col("l_returnflag"), col("l_linestatus"))
+      val cum = h
+        .withColumn("cum", sum(col("cnt"))
+          .over(Window.partitionBy(grp: _*).orderBy(col("bin"))))
+        .withColumn("total", sum(col("cnt"))
+          .over(Window.partitionBy(grp: _*)))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(col("total") * lit(p)), col("bin")))
+      cum.groupBy(grp: _*)
+        .agg(max(col("total")).as("n"),
+          pick(0.5).as("b50"), pick(0.95).as("b95"), pick(0.99).as("b99"))
+        .select(lit(level).as("level"), col("l_returnflag"),
+          col("l_linestatus"), col("n"), col("b50"), col("b95"), col("b99"))
+    }
+
+    def edge(b: String): Column =
+      round(col("lo") +
+        (col(b) - lit(1)).cast("double") * (col("hi") - col("lo")) / HistBins, 4)
+    quantiles(leafHist, "leaf").unionByName(quantiles(mergedHist, "merged"))
+      .crossJoin(broadcast(bounds))
+      .select(col("level"), col("l_returnflag"), col("l_linestatus"), col("n"),
+        edge("b50").as("p50"), edge("b95").as("p95"), edge("b99").as("p99"))
+      .orderBy(col("level"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q116: set_agg + set_union (Presto set aggregates) — per (status,
+    * year) the distinct order priorities (set_agg, canonically sorted),
+    * then the union of the yearly sets per status (set_union). The outer
+    * collect_list runs over ≤ |years| already-reduced arrays per group,
+    * never raw order rows (the q113 bounded-aggregate discipline);
+    * emission is a sorted joined string both engines hash stably. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_years"),
+        array_sort(array_distinct(flatten(collect_list(col("prios"))))).as("u"))
+      .select(col("o_orderstatus"), col("n_years"),
+        size(col("u")).as("n_prios"),
+        array_join(col("u"), ",").as("prio_union"))
+      .orderBy(col("o_orderstatus"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
