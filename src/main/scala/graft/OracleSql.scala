@@ -1973,7 +1973,9 @@ object OracleSql {
         round(GREATEST(l_quantity, l_discount * 100, l_tax * 100), 2) AS hi,
         round(LEAST(l_quantity, l_discount * 100, l_tax * 100), 2) AS lo,
         CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket,
-        round(l_extendedprice / nullif(l_quantity, 0.0), 4) AS unit_price
+        -- pinned floor-round: see the Spark side (half-boundary at sf0.1)
+        floor(l_extendedprice / nullif(l_quantity, 0.0) * 10000 + 0.5) / 10000
+          AS unit_price
       FROM lineitem WHERE l_orderkey <= 100
       ORDER BY l_orderkey, l_linenumber""",
 
@@ -2336,7 +2338,9 @@ object OracleSql {
       b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM li),
       leaf AS (
         SELECT l_returnflag, l_linestatus,
-          LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256) AS bin,
+          CASE WHEN hi = lo THEN 1
+               ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
+          END AS bin,
           COUNT(*) AS cnt
         FROM li CROSS JOIN b GROUP BY 1, 2, 3),
       merged AS (

@@ -1354,8 +1354,13 @@ object Relational {
         round(least(col("l_quantity"), col("l_discount") * 100, col("l_tax") * 100), 2)
           .as("lo"),
         when(col("l_quantity") > 25, "bulk").otherwise("small").as("bucket"),
-        round(col("l_extendedprice") /
-          nullif(col("l_quantity"), lit(0.0)), 4).as("unit_price"))
+        // explicit floor(x·10⁴ + 0.5)/10⁴ instead of round(x, 4): the
+        // quotient lands exactly on a half-boundary for some rows (found
+        // at sf0.1), where Java's BigDecimal HALF_UP and DuckDB's
+        // multiply-based round disagree by 1 ulp — this form is pure IEEE
+        // ops, identical on any engine (the a04 tie-pinning discipline)
+        (floor(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)) *
+          10000d + 0.5d) / 10000d).as("unit_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // --- q106: re-aggregatable distinct sketches (Presto approx_set +
@@ -1568,69 +1573,20 @@ object Relational {
           .as("map_union"))
       .orderBy(col("o_orderstatus"))
 
-  /** q115 sketch resolution — a CONSTANT of the sketch (its size/accuracy
-    * trade), never a function of row count. */
-  private val HistBins = 256
-
-  /** q115: mergeable equi-width histogram quantile sketch — the
-    * re-aggregatable percentile family (Presto's qdigest_agg + merge(...)):
-    * each leaf group reduces to an O(bins)-row histogram; the rollup level
-    * merges the SKETCHES (bin-count addition over already-reduced rows),
-    * never re-touching the corpus — the two-level topology a 100 TB
-    * percentile rollup actually runs. Quantiles read off the merged CDF at
-    * the bin's lower edge, so error is bounded by one bin width (spec-
-    * asserted against the exact percentile — the q104/q106 discipline,
-    * except this sketch is deterministic and therefore hash-verifiable).
-    * Global [lo, hi] comes from one tiny broadcast aggregate; the CDF
-    * windows run over ≤ `HistBins` rows per group. */
-  def q115(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_extendedprice").cast("double").as("x"))
-    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    // explicit floor binning (not builtin width_bucket — its internal op
-    // order is engine-specific; this exact formula replays anywhere)
-    val leafHist = li.crossJoin(broadcast(bounds))
-      .select(col("l_returnflag"), col("l_linestatus"),
-        least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / HistBins)) + 1,
-          lit(HistBins.toLong)).as("bin"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"), col("bin"))
-      .agg(count(lit(1)).as("cnt"))
-      // materialize the leaf sketch (≤ groups·bins rows) so the merged
-      // level provably aggregates sketch rows, not a corpus re-scan —
-      // the p05 localCheckpoint discipline
-      .localCheckpoint()
-    val mergedHist = leafHist
-      .groupBy(col("l_returnflag"), col("bin"))
-      .agg(sum(col("cnt")).as("cnt"))
-      .select(col("l_returnflag"), lit("ALL").as("l_linestatus"),
-        col("bin"), col("cnt"))
-
-    def quantiles(h: DataFrame, level: String): DataFrame = {
-      val grp = Seq(col("l_returnflag"), col("l_linestatus"))
-      val cum = h
-        .withColumn("cum", sum(col("cnt"))
-          .over(Window.partitionBy(grp: _*).orderBy(col("bin"))))
-        .withColumn("total", sum(col("cnt"))
-          .over(Window.partitionBy(grp: _*)))
-      def pick(p: Double) =
-        min(when(col("cum") >= ceil(col("total") * lit(p)), col("bin")))
-      cum.groupBy(grp: _*)
-        .agg(max(col("total")).as("n"),
-          pick(0.5).as("b50"), pick(0.95).as("b95"), pick(0.99).as("b99"))
-        .select(lit(level).as("level"), col("l_returnflag"),
-          col("l_linestatus"), col("n"), col("b50"), col("b95"), col("b99"))
-    }
-
-    def edge(b: String): Column =
-      round(col("lo") +
-        (col(b) - lit(1)).cast("double") * (col("hi") - col("lo")) / HistBins, 4)
-    quantiles(leafHist, "leaf").unionByName(quantiles(mergedHist, "merged"))
-      .crossJoin(broadcast(bounds))
-      .select(col("level"), col("l_returnflag"), col("l_linestatus"), col("n"),
-        edge("b50").as("p50"), edge("b95").as("p95"), edge("b99").as("p99"))
-      .orderBy(col("level"), col("l_returnflag"), col("l_linestatus"))
-  }
+  /** q115: mergeable equi-width histogram quantile sketch over lineitem
+    * extended prices — see [[QuantileSketch]] for the kernel (leaf
+    * sketches merged by bin-count addition, error ≤ one bin width,
+    * spec-asserted vs exact percentile and property-tested on random
+    * data; deterministic ⇒ hash-verifiable, the q104/q106 discipline
+    * without the engine-defined sketch internals). */
+  def q115(s: SparkSession, d: String): DataFrame =
+    QuantileSketch.report(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("g1"),
+        col("l_linestatus").as("g2"),
+        col("l_extendedprice").cast("double").as("x")))
+      .select(col("level"), col("g1").as("l_returnflag"),
+        col("g2").as("l_linestatus"), col("n"),
+        col("p50"), col("p95"), col("p99"))
 
   /** q116: set_agg + set_union (Presto set aggregates) — per (status,
     * year) the distinct order priorities (set_agg, canonically sorted),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.QuantileSketch
+
+/** Randomized harness for the histogram quantile sketch: across seeded
+  * random datasets — uniform, heavy-tailed, constant-column (hi = lo),
+  * single-row groups, duplicate-heavy — the sketch must (a) conserve
+  * counts leaf → merged, (b) keep p50 ≤ p95 ≤ p99, and (c) bound every
+  * reported quantile within one bin width of the exact ceil-rank
+  * element. Seeds are fixed, so a failure reproduces, never flakes. */
+class QuantileSketchPropertySpec extends GraftSpec {
+
+  private val schema = StructType(Seq(
+    StructField("g1", StringType, nullable = false),
+    StructField("g2", StringType, nullable = false),
+    StructField("x", DoubleType, nullable = false)))
+
+  private def gen(r: scala.util.Random, n: Int): Seq[Row] =
+    (0 until n).map { _ =>
+      val g1 = s"a${r.nextInt(3)}"
+      val g2 = s"b${r.nextInt(2)}"
+      val x = r.nextInt(4) match {
+        case 0 => r.nextDouble() * 1000.0
+        case 1 => math.pow(r.nextDouble(), 4) * 1e6          // heavy tail
+        case 2 => 42.0                                       // duplicates
+        case _ => -500.0 + r.nextDouble()                    // negative band
+      }
+      Row(g1, g2, x)
+    }
+
+  test("sketch conserves counts, orders quantiles, stays within one bin width") {
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(seed)
+      val rows = if (seed == 3) {
+        // degenerate: every value identical -> hi = lo, all mass in bin 1
+        (0 until 50).map(_ => Row("a0", "b0", 7.5))
+      } else gen(r, 1 + r.nextInt(2000))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      val rep = QuantileSketch.report(df).collect()
+      assert(rep.nonEmpty, s"seed $seed")
+
+      val (leaf, merged) = rep.partition(_.getAs[String]("level") == "leaf")
+      val leafN = leaf.groupBy(_.getAs[String]("g1"))
+        .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+      merged.foreach { m =>
+        assert(m.getAs[Long]("n") == leafN(m.getAs[String]("g1")),
+          s"seed $seed: merged count must equal the sum of its leaf sketches")
+      }
+
+      val lo = rows.map(_.getDouble(2)).min
+      val hi = rows.map(_.getDouble(2)).max
+      val binW = (hi - lo) / QuantileSketch.Bins
+      val tol = math.max(1e-4, math.abs(hi) * 1e-9)
+      def exact(vs: Seq[Double], p: Double): Double =
+        vs.sorted.apply(math.ceil(vs.size * p).toInt - 1)
+      def group(level: String, g1: String, g2: String): Seq[Double] =
+        if (level == "merged") rows.filter(_.getString(0) == g1).map(_.getDouble(2))
+        else rows.filter(x => x.getString(0) == g1 && x.getString(1) == g2)
+          .map(_.getDouble(2))
+
+      rep.foreach { row =>
+        val p50 = row.getAs[Double]("p50")
+        val p95 = row.getAs[Double]("p95")
+        val p99 = row.getAs[Double]("p99")
+        assert(p50 <= p95 + tol && p95 <= p99 + tol, s"seed $seed: $row")
+        val vs = group(row.getAs[String]("level"),
+          row.getAs[String]("g1"), row.getAs[String]("g2"))
+        assert(vs.size.toLong == row.getAs[Long]("n"), s"seed $seed: $row")
+        Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (p, v) =>
+          val ex = exact(vs, p)
+          assert(v <= ex + tol && ex <= v + binW + tol,
+            s"seed $seed p=$p: exact=$ex sketch=$v binW=$binW n=${vs.size}")
+        }
+      }
+    }
+  }
+}
