@@ -1431,6 +1431,56 @@ object OracleSql {
       SELECT doc_id, dhash, COUNT(*) OVER (PARTITION BY dhash) AS n_same
       FROM sh ORDER BY doc_id""",
 
+    // m07: the m04 dHash replay, then d03's pigeonhole banding (four
+    // 16-bit bands of the unsigned hash, capped buckets), xor+popcount
+    // hamming ≤ 3 verify on the signed hashes, and d06's recursive-CTE
+    // connected components.
+    "m07_image_dup_clusters" -> s"""
+      WITH RECURSIVE codes AS (
+        SELECT d.doc_id, i.i AS i,
+          CAST('0x' || substr(d.hx, 2*i.i+1, 2) AS INTEGER) AS c
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                CAST(octet_length(encode(text)) AS INTEGER) AS nb
+              FROM documents) d,
+        LATERAL (SELECT unnest(range(0, LEAST(d.nb, 65))) AS i) i),
+      h AS (
+        SELECT a.doc_id,
+          SUM(CASE WHEN a.c > b.c THEN CAST(1 AS HUGEINT) << a.i
+                   ELSE CAST(0 AS HUGEINT) END) AS hraw
+        FROM codes a JOIN codes b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i < 64
+        GROUP BY a.doc_id),
+      sh AS (
+        SELECT d.doc_id,
+          COALESCE(h.hraw, CAST(0 AS HUGEINT)) AS hu,
+          ${u2s("COALESCE(h.hraw, CAST(0 AS HUGEINT))")} AS dhash
+        FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id),
+      blocks AS (
+        SELECT doc_id, b.blk, (hu >> (b.blk * 16)) & 65535 AS blk_val
+        FROM sh, (VALUES (0), (1), (2), (3)) b(blk)),
+      ok AS (
+        SELECT blk, blk_val FROM blocks
+        GROUP BY blk, blk_val HAVING COUNT(*) BETWEEN 2 AND 1000),
+      pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM blocks x
+        JOIN blocks y ON x.blk = y.blk AND x.blk_val = y.blk_val
+          AND x.doc_id < y.doc_id
+        JOIN ok o ON o.blk = x.blk AND o.blk_val = x.blk_val),
+      ham AS (
+        SELECT a, b FROM pr
+        JOIN sh sa ON sa.doc_id = pr.a
+        JOIN sh sb ON sb.doc_id = pr.b
+        WHERE bit_count(xor(sa.dhash, sb.dhash)) <= 3),
+      edges AS (SELECT a AS src, b AS dst FROM ham
+                UNION ALL SELECT b, a FROM ham),
+      reach(v, u) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+      SELECT v AS doc_id, MIN(u) AS cluster
+      FROM reach GROUP BY v ORDER BY doc_id""",
+
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
 

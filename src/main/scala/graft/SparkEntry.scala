@@ -203,7 +203,8 @@ object SparkEntry {
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "m04_perceptual_hash" -> (Multimodal.perceptualHash _),
     "m05_audio_meta" -> (Multimodal.audioMeta _),
-    "m06_video_meta" -> (Multimodal.videoMeta _)
+    "m06_video_meta" -> (Multimodal.videoMeta _),
+    "m07_image_dup_clusters" -> (Multimodal.imageDupClusters _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

@@ -123,15 +123,13 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** m04: perceptual (difference-)hash dedup — the image near-dup pass of
-    * a multimodal corpus pipeline: a 64-bit dHash over the decoded stream
-    * (bit i set iff byte i > byte i+1 across a 65-byte prefix), exact-hash
-    * groups counted. Real pixel dHash swaps the byte prefix for a resized
-    * luma grid; the Spark shape is identical — narrow per-record hash, one
-    * groupBy on the 8-byte digest (never the payload). */
-  def perceptualHash(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, dhash): the 64-bit difference hash over the decoded stream
+    * (bit i set iff byte i > byte i+1 across a 65-byte prefix) — narrow
+    * per-record hash; the 8-byte digest is all that ever leaves the scan.
+    * Shared by m04 (exact-hash groups) and m07 (near-dup clusters). */
+  private def dhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashed = mediaTable(s, d)
+    mediaTable(s, d)
       .mapPartitions(it => it.map { r =>
         val headerLen = ImageHeaders.parse(r.payload).map(_.headerLen).getOrElse(0)
         val body = r.payload.drop(headerLen)
@@ -144,10 +142,45 @@ object Multimodal {
         (r.doc_id, h)
       })
       .toDF("doc_id", "dhash")
-    hashed
+  }
+
+  /** m04: perceptual (difference-)hash dedup — the image near-dup pass of
+    * a multimodal corpus pipeline: [[dhashes]] then exact-hash groups
+    * counted. Real pixel dHash swaps the byte prefix for a resized luma
+    * grid; the Spark shape is identical — narrow per-record hash, one
+    * groupBy on the 8-byte digest (never the payload). */
+  def perceptualHash(s: SparkSession, d: String): DataFrame =
+    dhashes(s, d)
       .withColumn("n_same", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))))
       .select(col("doc_id"), col("dhash"), col("n_same"))
+      .orderBy(col("doc_id"))
+
+  /** m07 near-dup edge threshold: images whose dHashes differ in ≤ 3 of
+    * 64 bits are the same image under light recompression/crop jitter. */
+  private val HamTau = 3
+
+  /** m07: image near-duplicate CLUSTERS — the image-modality dedup
+    * topology, composed from kernels already proven on text: [[dhashes]]
+    * (narrow, 8-byte digests), the d03 pigeonhole banding (a 64-bit hash
+    * splits into four 16-bit bands; ≤ `HamTau`=3 flipped bits can dirty at
+    * most 3 bands, so true near-dups ALWAYS share ≥ 1 exact band — full
+    * recall, no probabilistic miss), the d02 capped-bucket pair expansion
+    * (no n² anywhere), a codegen xor+popcount Hamming verify, and d06's
+    * pointer-jumping connected components over the edge-touched set only.
+    * At 100 TB: payloads never shuffle, candidate pairs exist only inside
+    * 16-bit-band buckets, components converge in O(log diameter) rounds. */
+  def imageDupClusters(s: SparkSession, d: String): DataFrame = {
+    val hashed = dhashes(s, d)
+    val bands = hashed.select(col("doc_id"), posexplode(
+      expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
+      .as(Seq("band", "band_key")))
+    val verified = graft.dedup.Dedup.lshCandidatePairs(bands)
+      .join(hashed.select(col("doc_id").as("id_a"), col("dhash").as("ha")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("dhash").as("hb")), Seq("id_b"))
+      .filter(graft.functions.GraftFunctions.hamming64(col("ha"), col("hb")) <= HamTau)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Clustering.connectedComponents(hashed.select(col("doc_id")), verified)
       .orderBy(col("doc_id"))
   }
 

@@ -134,6 +134,23 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("m07 image dup clusters: every image labeled, labels are component minima") {
+    val rows = Multimodal.imageDupClusters(spark, sf).collect()
+    val hashes = Multimodal.perceptualHash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dhash")).toMap
+    assert(rows.length == hashes.size, "every image gets a cluster label")
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    cluster.foreach { case (id, c) => assert(c <= id, "label = component min id") }
+    // exact-dHash duplicates are Hamming-0 pairs -> must share a cluster
+    hashes.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+      assert(g.map(kv => cluster(kv._1)).toSet.size == 1,
+        s"identical dhash group split across clusters: $g")
+    }
+    val p = Multimodal.imageDupClusters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("m05 audio metadata parses every record from real RIFF bytes") {
     val rows = Multimodal.audioMeta(spark, sf).collect()
     assert(rows.nonEmpty)
