@@ -108,6 +108,29 @@ object EventPipelines {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming mergeable histogram sketch — the streaming face of the
+    * q115 quantile sketch ([[graft.operators.QuantileSketch]]): running
+    * per-(event_type, bin) counts over a FIXED [lo, hi] domain. Each
+    * micro-batch's partial counts merge into the running state by bin
+    * addition — exactly the sketch-merge operation — so the latest rows
+    * always equal the batch sketch over everything ingested (spec-pinned).
+    * The domain is pinned up front: a production metric monitor knows its
+    * range, and a stream cannot make the second global min/max pass the
+    * batch kernel uses. Out-of-domain values clamp to the edge bins.
+    * State is O(types · bins), watermark-free by design. */
+  def histogramSketch(events: DataFrame, lo: Double, hi: Double,
+                      bins: Int = 64): DataFrame = {
+    val x = col("value").cast("double")
+    val bin =
+      if (hi == lo) lit(1L)
+      else least(greatest(
+        floor((x - lit(lo)) / ((lit(hi) - lit(lo)) / bins)) + 1, lit(1L)),
+        lit(bins.toLong))
+    events.select(col("event_type"), bin.as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** flatMapGroupsWithState sessionization that EMITS each session as it
     * closes (gap > 30 min), keeping only the open session in state — the
     * session-log topology (vs sessionize's running per-user counters).

@@ -148,6 +148,41 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram sketch merges micro-batches to the batch histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.histogramSketch(input.toDF(), 0.0, 100.0).writeStream
+      .outputMode("complete").format("memory").queryName("hist_sketch").start()
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "click", 6.0),   // same bin as 5.0
+      Event(3, ts("2024-01-01 10:02:00"), 2, "view", 55.0))
+    val batch2 = Seq(
+      Event(4, ts("2024-01-01 11:00:00"), 1, "click", 6.2),   // merges into batch1's bin
+      Event(5, ts("2024-01-01 11:01:00"), 2, "view", 99.9),
+      Event(6, ts("2024-01-01 11:02:00"), 2, "view", -17.0),  // clamps to bin 1
+      Event(7, ts("2024-01-01 11:03:00"), 2, "view", 250.0))  // clamps to top bin
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_sketch").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) ->
+          r.getAs[Long]("cnt")).toMap
+      val batch = EventPipelines
+        .histogramSketch((batch1 ++ batch2).toDF(), 0.0, 100.0).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) ->
+          r.getAs[Long]("cnt")).toMap
+      // micro-batch state merging must reproduce the batch sketch exactly
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the 5.0/7.0/6.2 clicks share one bin across the two micro-batches
+      assert(streamed(("click", 4L)) == 3L, streamed.toString)
+      assert(streamed(("view", 1L)) == 1L, "below-domain value clamps to bin 1")
+      assert(streamed(("view", 64L)) == 2L, "99.9 and above-domain share the top bin")
+    } finally q.stop()
+  }
+
   test("file stream with Trigger.AvailableNow drains a directory and stops") {
     // the backfill topology: files land on distributed storage, the stream
     // processes everything present, then terminates (batch-as-stream)
