@@ -2099,6 +2099,52 @@ object OracleSql {
       WHERE event_type = 'purchase' AND touch_id IS NOT NULL
       ORDER BY event_id""",
 
+    // e12: the q115 sketch replay over same-user inter-event gaps —
+    // identical floor binning, window CDF, bin-lower-edge quantiles.
+    "e12_gap_sketch" -> """
+      WITH g AS (
+        SELECT event_type AS g1, strftime(ts, '%Y-%m-%d') AS g2,
+          CAST(us - prev_us AS DOUBLE) / 1000000.0 AS x
+        FROM (
+          SELECT event_type, ts, epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events) t
+        WHERE prev_us IS NOT NULL),
+      b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM g),
+      leaf AS (
+        SELECT g1, g2,
+          CASE WHEN hi = lo THEN 1
+               ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
+          END AS bin,
+          COUNT(*) AS cnt
+        FROM g CROSS JOIN b GROUP BY 1, 2, 3),
+      merged AS (
+        SELECT g1, 'ALL' AS g2, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM leaf GROUP BY 1, 2, 3),
+      both_h AS (
+        SELECT 'leaf' AS level, g1, g2, bin, cnt FROM leaf
+        UNION ALL
+        SELECT 'merged' AS level, g1, g2, bin, cnt FROM merged),
+      cdf AS (
+        SELECT level, g1, g2, bin, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY level, g1, g2 ORDER BY bin)
+            AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY level, g1, g2) AS BIGINT) AS total
+        FROM both_h),
+      qs AS (
+        SELECT level, g1, g2, CAST(MAX(total) AS BIGINT) AS n,
+          MIN(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) AS b50,
+          MIN(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) AS b95,
+          MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
+        FROM cdf GROUP BY 1, 2, 3)
+      SELECT level, g1 AS event_type, g2 AS day, n,
+        round(lo + (b50 - 1) * (hi - lo) / 256, 4) AS p50,
+        round(lo + (b95 - 1) * (hi - lo) / 256, 4) AS p95,
+        round(lo + (b99 - 1) * (hi - lo) / 256, 4) AS p99
+      FROM qs CROSS JOIN b
+      ORDER BY level, g1, g2""",
+
     "t11_gopher_quality" -> raw"""
       WITH f AS (
         SELECT doc_id,

@@ -71,6 +71,7 @@ object SparkEntry {
     "e09_anomaly" -> (Events.anomaly _),
     "e10_attribution" -> (Events.attribution _),
     "e11_transitions" -> (Events.transitions _),
+    "e12_gap_sketch" -> (Events.gapSketch _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

@@ -254,4 +254,28 @@ object Events {
         (unix_micros(col("ts")) - col("touch_us")).as("gap_us"))
       .orderBy(col("event_id"))
   }
+
+  /** e12: inter-event-gap latency percentiles via the mergeable histogram
+    * sketch — the p95-latency monitor every event pipeline runs, reusing
+    * the [[QuantileSketch]] kernel verbatim: leaf = per-(type, day)
+    * sketch, merged = per-type rollup across days by bin-count addition
+    * (the sketch-merge op — daily sketches roll into weekly/monthly
+    * without re-touching events). Gaps are consecutive same-user deltas
+    * in exact integer microseconds (pinned to the (µs, event_id) order
+    * the e10 oracle replays) scaled to seconds; one user_id shuffle for
+    * the lag window, then everything runs on sketch-sized frames. */
+  def gapSketch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val base = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type").as("g1"),
+        date_format(col("ts"), "yyyy-MM-dd").as("g2"),
+        ((unix_micros(col("ts")) - col("prev_us")).cast("double") /
+          1000000.0).as("x"))
+    QuantileSketch.report(base)
+      .select(col("level"), col("g1").as("event_type"), col("g2").as("day"),
+        col("n"), col("p50"), col("p95"), col("p99"))
+  }
 }
