@@ -1431,6 +1431,37 @@ object OracleSql {
       SELECT doc_id, dhash, COUNT(*) OVER (PARTITION BY dhash) AS n_same
       FROM sh ORDER BY doc_id""",
 
+    // m08: little-endian int16 decode of the PCM body (= the text bytes;
+    // the 44-byte header is synthetic and stripped by the parsed offset),
+    // integer sum-of-squares, then the ratio report.
+    "m08_audio_energy" -> """
+      WITH raws AS (
+        SELECT doc_id, unnest(list_transform(
+          range(0, CAST(octet_length(encode(text)) // 2 AS INTEGER)),
+          i -> CAST('0x' || substr(hex(encode(text)), 4*i+1, 2) AS INTEGER)
+               + 256 * CAST('0x' || substr(hex(encode(text)), 4*i+3, 2) AS INTEGER))) AS raw
+        FROM documents),
+      sv AS (
+        SELECT doc_id, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM raws),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n, MAX(abs(v)) AS peak,
+          SUM(CAST(v AS BIGINT) * v) AS ss, SUM(CAST(v AS BIGINT)) AS sv,
+          SUM(CASE WHEN abs(v) >= 30000 THEN 1 ELSE 0 END) AS nclip
+        FROM sv GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_samples16,
+        CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak,
+        round(CASE WHEN COALESCE(a.n, 0) > 0
+          THEN sqrt(CAST(a.ss AS DOUBLE) / a.n) ELSE 0.0 END, 4) AS rms,
+        round(CASE WHEN COALESCE(a.n, 0) > 0
+          THEN CAST(a.sv AS DOUBLE) / a.n ELSE 0.0 END, 4) AS dc_mean,
+        round(CASE WHEN COALESCE(a.n, 0) > 0
+          THEN CAST(a.nclip AS DOUBLE) / a.n ELSE 0.0 END, 6) AS clip_ratio,
+        TRUE AS decode_ok
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
+
     // m07: the m04 dHash replay, then d03's pigeonhole banding (four
     // 16-bit bands of the unsigned hash, capped buckets), xor+popcount
     // hamming ≤ 3 verify on the signed hashes, and d06's recursive-CTE
@@ -1906,6 +1937,36 @@ object OracleSql {
         CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
       FROM r GROUP BY shard ORDER BY shard""",
 
+    // p09: the t02 score kernel verbatim, 0.75/0.5 bin thresholds, the
+    // 16807 MINSTD hash threshold, and the 9-row epoch schedule.
+    "p09_curriculum" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      WITH scored AS (
+        SELECT doc_id, n_chars,
+          LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+          + LEAST(1.0, (${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")}) * 10.0 / len(string_split_regex(trim(text), '\s+'))) * 0.3
+          + CASE WHEN CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 8.0
+                 THEN 0.2 ELSE 0.0 END AS q,
+          (doc_id * 16807 + 17) % 1048576 AS u
+        FROM (SELECT doc_id, text, n_chars, ' ' || lower(text) || ' ' AS p FROM documents) d),
+      binned AS (
+        SELECT doc_id, n_chars, u,
+          CASE WHEN q >= 0.75 THEN 'high' WHEN q >= 0.5 THEN 'mid'
+               ELSE 'low' END AS bin
+        FROM scored),
+      sched(epoch, bin, keep_below) AS (VALUES
+        (1, 'high', 1048576), (1, 'mid', 0), (1, 'low', 0),
+        (2, 'high', 1048576), (2, 'mid', 524288), (2, 'low', 0),
+        (3, 'high', 1048576), (3, 'mid', 1048576), (3, 'low', 104858))
+      SELECT s.epoch, b.bin, COUNT(*) AS n_kept,
+        CAST(SUM(b.doc_id) AS BIGINT) AS id_checksum,
+        CAST(SUM(b.n_chars) AS BIGINT) AS kept_chars
+      FROM binned b JOIN sched s ON s.bin = b.bin
+      WHERE b.u < s.keep_below
+      GROUP BY s.epoch, b.bin ORDER BY s.epoch, b.bin"""
+    },
+
     "p07_mixture" -> """
       SELECT source, COUNT(*) AS n_kept,
         CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
@@ -2098,6 +2159,41 @@ object OracleSql {
       FROM ranked
       WHERE event_type = 'purchase' AND touch_id IS NOT NULL
       ORDER BY event_id""",
+
+    // e13: same integer metrics (µs recency, counts, floor-form cents),
+    // quantile_cont quartiles (exact doubles on integer inputs), same
+    // strict-> scoring and segment CASE chain.
+    "e13_rfm" -> """
+      WITH u AS (
+        SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events,
+          SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS cents
+        FROM events GROUP BY user_id),
+      t AS (
+        SELECT quantile_cont(last_us, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(n_events, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(cents, [0.25, 0.5, 0.75]) AS mq
+        FROM u),
+      sc AS (
+        SELECT
+          1 + CASE WHEN last_us > rq[1] THEN 1 ELSE 0 END
+            + CASE WHEN last_us > rq[2] THEN 1 ELSE 0 END
+            + CASE WHEN last_us > rq[3] THEN 1 ELSE 0 END AS r_score,
+          1 + CASE WHEN n_events > fq[1] THEN 1 ELSE 0 END
+            + CASE WHEN n_events > fq[2] THEN 1 ELSE 0 END
+            + CASE WHEN n_events > fq[3] THEN 1 ELSE 0 END AS f_score,
+          1 + CASE WHEN cents > mq[1] THEN 1 ELSE 0 END
+            + CASE WHEN cents > mq[2] THEN 1 ELSE 0 END
+            + CASE WHEN cents > mq[3] THEN 1 ELSE 0 END AS m_score
+        FROM u CROSS JOIN t)
+      SELECT r_score, f_score, m_score,
+        CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score >= 3 AND f_score <= 2 THEN 'fresh'
+             ELSE 'casual' END AS segment,
+        COUNT(*) AS n_users
+      FROM sc GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score""",
 
     // e12: the q115 sketch replay over same-user inter-event gaps —
     // identical floor binning, window CDF, bin-lower-edge quantiles.
@@ -2313,6 +2409,80 @@ object OracleSql {
     // TRAINED centroids (cent3): per-vector cell argmax, per-probe top-2
     // cells (sim DESC, cell DESC), in-cell cosine top-10 vs the exact
     // brute-force top-10 — recall join identical to a05/a08.
+    // a12: a02's centroid selection + assignment, probe cells ranked to
+    // 4, the rank<=nprobe sweep against a 4-row dim, exact top-10 from
+    // the full corpus; recall per nprobe = hits / 50.
+    "a12_nprobe_curve" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+               ORDER BY (vec_id * 69069 + 1) % 1048576, vec_id LIMIT 32),
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cent_id FROM cent
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cent_id DESC LIMIT 1) AS cell
+        FROM e),
+      pcells AS (
+        SELECT probe_id, pemb, cell, rn AS cell_rank FROM (
+          SELECT p.vec_id AS probe_id, p.emb AS pemb, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY ${cos("p.emb", "c.cemb")} DESC, c.cent_id DESC) AS rn
+          FROM (SELECT * FROM e WHERE vec_id < 5) p CROSS JOIN cent c) t
+        WHERE rn <= 4),
+      cand AS (
+        SELECT pc.probe_id, pc.cell_rank, a.vec_id AS cand_id,
+          round(${cos("pc.pemb", "a.emb")}, 4) AS cos_sim
+        FROM pcells pc JOIN assigned a USING (cell)),
+      np AS (SELECT unnest(range(1, 5)) AS nprobe),
+      ivf_top AS (
+        SELECT probe_id, nprobe, cand_id FROM (
+          SELECT c.probe_id, n.nprobe, c.cand_id,
+            row_number() OVER (PARTITION BY c.probe_id, n.nprobe
+              ORDER BY c.cos_sim DESC, c.cand_id) AS rn
+          FROM cand c JOIN np n ON c.cell_rank <= n.nprobe) t
+        WHERE rn <= 10),
+      exact_top AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY round(${cos("p.emb", "a.emb")}, 4) DESC, a.vec_id) AS rn
+          FROM (SELECT * FROM e WHERE vec_id < 5) p CROSS JOIN e a) t
+        WHERE rn <= 10),
+      hits AS (
+        SELECT i.nprobe FROM ivf_top i
+        JOIN exact_top x USING (probe_id, cand_id))
+      SELECT n.nprobe, COUNT(h.nprobe) AS n_hits,
+        round(COUNT(h.nprobe) / 50.0, 4) AS recall
+      FROM np n LEFT JOIN hits h USING (nprobe)
+      GROUP BY n.nprobe ORDER BY n.nprobe""",
+
+    // a11: 4 subspaces x 16-dim slices, codebook = sub-vectors of
+    // vec_id < 16, sqdist expanded to dot products (list_dot_product =
+    // the same sequential fold as the Spark side), argmin tie -> lower
+    // code, decimal-accumulated mean distortion.
+    "a11_pq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ms AS (SELECT unnest(range(4)) AS m),
+      ev AS (SELECT vec_id, m, emb[m*16+1 : m*16+16] AS sv
+             FROM e CROSS JOIN ms),
+      book AS (SELECT vec_id AS code, m, emb[m*16+1 : m*16+16] AS cw
+               FROM e CROSS JOIN ms WHERE vec_id < 16),
+      dist AS (
+        SELECT ev.vec_id, ev.m, b.code,
+          list_dot_product(ev.sv, ev.sv) - 2.0 * list_dot_product(ev.sv, b.cw)
+            + list_dot_product(b.cw, b.cw) AS sqdist
+        FROM ev JOIN book b ON b.m = ev.m),
+      best AS (
+        SELECT vec_id, m, code, sqdist,
+          row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY sqdist, code) AS rn
+        FROM dist)
+      SELECT CAST(m AS INTEGER) AS subspace, code,
+        COUNT(*) AS n_assigned,
+        round(CAST(SUM(CAST(sqdist AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+          AS avg_sqdist
+      FROM best WHERE rn = 1
+      GROUP BY m, code ORDER BY subspace, code""",
+
     "a10_ivf_trained_recall" -> s"""
       WITH $lloydPrefixSql,
       assigned AS (
@@ -2531,8 +2701,103 @@ object OracleSql {
           AS DECIMAL(26,12))) AS DOUBLE), 6) AS entropy
       FROM withlen GROUP BY doc_id ORDER BY doc_id""",
 
+    // t15: same GPT-2-style [a-z]+ pre-tokenization; pair fan-out over
+    // the distinct-word vocabulary only, weighted by word frequency.
+    "t15_bpe_pairs" -> raw"""
+      WITH vocab AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT n, unnest(list_transform(range(1, length(w)),
+          i -> substr(w, CAST(i AS INTEGER), 1) || ' ' ||
+               substr(w, CAST(i + 1 AS INTEGER), 1))) AS pair
+        FROM vocab)
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+      ORDER BY pair_count DESC, pair
+      LIMIT 50""",
+
+    // t17: the same three surface counts (whitespace words, [.!?]+
+    // sentence runs, [aeiouy]+ vowel-group syllables), same IEEE formula.
+    "t17_readability" -> raw"""
+      SELECT doc_id, n_words, n_sents, n_syll,
+        round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+          - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+      FROM (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sents,
+          CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS INTEGER) AS n_syll
+        FROM documents) t
+      ORDER BY doc_id""",
+
+    // t16: the t01 regexp-strip count trick per character class; same
+    // priority CASE chain as the Spark side.
+    "t16_scripts" -> raw"""
+      WITH c AS (
+        SELECT doc_id, length(text) AS n_total,
+          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+          length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+          length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space,
+          greatest(length(text), 1) AS n1
+        FROM documents),
+      c2 AS (SELECT *, n_total - latin - digit - cjk - space AS other FROM c)
+      SELECT doc_id, CAST(n_total AS INTEGER) AS n_total,
+        round(CAST(latin AS DOUBLE) / n1, 6) AS latin_frac,
+        round(CAST(digit AS DOUBLE) / n1, 6) AS digit_frac,
+        round(CAST(cjk AS DOUBLE) / n1, 6) AS cjk_frac,
+        round(CAST(space AS DOUBLE) / n1, 6) AS space_frac,
+        round(CAST(other AS DOUBLE) / n1, 6) AS other_frac,
+        CASE WHEN latin >= digit AND latin >= cjk AND latin >= space
+              AND latin >= other THEN 'latin'
+             WHEN digit >= cjk AND digit >= space AND digit >= other THEN 'digit'
+             WHEN cjk >= space AND cjk >= other THEN 'cjk'
+             WHEN space >= other THEN 'space'
+             ELSE 'other' END AS dominant
+      FROM c2 ORDER BY doc_id""",
+
     // d09: signature agreement from the SAME sigj components d02 replays;
     // exact Jaccard over distinct 3-gram shingle sets from the sh CTE.
+    // d10: per-shingle Hash64 replay (FNV-1a64 + splitmix64, seed 0) on
+    // parallel-unnest-indexed shingles, 4-wide window minima, distinct
+    // fingerprints, capped-bucket pair counts.
+    "d10_winnowing" -> s"""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(range(0, greatest(len(w) - 2, 1))) AS idx,
+          unnest(list_transform(range(0, greatest(len(w) - 2, 1)),
+            i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+              FROM documents) d),
+      f0 AS (SELECT doc_id, idx, ${fnvReduce(fnvSeq("s", 0L))} AS h0 FROM sh),
+      f1 AS (SELECT doc_id, idx, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM f0),
+      f2 AS (SELECT doc_id, idx, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM f1),
+      hv AS (SELECT doc_id, idx, ${u2s("xor(z2, z2 >> 31)")} AS h FROM f2),
+      n AS (SELECT doc_id, COUNT(*) AS ns FROM hv GROUP BY doc_id),
+      wins AS (
+        SELECT hv.doc_id, hv.idx, n.ns,
+          MIN(h) OVER (PARTITION BY hv.doc_id ORDER BY hv.idx
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM hv JOIN n USING (doc_id)),
+      fps AS (
+        SELECT DISTINCT doc_id, fp FROM wins
+        WHERE ns >= 4 AND idx <= ns - 4),
+      buckets AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a
+        JOIN buckets bk ON bk.fp = a.fp
+        JOIN fps b ON b.fp = a.fp AND b.doc_id > a.doc_id)
+      SELECT id_a, id_b, COUNT(*) AS n_shared
+      FROM pairs GROUP BY id_a, id_b
+      HAVING COUNT(*) >= 2
+      ORDER BY id_a, id_b""",
+
     "d09_minhash_est" -> s"""
       WITH $minhashCtes,
       est AS (

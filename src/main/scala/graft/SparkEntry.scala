@@ -72,6 +72,7 @@ object SparkEntry {
     "e10_attribution" -> (Events.attribution _),
     "e11_transitions" -> (Events.transitions _),
     "e12_gap_sketch" -> (Events.gapSketch _),
+    "e13_rfm" -> (Events.rfm _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -87,6 +88,9 @@ object SparkEntry {
     "t12_bm25" -> (TextAnalysis.bm25 _),
     "t13_zipf" -> (TextAnalysis.zipfSlope _),
     "t14_entropy" -> (TextAnalysis.entropy _),
+    "t15_bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "t16_scripts" -> (TextAnalysis.scripts _),
+    "t17_readability" -> (TextAnalysis.readability _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -99,6 +103,7 @@ object SparkEntry {
     "d07_contamination" -> (Dedup.contamination _),
     "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "d09_minhash_est" -> (Dedup.minhashEstimate _),
+    "d10_winnowing" -> (Dedup.winnowing _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
@@ -107,6 +112,7 @@ object SparkEntry {
     "p06_global_shuffle" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.globalShuffle(s, d)),
     "p07_mixture" -> (graft.pipeline.Splits.mixture _),
     "p08_split_leakage" -> (graft.pipeline.Splits.splitLeakage _),
+    "p09_curriculum" -> (graft.pipeline.Splits.curriculum _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -198,6 +204,8 @@ object SparkEntry {
     "a08_hamming_recall" -> (Ann.binaryHammingRecall _),
     "a09_kmeans_train" -> (Ann.kmeansTrain _),
     "a10_ivf_trained_recall" -> (Ann.ivfTrainedRecall _),
+    "a11_pq" -> (Ann.pqCodes _),
+    "a12_nprobe_curve" -> (Ann.nprobeCurve _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
@@ -205,7 +213,8 @@ object SparkEntry {
     "m04_perceptual_hash" -> (Multimodal.perceptualHash _),
     "m05_audio_meta" -> (Multimodal.audioMeta _),
     "m06_video_meta" -> (Multimodal.videoMeta _),
-    "m07_image_dup_clusters" -> (Multimodal.imageDupClusters _)
+    "m07_image_dup_clusters" -> (Multimodal.imageDupClusters _),
+    "m08_audio_energy" -> (Multimodal.audioEnergy _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

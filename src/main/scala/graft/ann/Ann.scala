@@ -561,4 +561,138 @@ object Ann {
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy(col("cell"))
   }
+
+  /** Largest probed-cell count on the a12 operating curve. */
+  private val MaxProbe = 4
+
+  /**
+   * a12: IVF operating curve — recall@10 as a function of nprobe (1..4),
+   * the tuning sweep every IVF deployment runs before picking its scan
+   * budget: nprobe trades scan fraction (~nprobe/NList of the corpus per
+   * probe) against recall; the curve is the evidence for the choice.
+   * Scale shape: the corpus is scanned ONCE for the whole curve, not
+   * once per point — cell assignment is a02's narrow argmax, candidates
+   * join the broadcast probe-cell set carrying their cell RANK, and each
+   * curve point is a filter (rank ≤ nprobe) over the same bounded
+   * candidate frame via a broadcast 4-row nprobe dim; top-k windows run
+   * per (probe, nprobe) over candidates only. The exact baseline is the
+   * a01 broadcast-probe pass. Report: hits and recall per nprobe
+   * (5 probes × k=10 → recall = hits/50), monotone by construction.
+   */
+  def nprobeCurve(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val simStructs = centroidSims(collectCentroids(emb, NList)) _
+
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      array_max(simStructs(col("embedding"))).getField("cent_id").as("cell"))
+
+    val probeCells = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        simStructs(col("embedding")).as("cells"))
+      .select(col("probe_id"), col("probe_emb"),
+        posexplode(expr(
+          s"slice(transform(reverse(array_sort(cells)), c -> c.cent_id), 1, $MaxProbe)"))
+          .as(Seq("rank0", "cell")))
+      .select(col("probe_id"), col("probe_emb"),
+        (col("rank0") + 1).as("cell_rank"), col("cell"))
+
+    val cand = assigned.join(broadcast(probeCells), Seq("cell"))
+      .select(col("probe_id"), col("cell_rank"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+
+    val nprobes = s.range(1, MaxProbe + 1).toDF("nprobe")
+    val wIvf = Window.partitionBy(col("probe_id"), col("nprobe"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val ivfTop = cand.join(broadcast(nprobes), col("cell_rank") <= col("nprobe"))
+      .select(col("probe_id"), col("nprobe"), col("cand_id"),
+        row_number().over(wIvf).as("rn"))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("nprobe"), col("cand_id"))
+
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val wEx = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val exactTop = emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+      .select(col("probe_id"), col("cand_id"), row_number().over(wEx).as("rn"))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+
+    val hits = ivfTop.join(exactTop, Seq("probe_id", "cand_id"))
+      .select(col("nprobe"), lit(1).as("hit"))
+    nprobes.join(hits, Seq("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("nprobe"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(5 * K), 4).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Subspaces / codewords-per-subspace for a11 — constants of the PQ
+    * index (a real deployment trains them per-subspace with a09's
+    * kernel; sizes never depend on corpus rows). */
+  private val PqM = 4
+  private val PqKw = 16
+
+  /**
+   * a11: product quantization — the fourth point on the index-compression
+   * curve after a04/a05's int8 and a08's sign bits: the 64-dim vector
+   * splits into [[PqM]]=4 subspaces and each sub-vector is replaced by
+   * the id of its nearest codeword (L2, tie → lower code) from a
+   * [[PqKw]]=16-entry per-subspace codebook — 4 nibbles ≈ 2 bytes per
+   * vector vs 256 bytes of f32, the compression an IVF-PQ index stores.
+   * Codebook = the sub-vectors of the PqKw lowest-id vectors (sample
+   * init; O(K·dim) driver state, corpus-independent — the a02
+   * discipline). Assignment is a pure NARROW projection: codebooks are
+   * baked as literals, argmin via `array_min` over (sqdist, code)
+   * structs, the corpus never shuffles; only the 64-row (subspace, code)
+   * report aggregates — counts plus decimal-accumulated mean distortion
+   * (the codebook-health signal a PQ trainer watches). ||x−c||² expands
+   * to x·x − 2·x·c + c·c with every dot a sequential left fold, the form
+   * the oracle replays via list_dot_product.
+   */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val book: Array[(Long, Seq[Double])] = emb.filter(col("vec_id") < PqKw)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val dim = book.head._2.length
+    val sub = dim / PqM
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+
+    // per-subspace argmin over the 16 codewords — one slice + one x·x
+    // fold per subspace, then 16 cheap x·c folds against codeword
+    // literals (c·c pre-folded on the driver with the same sequential
+    // left-fold order as the oracle's list_dot_product)
+    val sliced = emb.select(col("vec_id") +:
+      (0 until PqM).map(m => slice(col("emb"), m * sub + 1, sub).as(s"s$m")): _*)
+    val withXx = sliced.select(col("vec_id") +:
+      (0 until PqM).flatMap(m => Seq(col(s"s$m"), dot(col(s"s$m"), col(s"s$m")).as(s"xx$m"))): _*)
+    withXx
+      .select(col("vec_id"), posexplode(array((0 until PqM).map { m =>
+        array_min(array(book.map { case (code, full) =>
+          val cw = full.slice(m * sub, m * sub + sub)
+          val cc = cw.foldLeft(0.0)((a, v) => a + v * v)
+          struct(
+            (col(s"xx$m") - lit(2.0) * dot(col(s"s$m"), typedLit(cw)) + lit(cc))
+              .as("sqdist"),
+            lit(code).as("code"))
+        }: _*))
+      }: _*)).as(Seq("subspace", "best")))
+      .select(col("subspace"), col("best.code").as("code"),
+        col("best.sqdist").as("sqdist"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("sqdist").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("avg_sqdist"))
+      .orderBy(col("subspace"), col("code"))
+  }
 }

@@ -308,4 +308,53 @@ object Dedup {
         sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing window width (consecutive shingle hashes per window). */
+  private val WinnowW = 4
+
+  /**
+   * d10: winnowing document fingerprints — the MOSS algorithm (Schleimer,
+   * Wilkerson, Aiken, SIGMOD '03): hash each 3-word shingle, slide a
+   * w=[[WinnowW]]-length window over the hash sequence, keep each
+   * window's MINIMUM, and the distinct minima are the doc's fingerprint
+   * set. Position-robust where fixed-stride chunking (d08) is not —
+   * inserting one word shifts every d08 chunk boundary but local minima
+   * survive, and any shared run of ≥ w+2 words is GUARANTEED to yield a
+   * shared fingerprint. Report: doc pairs sharing ≥ 2 fingerprints.
+   *
+   * Scale shape: shingling, hashing (the codegen FNV-1a64+mix
+   * `Hash64`), windowed minima, and dedup all happen as array ops
+   * INSIDE the row — fingerprinting shuffles nothing; only the 8-byte
+   * (fp, doc_id) pairs shuffle, and pair expansion is bucket-capped at
+   * [[MaxBucket]] like every LSH path.
+   */
+  def winnowing(s: SparkSession, d: String): DataFrame =
+    winnowingOf(Tables.documents(s, d))
+
+  /** The d10 kernel over any (doc_id, text) frame — the unit-testable
+    * form (the spec checks the shared-run guarantee on hand-built docs). */
+  def winnowingOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        .as("shingles"))
+      .select(col("doc_id"),
+        transform(col("shingles"), sg => GraftFunctions.hash64(sg)).as("hs"))
+      .filter(size(col("hs")) >= WinnowW)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(hs) - $WinnowW), i -> array_min(slice(hs, i + 1, $WinnowW)))")))
+        .as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |       y -> struct(least(ids[i], y) AS a, greatest(ids[i], y) AS b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("id_a"), col("id_b"))
 }

@@ -268,4 +268,66 @@ object Multimodal {
       .toDF("doc_id", "brand", "timescale", "duration_ticks", "duration_ms", "decode_ok")
       .orderBy(col("doc_id"))
   }
+
+  /** m08: PCM waveform statistics — the second audio pass after m05's
+    * header walk: strip the parsed RIFF header (at the offset the chunk
+    * walk found, not a hardcoded 44), decode the body as little-endian
+    * int16 samples, and report RMS energy, peak, DC offset, and clipping
+    * ratio — the signals an audio-curation pipeline thresholds on
+    * (silence, clipped takes, DC-biased mics). Decoding tolerates a
+    * truncated body (declared sample count > actual bytes, the torn-file
+    * case): it consumes whole 2-byte samples to payload end and drops a
+    * trailing odd byte. Sum-of-squares accumulates in Long (exact — no
+    * float summation order anywhere); the only doubles are the final
+    * ratios. Pure narrow mapPartitions; only the 6-column stats row ever
+    * leaves the scan. */
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioEnergyOf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .map { case (id, text, nChars) =>
+          val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          val channels = (id % 2 + 1).toInt
+          (id, AudioHeaders.wav(rate, channels, 16, nChars) ++ text.getBytes("UTF-8"))
+        })
+  }
+
+  /** The m08 kernel over any (id, wav-payload) Dataset — the
+    * unit-testable form (the spec feeds hand-built PCM and checks the
+    * decoded stats against hand-computed values). */
+  def audioEnergyOf(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioHeaders.parseWav(bytes) match {
+            case Some(p) =>
+              val body = bytes.drop(p.headerLen)
+              val n = body.length / 2
+              var i = 0; var ss = 0L; var sv = 0L; var peak = 0L; var clip = 0L
+              while (i < n) {
+                val raw = (body(2 * i) & 0xff) | ((body(2 * i + 1) & 0xff) << 8)
+                val v = if (raw >= 32768) raw - 65536 else raw
+                ss += v.toLong * v; sv += v
+                val a = math.abs(v).toLong
+                if (a > peak) peak = a
+                if (a >= 30000) clip += 1
+                i += 1
+              }
+              (id, n.toLong, peak,
+                if (n > 0) math.sqrt(ss.toDouble / n) else 0.0,
+                if (n > 0) sv.toDouble / n else 0.0,
+                if (n > 0) clip.toDouble / n else 0.0, true)
+            case None => (id, 0L, 0L, 0.0, 0.0, 0.0, false)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples16", "peak", "rms", "dc_mean", "clip_ratio", "decode_ok")
+      .select(col("doc_id"), col("n_samples16"), col("peak"),
+        round(col("rms"), 4).as("rms"), round(col("dc_mean"), 4).as("dc_mean"),
+        round(col("clip_ratio"), 6).as("clip_ratio"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -253,6 +253,52 @@ object Events {
       .select(col("event_id"), col("user_id"), col("touch_id"), col("touch_type"),
         (unix_micros(col("ts")) - col("touch_us")).as("gap_us"))
       .orderBy(col("event_id"))
+  }
+
+  /** e13: RFM user segmentation — the recency/frequency/monetary
+    * quartile scoring behind every retention/marketing analytics stack.
+    * Scale design: one user_id shuffle builds the per-user frame; the
+    * quartile thresholds come from ONE 1-row percentile aggregate
+    * broadcast back (the q39 shape) — scoring is a comparison against
+    * literals, NOT ntile's global single-task sort, so the user frame
+    * never globally sorts at any corpus size. Every metric is an
+    * INTEGER (µs recency, event count, monetary in cents via the q105
+    * floor form), which makes the interpolated quartiles of integers
+    * exactly representable doubles — threshold compares cannot fork
+    * cross-engine. Report: user counts per (r, f, m) cell + segment
+    * label. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+          .as("cents"))
+    val thresholds = users.agg(
+      expr("percentile(last_us, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(n_events, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    def score(c: Column, q: Column): Column =
+      lit(1) + when(c > q.getItem(0), 1).otherwise(0) +
+        when(c > q.getItem(1), 1).otherwise(0) +
+        when(c > q.getItem(2), 1).otherwise(0)
+    users.crossJoin(broadcast(thresholds))
+      .select(
+        score(col("last_us"), col("rq")).as("r_score"),
+        score(col("n_events"), col("fq")).as("f_score"),
+        score(col("cents"), col("mq")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 3 && col("f_score") >= 3 &&
+          col("m_score") >= 3, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") >= 3 && col("f_score") <= 2, "fresh")
+          .otherwise("casual").as("segment"),
+        col("n_users"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** e12: inter-event-gap latency percentiles via the mergeable histogram

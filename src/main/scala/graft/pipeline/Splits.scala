@@ -184,6 +184,41 @@ object Splits {
       .orderBy(col("split_lo"), col("split_hi"))
   }
 
+  /** p09: quality-curriculum sampling schedule — the staged data recipe
+    * curriculum training uses: epoch 1 sees only the highest-quality bin,
+    * epoch 2 adds half of the mid tier, epoch 3 adds a tenth of the low
+    * tail. Bins come from the shared [[TextAnalysis.qualityScore]] kernel
+    * (same arithmetic c01/t02 hash-verify); the keep decision is a hash
+    * threshold with its own MINSTD multiplier (16807) — decorrelated from
+    * both the split scatter (69069) and the mixture sampler (48271), so
+    * curriculum membership can't correlate with split assignment. Scale
+    * shape: the corpus is scanned ONCE and scored narrowly; the 9-row
+    * (epoch, bin) schedule joins as a broadcast dim (the fan-out is per
+    * epoch, bounded by the schedule length, not corpus size); only the
+    * per-(epoch, bin) report aggregates. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sched = Seq(
+      (1, "high", 1048576L), (1, "mid", 0L), (1, "low", 0L),
+      (2, "high", 1048576L), (2, "mid", 524288L), (2, "low", 0L),
+      (3, "high", 1048576L), (3, "mid", 1048576L), (3, "low", 104858L)
+    ).toDF("epoch", "bin", "keep_below")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("q"),
+        pmod(col("doc_id") * lit(16807L) + lit(17L), lit(1048576L)).as("u"))
+      .select(col("doc_id"), col("n_chars"), col("u"),
+        when(col("q") >= 0.75, "high")
+          .when(col("q") >= 0.5, "mid").otherwise("low").as("bin"))
+      .join(broadcast(sched), Seq("bin"))
+      .filter(col("u") < col("keep_below"))
+      .groupBy(col("epoch"), col("bin"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("epoch"), col("bin"))
+  }
+
   /** p02: stratified cap — keep at most `cap` docs per language, chosen
     * by deterministic hash order (so the sample is stable and unbiased by
     * ingestion order). The window sorts only within each stratum; at

@@ -398,6 +398,105 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * t15: BPE merge-pair statistics — the first iteration of byte-pair-
+   * encoding tokenizer training: count adjacent symbol pairs across the
+   * corpus weighted by word frequency (the top pair is the first merge
+   * rule). Pre-tokenization is GPT-2 style lowercase letter runs
+   * (`[a-z]+`), which also pins both engines to ASCII one-char symbols so
+   * substring semantics can't fork on multi-byte code points. Scale
+   * shape: the corpus explodes once to words and immediately aggregates
+   * to the VOCABULARY (the standard (word, n) wordcount shuffle — the
+   * shuffle carries counts, not text); the quadratic-ish pair fan-out
+   * then runs over DISTINCT words only, so every later stage is
+   * vocabulary-bounded and corpus-size independent — exactly why real
+   * BPE trainers (GPT-2, SentencePiece) train on word-frequency tables,
+   * not raw text.
+   */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+
+  /**
+   * t16: script / character-class composition profile — the
+   * writing-system router signal a multilingual corpus needs BEFORE
+   * heavier language ID (t01 assumes the text is worth scoring; this
+   * tells you which decoder/tokenizer family to route to): per-doc
+   * fractions of Latin letters, digits, CJK ideographs, whitespace, and
+   * other, plus the dominant class under a fixed priority tiebreak
+   * (latin > digit > cjk > space > other). Counts are the t01
+   * regexp-strip length trick — pure narrow projection, one scan, each
+   * count materialized once (multi-referencing the expression would
+   * re-run its regex per reference).
+   */
+  def scripts(s: SparkSession, d: String): DataFrame = {
+    def cnt(cls: String) =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    val n = greatest(length(col("text")), lit(1))
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_total"),
+        cnt("[A-Za-z]").as("latin"), cnt("[0-9]").as("digit"),
+        cnt("[\\x{4e00}-\\x{9fff}]").as("cjk"), cnt("\\s").as("space"),
+        n.as("n1"))
+      .select(col("doc_id"), col("n_total"), col("latin"), col("digit"),
+        col("cjk"), col("space"),
+        (col("n_total") - col("latin") - col("digit") - col("cjk") -
+          col("space")).as("other"), col("n1"))
+      .select(col("doc_id"), col("n_total"),
+        round(col("latin").cast("double") / col("n1"), 6).as("latin_frac"),
+        round(col("digit").cast("double") / col("n1"), 6).as("digit_frac"),
+        round(col("cjk").cast("double") / col("n1"), 6).as("cjk_frac"),
+        round(col("space").cast("double") / col("n1"), 6).as("space_frac"),
+        round(col("other").cast("double") / col("n1"), 6).as("other_frac"),
+        when(col("latin") >= col("digit") && col("latin") >= col("cjk") &&
+          col("latin") >= col("space") && col("latin") >= col("other"), "latin")
+          .when(col("digit") >= col("cjk") && col("digit") >= col("space") &&
+            col("digit") >= col("other"), "digit")
+          .when(col("cjk") >= col("space") && col("cjk") >= col("other"), "cjk")
+          .when(col("space") >= col("other"), "space")
+          .otherwise("other").as("dominant"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * t17: readability scoring — Flesch reading ease from the classic
+   * surface proxies: words (whitespace tokens), sentences ([.!?]+ runs,
+   * floor 1), syllables ([aeiouy]+ vowel-group runs per lowercased word,
+   * the standard cheap approximation). Corpus-filter use: very low
+   * scores flag legalese/boilerplate, implausibly high ones flag
+   * word-salad. All three counts are narrow regexp passes materialized
+   * once; the score is plain IEEE arithmetic rounded 4dp — one scan, no
+   * shuffle but the output sort.
+   */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nSents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val nSyll = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syll"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4)
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

@@ -38,6 +38,56 @@ class AnalyticsOpsSpec extends GraftSpec {
     }
   }
 
+  test("a11 pq: narrow join-free assignment partitions the corpus per subspace") {
+    val res = Ann.pqCodes(spark, sf)
+    val p = plan(res)
+    assert(!p.contains("Join"), s"PQ assignment must be a narrow projection:\n$p")
+    val rows = res.collect()
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    (0 until 4).foreach { m =>
+      val sb = rows.filter(_.getAs[Int]("subspace") == m)
+      assert(sb.map(_.getAs[Long]("n_assigned")).sum == corpus,
+        s"subspace $m must assign every vector exactly once")
+      assert(sb.forall { r =>
+        r.getAs[Long]("code") >= 0 && r.getAs[Long]("code") < 16
+      })
+      // sqdist is a cancellation form (x·x − 2x·c + c·c); means can dip
+      // a few ulp below zero but never materially
+      assert(sb.forall(_.getAs[Double]("avg_sqdist") >= -1e-9))
+    }
+  }
+
+  test("a12 nprobe curve: recall is monotone in nprobe and bounded by 1") {
+    val rows = Ann.nprobeCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"recall must not drop as nprobe grows: ${recalls.mkString(",")}")
+    }
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows.map(_.getAs[Long]("n_hits")).forall(_ <= 50L))
+  }
+
+  test("e13 rfm: scores span 1..4, cells partition users, labels match the chain") {
+    val rows = Events.rfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users,
+      "every user lands in exactly one (r, f, m) cell")
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"))
+      Seq(rs, fs, ms).foreach(x => assert(x >= 1 && x <= 4, r.toString))
+      val expect =
+        if (rs >= 3 && fs >= 3 && ms >= 3) "champion"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs >= 3 && fs <= 2) "fresh"
+        else "casual"
+      assert(r.getAs[String]("segment") == expect, r.toString)
+    }
+  }
+
   test("t11 gopher: keep is exactly the conjunction of the emitted signals") {
     val rows = TextAnalysis.gopherQuality(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -121,4 +121,23 @@ class DedupAnnSpec extends GraftSpec {
     val plan = Dedup.chunkDedup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("d10 winnowing: shared long runs pair, unrelated docs never do") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four five six $shared seven eight nine"),
+      (3L, "totally different words nowhere near the others at all believe me truly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOf(docs).collect()
+    // a shared 16-word run guarantees shared interior windows → ≥2 fps
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L),
+      pairs.mkString(", "))
+    assert(!pairs.exists(r =>
+      r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
+    val plan = Dedup.winnowing(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }

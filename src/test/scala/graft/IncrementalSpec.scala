@@ -209,6 +209,21 @@ class IncrementalSpec extends GraftSpec {
     assert(res.sameElements(res2))
   }
 
+  test("p09 curriculum: high tier identical every epoch, coverage strictly grows") {
+    val rows = graft.pipeline.Splits.curriculum(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(1, 2, 3))
+    assert(byEpoch(1).map(_.getAs[String]("bin")).toSet == Set("high"))
+    assert(byEpoch(2).map(_.getAs[String]("bin")).toSet == Set("high", "mid"))
+    assert(byEpoch(3).map(_.getAs[String]("bin")).toSet == Set("high", "mid", "low"))
+    // the high bin's keep rate is 1.0 in every epoch — same docs, same checksum
+    val high = rows.filter(_.getAs[String]("bin") == "high")
+      .map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("id_checksum")))
+    assert(high.distinct.length == 1, high.mkString(", "))
+    def total(e: Int) = byEpoch(e).map(_.getAs[Long]("n_kept")).sum
+    assert(total(1) < total(2) && total(2) < total(3))
+  }
+
   test("p07 mixture keeps full top tier and downsamples the web tier ~10x") {
     val kept = graft.pipeline.Splits.mixture(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap

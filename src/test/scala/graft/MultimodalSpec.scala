@@ -151,6 +151,33 @@ class MultimodalSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("m08 audio energy decodes hand-built PCM exactly and tolerates truncation") {
+    import graft.multimodal.AudioHeaders
+    import spark.implicits._
+    val samples = Seq(1000, -1000, 30000, -32768, 0)
+    val pcm = samples.flatMap { v =>
+      val u = v & 0xffff
+      Seq((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }.toArray
+    val good = AudioHeaders.wav(16000, 1, 16, samples.length.toLong) ++ pcm
+    // declared 100 samples but only 2.5 present: torn-file tolerance
+    val torn = AudioHeaders.wav(8000, 1, 16, 100L) ++ pcm.take(5)
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array.fill(60)(0.toByte)
+    val res = Multimodal
+      .audioEnergyOf(Seq((1L, good), (2L, torn), (3L, junk)).toDS())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = res(1L)
+    assert(g.getAs[Long]("n_samples16") == 5L)
+    assert(g.getAs[Long]("peak") == 32768L)
+    val ss = samples.map(v => v.toLong * v).sum
+    assert(math.abs(g.getAs[Double]("rms") - math.sqrt(ss.toDouble / 5)) < 1e-3)
+    assert(g.getAs[Double]("clip_ratio") == 0.4) // 30000 and -32768 clip
+    assert(g.getAs[Double]("dc_mean") == samples.sum / 5.0)
+    val t = res(2L)
+    assert(t.getAs[Boolean]("decode_ok") && t.getAs[Long]("n_samples16") == 2L)
+    assert(!res(3L).getAs[Boolean]("decode_ok"))
+  }
+
   test("m05 audio metadata parses every record from real RIFF bytes") {
     val rows = Multimodal.audioMeta(spark, sf).collect()
     assert(rows.nonEmpty)

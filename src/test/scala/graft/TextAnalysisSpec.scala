@@ -63,6 +63,52 @@ class TextAnalysisSpec extends GraftSpec {
     assert(res.sameElements(res2))
   }
 
+  test("t15 bpe pairs match a driver brute-force over the corpus") {
+    val res = graft.text.TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect().map(_.getString(0))
+    val re = "[a-z]+".r
+    val vocab = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      re.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).foreach(w => vocab(w) += 1)
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    vocab.foreach { case (w, n) =>
+      if (w.length >= 2)
+        w.sliding(2).foreach(p => counts(s"${p(0)} ${p(1)}") += n)
+    }
+    val expected = counts.toSeq.sortBy { case (pr, n) => (-n, pr) }.take(50)
+    assert(res == expected)
+  }
+
+  test("t16 scripts: fractions partition each doc; dominant matches the max") {
+    val rows = graft.text.TextAnalysis.scripts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val names = Seq("latin", "digit", "cjk", "space", "other")
+    rows.foreach { r =>
+      val fr = names.map(nm => r.getAs[Double](s"${nm}_frac"))
+      fr.foreach(f => assert(f >= 0.0 && f <= 1.0, r.toString))
+      if (r.getAs[Int]("n_total") > 0)
+        assert(math.abs(fr.sum - 1.0) < 1e-4, r.toString)
+      val domF = fr(names.indexOf(r.getAs[String]("dominant")))
+      assert(domF >= fr.max - 1e-6, r.toString)
+    }
+  }
+
+  test("t17 readability: counts positive, score matches the formula per row") {
+    val rows = graft.text.TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, se, sy) = (r.getAs[Int]("n_words"), r.getAs[Int]("n_sents"),
+        r.getAs[Int]("n_syll"))
+      assert(w >= 1 && se >= 1 && sy >= 1, r.toString)
+      val expect = BigDecimal(206.835 - 1.015 * (w.toDouble / se) -
+        84.6 * (sy.toDouble / w)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(r.getAs[Double]("flesch") - expect.toDouble) < 1e-9, r.toString)
+    }
+  }
+
   test("t10 unigram LM scores are finite, negative, and rank common above rare") {
     val res = graft.text.TextAnalysis.unigramLm(spark, sf).collect()
     assert(res.nonEmpty)
