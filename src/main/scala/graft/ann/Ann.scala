@@ -622,7 +622,9 @@ object Ann {
       .filter(col("rn") <= K)
       .select(col("probe_id"), col("cand_id"))
 
-    val hits = ivfTop.join(exactTop, Seq("probe_id", "cand_id"))
+    // both top-k sets are probes×K-bounded — broadcast beats a
+    // sort-merge exchange pair at any corpus size
+    val hits = ivfTop.join(broadcast(exactTop), Seq("probe_id", "cand_id"))
       .select(col("nprobe"), lit(1).as("hit"))
     nprobes.join(hits, Seq("nprobe"), "left")
       .groupBy(col("nprobe"))

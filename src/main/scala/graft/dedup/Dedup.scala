@@ -322,9 +322,10 @@ object Dedup {
    * survive, and any shared run of ≥ w+2 words is GUARANTEED to yield a
    * shared fingerprint. Report: doc pairs sharing ≥ 2 fingerprints.
    *
-   * Scale shape: shingling, hashing (the codegen FNV-1a64+mix
-   * `Hash64`), windowed minima, and dedup all happen as array ops
-   * INSIDE the row — fingerprinting shuffles nothing; only the 8-byte
+   * Scale shape: shingling, hashing (FNV-1a64+mix via the
+   * `WinnowFingerprints` codegen kernel — hash, window minima, and
+   * dedup in one JVM pass), all INSIDE the row — fingerprinting
+   * shuffles nothing; only the 8-byte
    * (fp, doc_id) pairs shuffle, and pair expansion is bucket-capped at
    * [[MaxBucket]] like every LSH path.
    */
@@ -339,12 +340,11 @@ object Dedup {
       .select(col("doc_id"), expr(
         "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
         .as("shingles"))
+      // hash + window minima + dedup in ONE codegen kernel call per row
+      // (the per-element lambda form pays interpreted HOF eval per
+      // shingle AND per window — measured 8.6s vs 0.6s at sf0.1)
       .select(col("doc_id"),
-        transform(col("shingles"), sg => GraftFunctions.hash64(sg)).as("hs"))
-      .filter(size(col("hs")) >= WinnowW)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(hs) - $WinnowW), i -> array_min(slice(hs, i + 1, $WinnowW)))")))
-        .as("fp"))
+        explode(GraftFunctions.winnowFps(col("shingles"), WinnowW)).as("fp"))
       .groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))

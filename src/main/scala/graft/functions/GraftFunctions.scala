@@ -25,6 +25,10 @@ object GraftFunctions {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
 
+  /** Winnowing fingerprint set: distinct w-window minima of per-shingle
+    * hash64 values (MOSS), one JVM pass per row. */
+  def winnowFps(shingles: Column, w: Int): Column = c(WinnowFingerprints(e(shingles), w))
+
   /** Normalized rolling-hash fingerprint (bigint) of a string column. */
   def fingerprint64(text: Column): Column = c(RollingFingerprint(e(text)))
 
@@ -68,6 +72,8 @@ object GraftFunctions {
     register("minhash_sig", args => MinHashSignature(args(0),
       literalInt("minhash_sig", args(1))))
     register("simhash64", args => SimHash64(args.head))
+    register("winnow_fps", args => WinnowFingerprints(args(0),
+      literalInt("winnow_fps", args(1))))
     register("fingerprint64", args => RollingFingerprint(args.head))
     register("hamming64", args => Hamming64(args(0), args(1)))
     register("hash64", args => Hash64(args.head,

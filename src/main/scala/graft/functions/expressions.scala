@@ -81,6 +81,37 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Winnowing fingerprints (MOSS): hash64 (seed 0) each shingle, slide
+    * a w-length window over the hash sequence, keep each window's
+    * minimum, emit the distinct minima in first-occurrence order — one
+    * JVM pass per row (the per-element-lambda form pays interpreted HOF
+    * eval per shingle and per window; this is the d10 hot path). */
+  def winnow(shingles: ArrayData, w: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = if (shingles.isNullAt(i)) 0L
+        else hash64(shingles.getUTF8String(i), 0L)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= n - w) {
+      var m = hs(j)
+      var k = j + 1
+      while (k < j + w) { if (hs(k) < m) m = hs(k); k += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token strings (weighted by occurrence). */
   def simhash(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
@@ -155,6 +186,25 @@ case class MinHashSignature(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhash($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** winnow_fps(array<string>, w) -> array<bigint> — distinct w-window
+  * minima of per-shingle hash64 values (the MOSS fingerprint set). */
+case class WinnowFingerprints(child: Expression, w: Int)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.winnow(in.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
 }
 

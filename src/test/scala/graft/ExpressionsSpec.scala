@@ -39,6 +39,22 @@ class ExpressionsSpec extends GraftSpec {
     assert(simAC < 0.15, s"expected low agreement for disjoint sets, got $simAC")
   }
 
+  test("winnow_fps: exact window minima of per-shingle hash64, distinct, ordered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val shingles = Seq("a b c", "b c d", "c d e", "d e f", "e f g")
+    val hs = shingles.map(s => Kernels.hash64(UTF8String.fromString(s), 0L))
+    val expected = hs.sliding(2).map(_.min).toSeq.distinct
+    val got = Seq(Tuple1(shingles))
+      .toDF("sh").select(winnowFps($"sh", 2).as("fps"))
+      .head().getSeq[Long](0)
+    assert(got == expected, s"$got vs $expected")
+    // fewer shingles than the window → empty fingerprint set
+    val short = Seq(Tuple1(Seq("only one")))
+      .toDF("sh").select(winnowFps($"sh", 2).as("fps"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("simhash64: near-identical docs are close in hamming, unrelated far") {
     val a = (1 to 200).map(i => s"w$i")
     val b = a.updated(10, "x")
