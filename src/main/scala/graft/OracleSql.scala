@@ -2762,6 +2762,37 @@ object OracleSql {
 
     // d09: signature agreement from the SAME sigj components d02 replays;
     // exact Jaccard over distinct 3-gram shingle sets from the sh CTE.
+    // d11: rebuilds the same doc_id-derived URLs, then recanonicalizes
+    // the raw URL TEXT with regexes (host/path/query extraction, www. +
+    // default-port + trailing-slash + fragment stripping, utm_ filter,
+    // param sort) — an independent parse of the same strings.
+    "d11_url_dedup" -> raw"""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+          (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END) ||
+          (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+          '/p/' || (doc_id % 150) ||
+          (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+          (CASE WHEN doc_id % 13 = 0 THEN '?ref=home&id=' || (doc_id % 150)
+                ELSE '?id=' || (doc_id % 150) || '&ref=home' END) ||
+          (CASE WHEN doc_id % 2 = 1 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END) ||
+          (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          'https://' ||
+          regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\.', '') ||
+          regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1), '/$$', '') ||
+          '?' || array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> substr(p, 1, 4) <> 'utm_')), '&') AS canonical_url,
+          CASE WHEN contains(url, 'utm_') THEN 1 ELSE 0 END AS tracked
+        FROM u)
+      SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        COUNT(*) AS n_copies, CAST(SUM(tracked) AS BIGINT) AS n_tracked
+      FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+
     // d10: per-shingle Hash64 replay (FNV-1a64 + splitmix64, seed 0) on
     // parallel-unnest-indexed shingles, 4-wide window minima, distinct
     // fingerprints, capped-bucket pair counts.

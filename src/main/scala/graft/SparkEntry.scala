@@ -104,6 +104,7 @@ object SparkEntry {
     "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "d09_minhash_est" -> (Dedup.minhashEstimate _),
     "d10_winnowing" -> (Dedup.winnowing _),
+    "d11_url_dedup" -> (Dedup.urlDedup _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),

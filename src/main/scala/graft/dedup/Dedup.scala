@@ -309,6 +309,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * d11: URL canonicalization dedup — the crawl-frontier dedup every web
+   * pipeline runs BEFORE fetching content (content dedup can't help with
+   * what you haven't downloaded): scheme/host case-folding, `www.` and
+   * default-port stripping, trailing-slash normalization, tracking-param
+   * (`utm_*`) removal, query-param sorting, fragment dropping. URLs are
+   * synthesized deterministically from doc_id with every variation class
+   * present (the m05 discipline: synthetic input, REAL kernel — the
+   * oracle recanonicalizes the raw URL text, so a wrong parse breaks the
+   * hash). The kernel is parse_url + codegen array lambdas — narrow; the
+   * only shuffle groups 60-byte canonical keys (the d01 shape).
+   */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(pmod(id, lit(11)) === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(pmod(id, lit(2)) === 0, "WWW.Example.COM").otherwise("www.example.com"),
+      when(pmod(id, lit(3)) === 0, ":443").otherwise(""),
+      lit("/p/"), pmod(id, lit(150)),
+      when(pmod(id, lit(7)) === 0, "/").otherwise(""),
+      when(pmod(id, lit(13)) === 0, concat(lit("?ref=home&id="), pmod(id, lit(150))))
+        .otherwise(concat(lit("?id="), pmod(id, lit(150)), lit("&ref=home"))),
+      when(pmod(id, lit(2)) === 1, "&utm_source=feed&utm_campaign=x").otherwise(""),
+      when(pmod(id, lit(5)) === 0, "#section-2").otherwise(""))
+
+    val host = regexp_replace(lower(parse_url(col("url"), lit("HOST"))), "^www\\.", "")
+    val cpath = regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")
+    val query = parse_url(col("url"), lit("QUERY"))
+    val kept = filter(split(query, "&"), p => substring(p, 1, 4) =!= "utm_")
+    val canonical = concat(lit("https://"), host, cpath,
+      lit("?"), array_join(array_sort(kept), "&"))
+
+    Tables.documents(s, d)
+      .select(id, url.as("url"))
+      .select(id, canonical.as("canonical_url"),
+        when(col("url").contains("utm_"), 1L).otherwise(0L).as("tracked"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        sum(col("tracked")).as("n_tracked"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** Winnowing window width (consecutive shingle hashes per window). */
   private val WinnowW = 4
 

@@ -122,6 +122,20 @@ class DedupAnnSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("d11 url dedup: canonical forms are fully normalized; groups partition docs") {
+    val rows = Dedup.urlDedup(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs,
+      "every doc's URL lands in exactly one canonical group")
+    val canon = "^https://example\\.com/p/\\d+\\?id=\\d+&ref=home$".r
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(canon.matches(u),
+        s"canonicalization left case/port/slash/utm/fragment residue: $u")
+      assert(r.getAs[Long]("n_tracked") <= r.getAs[Long]("n_copies"))
+    }
+  }
+
   test("d10 winnowing: shared long runs pair, unrelated docs never do") {
     import spark.implicits._
     val shared = (1 to 16).map(i => s"common$i").mkString(" ")
