@@ -2638,6 +2638,65 @@ object OracleSql {
       FROM qs CROSS JOIN b
       ORDER BY level, l_returnflag, l_linestatus""",
 
+    "q117_tpch_q5" -> s"""
+      SELECT n_name,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM lineitem, orders, customer, supplier, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q118_tpch_q17" -> s"""
+      WITH bl AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'),
+      aq AS (
+        SELECT l_partkey AS ap_key, ${davg("l_quantity", 4)} AS avg_qty
+        FROM bl GROUP BY l_partkey)
+      SELECT round(${dsum("l_extendedprice", 2)} / 7.0, 4) AS avg_yearly,
+        COUNT(*) AS n_lines
+      FROM bl JOIN aq ON bl.l_partkey = aq.ap_key
+      WHERE l_quantity < 0.2 * avg_qty""",
+
+    "q119_tpch_q18" -> s"""
+      WITH big AS (
+        SELECT l_orderkey, ${dsum("l_quantity", 2)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ${dsum("l_quantity", 2)} > 250.0)
+      SELECT c_name, c_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        round(o_totalprice, 2) AS total_price,
+        round(total_qty, 2) AS total_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_price DESC, o_orderkey LIMIT 100""",
+
+    "q120_tpch_q22" -> s"""
+      WITH t AS (
+        SELECT ${davg("c_acctbal", 2)} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
+        COUNT(*) AS numcust, ${dsum("c_acctbal", 2)} AS totacctbal
+      FROM customer CROSS JOIN t
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY cntrycode ORDER BY cntrycode""",
+
+    "q121_tpch_q4" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 250 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,

@@ -186,6 +186,11 @@ object SparkEntry {
     "q114_map_union" -> (Relational.q114 _),
     "q115_sketch_quantile" -> (Relational.q115 _),
     "q116_set_union" -> (Relational.q116 _),
+    "q117_tpch_q5" -> (Relational.q117 _),
+    "q118_tpch_q17" -> (Relational.q118 _),
+    "q119_tpch_q18" -> (Relational.q119 _),
+    "q120_tpch_q22" -> (Relational.q120 _),
+    "q121_tpch_q4" -> (Relational.q121 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

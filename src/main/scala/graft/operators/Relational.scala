@@ -1606,6 +1606,99 @@ object Relational {
         array_join(col("u"), ",").as("prio_union"))
       .orderBy(col("o_orderstatus"))
 
+  // --- q117: TPC-H Q5 — local supplier volume. The distinguishing
+  // constraint is c_nationkey = s_nationkey (customer and supplier in the
+  // SAME nation), which makes the join graph cyclic; expressed as a
+  // second equality in the supplier join condition so it participates in
+  // the join key, not a post-filter.
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- q118: TPC-H Q17 — small-quantity-order revenue for one brand.
+  // The per-part avg quantity is a groupBy aggregate joined back —
+  // exactly what Catalyst decorrelates TPC-H's correlated scalar
+  // subquery into; the brand-pruned line set feeds both sides.
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val brandLines = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val avgQ = brandLines.groupBy(col("l_partkey").as("ap_key"))
+      .agg(davg(col("l_quantity"), 4).as("avg_qty"))
+    brandLines.join(avgQ, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(dsum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // --- q119: TPC-H Q18 — large-volume customers: per-order quantity
+  // rollup (partial-aggregated, fact-sized shuffle on the join key it
+  // needs anyway), threshold, then order/customer enrichment; top-100 by
+  // price is a TakeOrdered, never a global sort.
+  def q119(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+
+  // --- q120: TPC-H Q22 (adapted to this schema: cntrycode :=
+  // c_nationkey % 10 — there is no phone column; "no orders in 7
+  // years" := no orders since 1999-01-01) — the dormant-rich-customer
+  // report: positive-balance mean as a 1-row broadcast threshold,
+  // dormancy via left anti join.
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(pmod(col("c_nationkey"), lit(10)).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  // --- q121: TPC-H Q4 (adapted: no commit/receipt dates in this
+  // schema, so "late" := a line shipped > 250 days after the order
+  // date) — priority counts of late orders; EXISTS compiles to a left
+  // semi join, each order counted once however many lines are late.
+  def q121(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 250 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

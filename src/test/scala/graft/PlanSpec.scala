@@ -40,6 +40,18 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-n should not global-sort:\n$plan")
   }
 
+  test("q117 Q5: supplier/nation dims broadcast; no cartesian for the cyclic constraint") {
+    val plan = executedPlan(Relational.q117(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the c_nationkey = s_nationkey cycle must stay inside join keys:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q119 Q18: top-100 by price compiles to TakeOrderedAndProject") {
+    val plan = executedPlan(Relational.q119(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 should not global-sort:\n$plan")
+  }
+
   test("q30 whole-stage codegen covers the scan-filter-agg pipeline") {
     val df = Relational.q30(spark, sf)
     df.collect() // materialize so AQE prints the final plan with codegen spans
