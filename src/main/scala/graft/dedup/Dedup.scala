@@ -321,6 +321,20 @@ object Dedup {
    * hash). The kernel is parse_url + codegen array lambdas — narrow; the
    * only shuffle groups 60-byte canonical keys (the d01 shape).
    */
+  /** The d11 canonicalization kernel as a Column function — shared with
+    * the streaming URL-frontier dedup topology (StreamingSpec): scheme
+    * and host case-fold, `www.` strip, default-port drop (parse_url HOST
+    * excludes the port), trailing-slash normalize, `utm_*` removal,
+    * param sort, fragment drop. */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val cpath = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val kept = filter(split(parse_url(url, lit("QUERY")), "&"),
+      p => substring(p, 1, 4) =!= "utm_")
+    concat(lit("https://"), host, cpath,
+      lit("?"), array_join(array_sort(kept), "&"))
+  }
+
   def urlDedup(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val url = concat(
@@ -334,16 +348,9 @@ object Dedup {
       when(pmod(id, lit(2)) === 1, "&utm_source=feed&utm_campaign=x").otherwise(""),
       when(pmod(id, lit(5)) === 0, "#section-2").otherwise(""))
 
-    val host = regexp_replace(lower(parse_url(col("url"), lit("HOST"))), "^www\\.", "")
-    val cpath = regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")
-    val query = parse_url(col("url"), lit("QUERY"))
-    val kept = filter(split(query, "&"), p => substring(p, 1, 4) =!= "utm_")
-    val canonical = concat(lit("https://"), host, cpath,
-      lit("?"), array_join(array_sort(kept), "&"))
-
     Tables.documents(s, d)
       .select(id, url.as("url"))
-      .select(id, canonical.as("canonical_url"),
+      .select(id, canonicalUrl(col("url")).as("canonical_url"),
         when(col("url").contains("utm_"), 1L).otherwise(0L).as("tracked"))
       .groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("keeper"),

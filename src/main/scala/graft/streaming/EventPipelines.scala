@@ -108,6 +108,22 @@ object EventPipelines {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming URL-frontier dedup — the crawl-scheduler topology: a
+    * stream of discovered (url, ts) rows canonicalizes with the d11
+    * kernel ([[graft.dedup.Dedup.canonicalUrl]] — case-fold, www./port
+    * strip, utm_* removal, param sort, fragment drop) and drops
+    * re-discoveries of the SAME canonical URL within the watermark
+    * horizon. Trackers/fragments/case jitter — the reason naive frontier
+    * sets explode — collapse before the state lookup, and state holds
+    * only canonical keys inside the horizon, so it stays bounded at any
+    * crawl volume. */
+  def urlFrontier(urls: DataFrame): DataFrame =
+    urls
+      .select(col("ts"), col("url"),
+        graft.dedup.Dedup.canonicalUrl(col("url")).as("canonical_url"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Streaming mergeable histogram sketch — the streaming face of the
     * q115 quantile sketch ([[graft.operators.QuantileSketch]]): running
     * per-(event_type, bin) counts over a FIXED [lo, hi] domain. Each

@@ -84,6 +84,31 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming URL frontier collapses tracker/case/fragment variants across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventPipelines.urlFrontier(input.toDF().toDF("ts", "url"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("frontier_test").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "https://www.example.com/p/1?id=1&ref=home"),
+        (ts("2024-01-01 10:00:10"), "https://other.example.com/p/2?id=2"))
+      q.processAllAvailable()
+      // same page rediscovered later with tracking params, fragment,
+      // default port, and host-case jitter — all must collapse
+      input.addData(
+        (ts("2024-01-01 10:05:00"),
+          "HTTPS://WWW.Example.COM:443/p/1?ref=home&utm_source=feed&id=1#frag"),
+        (ts("2024-01-01 10:06:00"), "https://new.example.com/p/3?id=3"))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT canonical_url FROM frontier_test")
+        .collect().map(_.getString(0)).sorted
+      assert(urls.length == 3, urls.mkString(", "))
+      assert(urls.contains("https://example.com/p/1?id=1&ref=home"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions as they close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
