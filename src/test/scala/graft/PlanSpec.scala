@@ -40,6 +40,20 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-n should not global-sort:\n$plan")
   }
 
+  test("d11 url dedup: join-free narrow canonicalization; only the key agg shuffles") {
+    val plan = executedPlan(graft.dedup.Dedup.urlDedup(spark, sf))
+    assert(!plan.contains("Join"), s"canonicalization must not join:\n$plan")
+    val exchanges = "ShuffleExchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected only the agg + output-sort exchanges:\n$plan")
+  }
+
+  test("m08 audio energy: pure narrow decode; the only exchange is the output sort") {
+    val plan = executedPlan(graft.multimodal.Multimodal.audioEnergy(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert("ShuffleExchange".r.findAllIn(plan).length <= 1,
+      s"PCM decode must stay partition-local:\n$plan")
+  }
+
   test("q117 Q5: supplier/nation dims broadcast; no cartesian for the cyclic constraint") {
     val plan = executedPlan(Relational.q117(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
