@@ -2833,21 +2833,30 @@ object OracleSql {
           (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
           '/p/' || (doc_id % 150) ||
           (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
-          (CASE WHEN doc_id % 13 = 0 THEN '?ref=home&id=' || (doc_id % 150)
-                ELSE '?id=' || (doc_id % 150) || '&ref=home' END) ||
-          (CASE WHEN doc_id % 2 = 1 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END) ||
+          (CASE WHEN doc_id % 17 = 0 THEN ''
+                WHEN doc_id % 17 = 1 THEN '?'
+                WHEN doc_id % 17 = 2 THEN '?utm_source=feed&utm_campaign=x'
+                WHEN doc_id % 13 = 0 THEN '?ref=home&id=' || (doc_id % 150) ||
+                  (CASE WHEN doc_id % 2 = 1 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END)
+                ELSE '?id=' || (doc_id % 150) || '&ref=home' ||
+                  (CASE WHEN doc_id % 2 = 1 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END) END) ||
           (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
         FROM documents),
+      k AS (
+        SELECT doc_id, url,
+          list_sort(list_filter(
+            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> p <> '' AND substr(p, 1, 4) <> 'utm_')) AS kept
+        FROM u),
       c AS (
         SELECT doc_id,
           'https://' ||
           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\.', '') ||
           regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1), '/$$', '') ||
-          '?' || array_to_string(list_sort(list_filter(
-            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-            p -> substr(p, 1, 4) <> 'utm_')), '&') AS canonical_url,
+          (CASE WHEN len(kept) = 0 THEN ''
+                ELSE '?' || array_to_string(kept, '&') END) AS canonical_url,
           CASE WHEN contains(url, 'utm_') THEN 1 ELSE 0 END AS tracked
-        FROM u)
+        FROM k)
       SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper,
         COUNT(*) AS n_copies, CAST(SUM(tracked) AS BIGINT) AS n_tracked
       FROM c GROUP BY canonical_url ORDER BY canonical_url""",

@@ -329,23 +329,40 @@ object Dedup {
   def canonicalUrl(url: Column): Column = {
     val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
     val cpath = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
-    val kept = filter(split(parse_url(url, lit("QUERY")), "&"),
-      p => substring(p, 1, 4) =!= "utm_")
-    concat(lit("https://"), host, cpath,
-      lit("?"), array_join(array_sort(kept), "&"))
+    // parse_url QUERY is NULL when the URL has no `?` — the majority class
+    // in a real crawl. coalesce before split (concat is null-intolerant:
+    // a NULL here would null the whole canonical and collapse every
+    // query-less page into one dedup key), drop empty params (bare `?`,
+    // `a=1&&b=2`), and emit the `?` only when something survives the
+    // utm_ filter, so ``, `?`, and `?utm_...` all canonicalize alike.
+    val kept = filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+    val qs = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(kept), "&")))
+    concat(lit("https://"), host, cpath, qs)
   }
 
   def urlDedup(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
+    // Query classes include the shapes that break naive canonicalizers:
+    // no `?` at all (most real crawl URLs), a bare `?`, and a
+    // tracking-params-only query — all three must canonicalize to the
+    // SAME key as each other (per path) and never to NULL.
+    val utm = when(pmod(id, lit(2)) === 1, "&utm_source=feed&utm_campaign=x")
+      .otherwise("")
+    val query = when(pmod(id, lit(17)) === 0, "")
+      .when(pmod(id, lit(17)) === 1, "?")
+      .when(pmod(id, lit(17)) === 2, "?utm_source=feed&utm_campaign=x")
+      .when(pmod(id, lit(13)) === 0,
+        concat(lit("?ref=home&id="), pmod(id, lit(150)), utm))
+      .otherwise(concat(lit("?id="), pmod(id, lit(150)), lit("&ref=home"), utm))
     val url = concat(
       when(pmod(id, lit(11)) === 0, "HTTPS").otherwise("https"), lit("://"),
       when(pmod(id, lit(2)) === 0, "WWW.Example.COM").otherwise("www.example.com"),
       when(pmod(id, lit(3)) === 0, ":443").otherwise(""),
       lit("/p/"), pmod(id, lit(150)),
       when(pmod(id, lit(7)) === 0, "/").otherwise(""),
-      when(pmod(id, lit(13)) === 0, concat(lit("?ref=home&id="), pmod(id, lit(150))))
-        .otherwise(concat(lit("?id="), pmod(id, lit(150)), lit("&ref=home"))),
-      when(pmod(id, lit(2)) === 1, "&utm_source=feed&utm_campaign=x").otherwise(""),
+      query,
       when(pmod(id, lit(5)) === 0, "#section-2").otherwise(""))
 
     Tables.documents(s, d)

@@ -127,13 +127,23 @@ class DedupAnnSpec extends GraftSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.map(_.getAs[Long]("n_copies")).sum == docs,
       "every doc's URL lands in exactly one canonical group")
-    val canon = "^https://example\\.com/p/\\d+\\?id=\\d+&ref=home$".r
+    // two canonical classes: with a surviving query, and query-less
+    // (no-`?`, bare-`?`, and utm-only sources all land here — and must
+    // come out as distinct per-path keys, never NULL)
+    val canonQ = "^https://example\\.com/p/\\d+\\?id=\\d+&ref=home$".r
+    val canonNoQ = "^https://example\\.com/p/\\d+$".r
     rows.foreach { r =>
       val u = r.getAs[String]("canonical_url")
-      assert(canon.matches(u),
+      assert(u != null, "canonical_url must never be NULL")
+      assert(canonQ.matches(u) || canonNoQ.matches(u),
         s"canonicalization left case/port/slash/utm/fragment residue: $u")
       assert(r.getAs[Long]("n_tracked") <= r.getAs[Long]("n_copies"))
     }
+    // both classes genuinely present: the query-less groups are many
+    // distinct keys (one per path), not one collapsed NULL group
+    val noQ = rows.filter(r => canonNoQ.matches(r.getAs[String]("canonical_url")))
+    assert(noQ.length > 1, "query-less pages must form per-path groups")
+    assert(rows.exists(r => canonQ.matches(r.getAs[String]("canonical_url"))))
   }
 
   test("d10 winnowing: shared long runs pair, unrelated docs never do") {

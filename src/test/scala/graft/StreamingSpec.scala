@@ -93,19 +93,30 @@ class StreamingSpec extends GraftSpec {
     try {
       input.addData(
         (ts("2024-01-01 10:00:00"), "https://www.example.com/p/1?id=1&ref=home"),
-        (ts("2024-01-01 10:00:10"), "https://other.example.com/p/2?id=2"))
+        (ts("2024-01-01 10:00:10"), "https://other.example.com/p/2?id=2"),
+        // two DISTINCT query-less pages — most real crawl URLs carry no
+        // `?`; both must survive (a null-keyed canonical would collapse
+        // them into one state entry and drop the second)
+        (ts("2024-01-01 10:00:20"), "https://www.example.com/about"),
+        (ts("2024-01-01 10:00:30"), "https://www.example.com/contact"))
       q.processAllAvailable()
-      // same page rediscovered later with tracking params, fragment,
-      // default port, and host-case jitter — all must collapse
+      // same pages rediscovered later with tracking params, fragment,
+      // default port, host-case jitter, a bare `?`, and a utm-only
+      // query — all must collapse into the first sightings
       input.addData(
         (ts("2024-01-01 10:05:00"),
           "HTTPS://WWW.Example.COM:443/p/1?ref=home&utm_source=feed&id=1#frag"),
+        (ts("2024-01-01 10:05:10"), "https://example.com/about?"),
+        (ts("2024-01-01 10:05:20"),
+          "HTTPS://example.com/contact?utm_source=feed#frag"),
         (ts("2024-01-01 10:06:00"), "https://new.example.com/p/3?id=3"))
       q.processAllAvailable()
       val urls = spark.sql("SELECT canonical_url FROM frontier_test")
         .collect().map(_.getString(0)).sorted
-      assert(urls.length == 3, urls.mkString(", "))
+      assert(urls.length == 5, urls.mkString(", "))
       assert(urls.contains("https://example.com/p/1?id=1&ref=home"))
+      assert(urls.contains("https://example.com/about"))
+      assert(urls.contains("https://example.com/contact"))
     } finally q.stop()
   }
 
