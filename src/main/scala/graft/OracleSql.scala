@@ -2160,31 +2160,71 @@ object OracleSql {
       WHERE event_type = 'purchase' AND touch_id IS NOT NULL
       ORDER BY event_id""",
 
-    // e13: same integer metrics (µs recency, counts, floor-form cents),
-    // quantile_cont quartiles (exact doubles on integer inputs), same
-    // strict-> scoring and segment CASE chain.
+    // e13: same integer metrics (µs recency, counts, sign-aware
+    // floor-form cents); quartile thresholds replay the q115
+    // histogram-sketch shape (256-bin floor binning, window CDF,
+    // bin-lower-edge pick — identical IEEE754 edge formula), then the
+    // same strict-> scoring and segment CASE chain.
     "e13_rfm" -> """
       WITH u AS (
         SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events,
           SUM(CASE WHEN event_type = 'purchase'
-              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS cents
+              THEN CAST(floor(abs(value) * 100 + 0.5) * sign(value) AS BIGINT)
+              ELSE 0 END) AS cents
         FROM events GROUP BY user_id),
+      m AS (
+        SELECT 'r' AS metric, CAST(last_us AS DOUBLE) AS x FROM u
+        UNION ALL SELECT 'f', CAST(n_events AS DOUBLE) FROM u
+        UNION ALL SELECT 'm', CAST(cents AS DOUBLE) FROM u),
+      b AS (SELECT metric, MIN(x) AS lo, MAX(x) AS hi FROM m GROUP BY metric),
+      h AS (
+        SELECT m.metric,
+          CASE WHEN hi = lo THEN 1
+               ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1,
+                          256) END AS bin,
+          COUNT(*) AS cnt
+        FROM m JOIN b ON b.metric = m.metric
+        GROUP BY 1, 2),
+      c AS (
+        SELECT metric, bin,
+          SUM(cnt) OVER (PARTITION BY metric ORDER BY bin) AS cum,
+          SUM(cnt) OVER (PARTITION BY metric) AS total
+        FROM h),
+      qb AS (
+        SELECT metric,
+          MIN(CASE WHEN cum >= ceil(total * 0.25) THEN bin END) AS b25,
+          MIN(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) AS b50,
+          MIN(CASE WHEN cum >= ceil(total * 0.75) THEN bin END) AS b75
+        FROM c GROUP BY metric),
+      e AS (
+        SELECT qb.metric,
+          lo + CAST(b25 - 1 AS DOUBLE) * (hi - lo) / 256 AS t25,
+          lo + CAST(b50 - 1 AS DOUBLE) * (hi - lo) / 256 AS t50,
+          lo + CAST(b75 - 1 AS DOUBLE) * (hi - lo) / 256 AS t75
+        FROM qb JOIN b ON b.metric = qb.metric),
       t AS (
-        SELECT quantile_cont(last_us, [0.25, 0.5, 0.75]) AS rq,
-               quantile_cont(n_events, [0.25, 0.5, 0.75]) AS fq,
-               quantile_cont(cents, [0.25, 0.5, 0.75]) AS mq
-        FROM u),
+        SELECT
+          MAX(CASE WHEN metric = 'r' THEN t25 END) AS r25,
+          MAX(CASE WHEN metric = 'r' THEN t50 END) AS r50,
+          MAX(CASE WHEN metric = 'r' THEN t75 END) AS r75,
+          MAX(CASE WHEN metric = 'f' THEN t25 END) AS f25,
+          MAX(CASE WHEN metric = 'f' THEN t50 END) AS f50,
+          MAX(CASE WHEN metric = 'f' THEN t75 END) AS f75,
+          MAX(CASE WHEN metric = 'm' THEN t25 END) AS m25,
+          MAX(CASE WHEN metric = 'm' THEN t50 END) AS m50,
+          MAX(CASE WHEN metric = 'm' THEN t75 END) AS m75
+        FROM e),
       sc AS (
         SELECT
-          1 + CASE WHEN last_us > rq[1] THEN 1 ELSE 0 END
-            + CASE WHEN last_us > rq[2] THEN 1 ELSE 0 END
-            + CASE WHEN last_us > rq[3] THEN 1 ELSE 0 END AS r_score,
-          1 + CASE WHEN n_events > fq[1] THEN 1 ELSE 0 END
-            + CASE WHEN n_events > fq[2] THEN 1 ELSE 0 END
-            + CASE WHEN n_events > fq[3] THEN 1 ELSE 0 END AS f_score,
-          1 + CASE WHEN cents > mq[1] THEN 1 ELSE 0 END
-            + CASE WHEN cents > mq[2] THEN 1 ELSE 0 END
-            + CASE WHEN cents > mq[3] THEN 1 ELSE 0 END AS m_score
+          1 + CASE WHEN last_us > r25 THEN 1 ELSE 0 END
+            + CASE WHEN last_us > r50 THEN 1 ELSE 0 END
+            + CASE WHEN last_us > r75 THEN 1 ELSE 0 END AS r_score,
+          1 + CASE WHEN n_events > f25 THEN 1 ELSE 0 END
+            + CASE WHEN n_events > f50 THEN 1 ELSE 0 END
+            + CASE WHEN n_events > f75 THEN 1 ELSE 0 END AS f_score,
+          1 + CASE WHEN cents > m25 THEN 1 ELSE 0 END
+            + CASE WHEN cents > m50 THEN 1 ELSE 0 END
+            + CASE WHEN cents > m75 THEN 1 ELSE 0 END AS m_score
         FROM u CROSS JOIN t)
       SELECT r_score, f_score, m_score,
         CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'

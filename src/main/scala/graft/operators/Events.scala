@@ -257,15 +257,20 @@ object Events {
 
   /** e13: RFM user segmentation — the recency/frequency/monetary
     * quartile scoring behind every retention/marketing analytics stack.
-    * Scale design: one user_id shuffle builds the per-user frame; the
-    * quartile thresholds come from ONE 1-row percentile aggregate
-    * broadcast back (the q39 shape) — scoring is a comparison against
-    * literals, NOT ntile's global single-task sort, so the user frame
-    * never globally sorts at any corpus size. Every metric is an
-    * INTEGER (µs recency, event count, monetary in cents via the q105
-    * floor form), which makes the interpolated quartiles of integers
-    * exactly representable doubles — threshold compares cannot fork
-    * cross-engine. Report: user counts per (r, f, m) cell + segment
+    * Scale design: one user_id shuffle builds the per-user frame
+    * (localCheckpointed so the threshold passes aggregate IT, not
+    * re-scans of events — the p05 discipline); the quartile thresholds
+    * come from the q115 histogram-sketch shape — per-metric 256-bin
+    * histogram, bounded-CDF window over ≤ 3·256 rows, bin-lower-edge
+    * pick — NOT exact `percentile`, whose final buffer holds every
+    * per-user value in one reducer (the per-executor OOM at a
+    * billion-user table), and NOT ntile's global single-task sort.
+    * Scoring is a comparison against the 1-row broadcast thresholds.
+    * Monetary is sign-aware half-away-from-zero cents
+    * (floor(abs·100+.5)·signum — a refund of -1.005 rounds to -101,
+    * not -100). Deterministic by construction (explicit floor binning,
+    * identical IEEE754 edge formula both engines), so still
+    * hash-verifiable. Report: user counts per (r, f, m) cell + segment
     * label. */
   def rfm(s: SparkSession, d: String): DataFrame = {
     val users = Tables.events(s, d)
@@ -274,21 +279,51 @@ object Events {
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "purchase",
-          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+          (floor(abs(col("value")) * 100 + lit(0.5)) * signum(col("value")))
+            .cast("long")).otherwise(0L))
           .as("cents"))
-    val thresholds = users.agg(
-      expr("percentile(last_us, array(0.25D, 0.5D, 0.75D))").as("rq"),
-      expr("percentile(n_events, array(0.25D, 0.5D, 0.75D))").as("fq"),
-      expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
-    def score(c: Column, q: Column): Column =
-      lit(1) + when(c > q.getItem(0), 1).otherwise(0) +
-        when(c > q.getItem(1), 1).otherwise(0) +
-        when(c > q.getItem(2), 1).otherwise(0)
+      .localCheckpoint()
+    val metrics = users.select(expr(
+      """stack(3, 'r', CAST(last_us AS DOUBLE), 'f', CAST(n_events AS DOUBLE),
+        |'m', CAST(cents AS DOUBLE)) AS (metric, x)""".stripMargin))
+    val bounds = metrics.groupBy(col("metric"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val hist = metrics.join(broadcast(bounds), "metric")
+      .select(col("metric"),
+        when(col("hi") === col("lo"), lit(1L))
+          .otherwise(least(
+            floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 256)) + 1,
+            lit(256L))).as("bin"))
+      .groupBy(col("metric"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("metric")).orderBy(col("bin"))))
+      .withColumn("total", sum(col("cnt"))
+        .over(Window.partitionBy(col("metric"))))
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(col("total") * lit(p)), col("bin")))
+    def edge(b: String) =
+      col("lo") + (col(b) - lit(1)).cast("double") * (col("hi") - col("lo")) / 256
+    val thr = cum.groupBy(col("metric"))
+      .agg(pick(0.25).as("b25"), pick(0.5).as("b50"), pick(0.75).as("b75"))
+      .join(bounds, "metric")
+      .select(col("metric"),
+        edge("b25").as("t25"), edge("b50").as("t50"), edge("b75").as("t75"))
+    def t(m: String, c: String) = max(when(col("metric") === m, col(c)))
+    val thresholds = thr.agg(
+      t("r", "t25").as("r25"), t("r", "t50").as("r50"), t("r", "t75").as("r75"),
+      t("f", "t25").as("f25"), t("f", "t50").as("f50"), t("f", "t75").as("f75"),
+      t("m", "t25").as("m25"), t("m", "t50").as("m50"), t("m", "t75").as("m75"))
+    def score(c: Column, q25: String, q50: String, q75: String): Column =
+      lit(1) + when(c > col(q25), 1).otherwise(0) +
+        when(c > col(q50), 1).otherwise(0) +
+        when(c > col(q75), 1).otherwise(0)
     users.crossJoin(broadcast(thresholds))
       .select(
-        score(col("last_us"), col("rq")).as("r_score"),
-        score(col("n_events"), col("fq")).as("f_score"),
-        score(col("cents"), col("mq")).as("m_score"))
+        score(col("last_us"), "r25", "r50", "r75").as("r_score"),
+        score(col("n_events"), "f25", "f50", "f75").as("f_score"),
+        score(col("cents"), "m25", "m50", "m75").as("m_score"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("r_score"), col("f_score"), col("m_score"),

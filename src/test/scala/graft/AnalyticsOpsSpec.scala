@@ -86,6 +86,11 @@ class AnalyticsOpsSpec extends GraftSpec {
         else "casual"
       assert(r.getAs[String]("segment") == expect, r.toString)
     }
+    // thresholds come from the bounded histogram sketch, never from
+    // exact percentile (whose final buffer holds every per-user value
+    // in one reducer — the per-executor OOM at a billion-user table)
+    val plan = Events.rfm(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile("), plan.linesIterator.take(5).mkString("\n"))
   }
 
   test("t11 gopher: keep is exactly the conjunction of the emitted signals") {
