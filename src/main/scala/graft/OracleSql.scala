@@ -2737,6 +2737,47 @@ object OracleSql {
           AND l_shipdate > o_orderdate + INTERVAL 250 DAY)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // q122: the same key-derived coordinates, then the identical
+    // haversine closed form — radians spelled x / 180.0 * pi() to match
+    // Java's toRadians op order; asin arg clamped with least(1.0, ...).
+    "q122_geo_distance" -> """
+      WITH p AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS lat,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS lon,
+          CAST(c_nationkey % 25 AS DOUBLE) * 6.0 - 72.0 AS clat,
+          CAST(c_nationkey % 25 AS DOUBLE) * 13.0 - 156.0 AS clon
+        FROM customer),
+      h AS (
+        SELECT c_custkey,
+          2.0 * 6371.01 * asin(least(1.0, sqrt(
+            sin((clat - lat) / 180.0 * pi() / 2) * sin((clat - lat) / 180.0 * pi() / 2) +
+            cos(lat / 180.0 * pi()) * cos(clat / 180.0 * pi()) *
+            sin((clon - lon) / 180.0 * pi() / 2) * sin((clon - lon) / 180.0 * pi() / 2)
+          ))) AS dist
+        FROM p)
+      SELECT c_custkey, round(dist, 6) AS dist_km,
+        dist <= 2000.0 AS within_2000km
+      FROM h ORDER BY c_custkey""",
+
+    // q123: per-edge ray-casting replay over the same closed ring —
+    // pure comparisons and exact-rounded IEEE multiply/divide, bit-exact
+    // cross-engine.
+    "q123_point_in_polygon" -> """
+      WITH p AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS px,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS py,
+          [-50.0, 60.0, 70.0, 0.0, -60.0, -50.0] AS xs,
+          [-30.0, -40.0, 50.0, 10.0, 40.0, -30.0] AS ys
+        FROM customer)
+      SELECT c_custkey,
+        len(list_filter(range(1, 6), i ->
+          ((ys[i] > py) <> (ys[i+1] > py)) AND
+          (px < (xs[i+1] - xs[i]) * (py - ys[i]) / (ys[i+1] - ys[i]) + xs[i])))
+          % 2 = 1 AS inside
+      FROM p ORDER BY c_custkey""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,

@@ -191,6 +191,8 @@ object SparkEntry {
     "q119_tpch_q18" -> (Relational.q119 _),
     "q120_tpch_q22" -> (Relational.q120 _),
     "q121_tpch_q4" -> (Relational.q121 _),
+    "q122_geo_distance" -> (Relational.q122 _),
+    "q123_point_in_polygon" -> (Relational.q123 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -45,6 +45,18 @@ object GraftFunctions {
   def geometricMean(x: Column): Column =
     c(GeometricMean(e(x)).toAggregateExpression())
 
+  /** Great-circle distance in km between two (lat, lon) points
+    * (Presto great_circle_distance). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    c(HaversineKm(e(lat1.cast("double")), e(lon1.cast("double")),
+      e(lat2.cast("double")), e(lon2.cast("double"))))
+
+  /** Ray-casting point-in-closed-ring test (Presto ST_Contains,
+    * point-in-ring case); xs/ys are the ring's vertex coordinate
+    * arrays with the first vertex repeated last. */
+  def pointInPolygon(px: Column, py: Column, xs: Column, ys: Column): Column =
+    c(PointInPolygon(e(px.cast("double")), e(py.cast("double")), e(xs), e(ys)))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -79,6 +91,8 @@ object GraftFunctions {
     register("hash64", args => Hash64(args.head,
       if (args.length > 1) literalLong("hash64", args(1)) else 0L))
     register("geometric_mean", args => GeometricMean(args.head).toAggregateExpression())
+    register("haversine_km", args => HaversineKm(args(0), args(1), args(2), args(3)))
+    register("point_in_polygon", args => PointInPolygon(args(0), args(1), args(2), args(3)))
   }
 }
 
@@ -121,5 +135,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geometric_mean"),
       new ExpressionInfo("graft.functions", "geometric_mean"),
       (args: Seq[Expression]) => GeometricMean(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("haversine_km"),
+      new ExpressionInfo("graft.functions", "haversine_km"),
+      (args: Seq[Expression]) => HaversineKm(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("point_in_polygon"),
+      new ExpressionInfo("graft.functions", "point_in_polygon"),
+      (args: Seq[Expression]) => PointInPolygon(args(0), args(1), args(2), args(3))))
   }
 }

@@ -151,6 +151,39 @@ object Kernels {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Haversine great-circle distance in km — Presto 0.248's
+    * great_circle_distance (presto-main MathFunctions, mean earth
+    * radius 6371.01 km). asin argument clamped to 1.0 so antipodal
+    * rounding noise can't produce NaN. */
+  def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1) / 2
+    val dLon = math.toRadians(lon2 - lon1) / 2
+    val a = math.sin(dLat) * math.sin(dLat) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon) * math.sin(dLon)
+    2.0 * 6371.01 * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Ray-casting point-in-polygon (the core of Presto's ST_Contains for
+    * the point-in-ring case). The ring is CLOSED (last vertex repeats
+    * the first); edges use strict comparisons, so boundary points fall
+    * on the engine-deterministic side. Pure comparisons and exact-
+    * rounded IEEE multiply/divide — no libm — so it replays bit-exact
+    * in any engine that evaluates the same per-edge formula. */
+  def pointInPolygon(px: Double, py: Double, xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var inside = false
+    var i = 0
+    while (i < n - 1) {
+      val x1 = xs.getDouble(i); val y1 = ys.getDouble(i)
+      val x2 = xs.getDouble(i + 1); val y2 = ys.getDouble(i + 1)
+      if ((y1 > py) != (y2 > py) &&
+          px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) inside = !inside
+      i += 1
+    }
+    inside
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -280,6 +313,53 @@ case class Hamming64(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
     copy(left = l, right = r)
+}
+
+/** haversine_km(lat1, lon1, lat2, lon2) -> double — great-circle
+  * distance in km (Presto great_circle_distance). */
+case class HaversineKm(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Kernels.haversineKm(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Kernels.haversineKm($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): HaversineKm =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** point_in_polygon(px, py, xs array<double>, ys array<double>) ->
+  * boolean — ray casting against a closed ring (Presto ST_Contains,
+  * point-in-ring case). */
+case class PointInPolygon(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Kernels.pointInPolygon(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.Kernels.pointInPolygon($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PointInPolygon =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /**

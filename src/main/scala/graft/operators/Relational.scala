@@ -1699,6 +1699,43 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
+  // --- q122: geospatial great-circle distance (Presto 0.248's
+  // great_circle_distance — the most-used op of its ST_*/Bing-tile geo
+  // family, which Spark has no builtin for). Coordinates are synthesized
+  // deterministically from keys (the d11 discipline: synthetic input,
+  // REAL kernel — the oracle replays the identical haversine closed
+  // form on the same doubles, so a wrong formula breaks the hash). The
+  // kernel is a codegen-native QuaternaryExpression ([[graft.functions
+  // .HaversineKm]]): narrow per-row inside whole-stage codegen, the only
+  // exchange is the final output sort.
+  def q122(s: SparkSession, d: String): DataFrame = {
+    val lat = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val lon = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val clat = (col("c_nationkey") % 25).cast("double") * 6.0 - 72.0
+    val clon = (col("c_nationkey") % 25).cast("double") * 13.0 - 156.0
+    val dist = graft.functions.GraftFunctions.haversineKm(lat, lon, clat, clon)
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        round(dist, 6).as("dist_km"),
+        (dist <= 2000.0).as("within_2000km"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- q123: point-in-polygon (Presto ST_Contains, point-in-ring case)
+  // by ray casting against a closed non-convex ring — comparisons and
+  // exact-rounded IEEE multiply/divide only, no libm, so the oracle's
+  // per-edge replay is bit-exact. Same codegen-native shape as q122.
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val px = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val py = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val xs = expr("array(-50.0D, 60.0D, 70.0D, 0.0D, -60.0D, -50.0D)")
+    val ys = expr("array(-30.0D, -40.0D, 50.0D, 10.0D, 40.0D, -30.0D)")
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        graft.functions.GraftFunctions.pointInPolygon(px, py, xs, ys).as("inside"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -157,4 +157,59 @@ class ExpressionsSpec extends GraftSpec {
     val b = spread.coalesce(1).agg(graft.functions.GraftFunctions.geometricMean($"x")).head().getDouble(0)
     assert(math.abs(a - b) < 1e-9)
   }
+
+  test("haversine_km: zero at identity, symmetric, matches known distances") {
+    val df = Seq(
+      // (lat1, lon1, lat2, lon2, expected_km, tol_km)
+      (48.8566, 2.3522, 48.8566, 2.3522, 0.0, 1e-9),     // same point
+      (48.8566, 2.3522, 51.5074, -0.1278, 343.6, 1.0),   // Paris-London
+      (0.0, 0.0, 0.0, 180.0, 6371.01 * math.Pi, 1e-6),   // antipodal on equator
+      (90.0, 0.0, -90.0, 0.0, 6371.01 * math.Pi, 1e-6)   // pole to pole
+    ).toDF("lat1", "lon1", "lat2", "lon2", "expected", "tol")
+    df.select(haversineKm($"lat1", $"lon1", $"lat2", $"lon2").as("d"),
+        haversineKm($"lat2", $"lon2", $"lat1", $"lon1").as("rev"),
+        $"expected", $"tol").collect()
+      .foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(2)) < r.getDouble(3), r.toString)
+        assert(r.getDouble(0) == r.getDouble(1), "must be symmetric")
+      }
+    // stays inside whole-stage codegen over a real table (no UDF fallback)
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val plan = cust.select(haversineKm(
+      ($"c_custkey" % 171).cast("double"), lit(0.0), lit(10.0), lit(20.0)).as("d"))
+    assert(plan.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      plan.queryExecution.executedPlan.toString)
+    assert(plan.agg(min($"d")).head().getDouble(0) >= 0.0)
+  }
+
+  test("point_in_polygon: ray casting handles convex, non-convex, and outside cases") {
+    // closed non-convex ring (the q123 ring): the (0,10) vertex notches
+    // the top edge inward
+    val xs = Array(-50.0, 60.0, 70.0, 0.0, -60.0, -50.0)
+    val ys = Array(-30.0, -40.0, 50.0, 10.0, 40.0, -30.0)
+    val df = Seq(
+      (0.0, 0.0, true),     // deep interior
+      (0.0, 25.0, false),   // inside the convex hull but in the notch
+      (-54.0, 0.0, true),   // just inside the left edge (edge at x≈-54.29)
+      (-55.0, 0.0, false),  // just outside the same edge
+      (100.0, 0.0, false),  // right of everything
+      (0.0, -50.0, false),  // below everything
+      (-59.0, 39.0, true),  // in the thin sliver between the two top-left edges
+      (-62.0, 39.0, false)  // left of the whole ring
+    ).toDF("px", "py", "expected")
+      .withColumn("xs", lit(xs)).withColumn("ys", lit(ys))
+    df.select(pointInPolygon($"px", $"py", $"xs", $"ys").as("got"), $"expected")
+      .collect()
+      .foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+    // SQL registration round-trip for both geo functions
+    graft.functions.GraftFunctions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT point_in_polygon(0.0D, 0.0D, " +
+        "array(-50.0D, 60.0D, 70.0D, 0.0D, -60.0D, -50.0D), " +
+        "array(-30.0D, -40.0D, 50.0D, 10.0D, 40.0D, -30.0D)) AS p, " +
+        "haversine_km(0.0D, 0.0D, 0.0D, 180.0D) AS d").head()
+    assert(viaSql.getBoolean(0))
+    assert(math.abs(viaSql.getDouble(1) - 6371.01 * math.Pi) < 1e-6)
+  }
 }
