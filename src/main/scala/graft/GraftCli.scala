@@ -122,6 +122,60 @@ object GraftCli {
     case _ => df.show(100, truncate = false)
   }
 
+  /** Presto-CLI-parity `EXPLAIN ANALYZE <query>`: execute the query
+    * fully (materialized by a distributed RDD count — nothing collects
+    * on the driver), then render the POST-AQE executed plan with each
+    * node's runtime SQLMetrics (output rows, spill bytes, build/probe
+    * times) — the operator-level runtime report Presto's EXPLAIN
+    * ANALYZE emits, which plain EXPLAIN (plan only, never run) cannot.
+    * Spark's own SQL surface has no ANALYZE mode, so the CLI routes the
+    * statement itself. */
+  private[graft] def explainAnalyze(spark: SparkSession, query: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = spark.sql(query)
+    val plan = df.queryExecution.executedPlan
+    val nRows = plan.execute().count()
+    val sb = new StringBuilder("== Physical Plan (executed, with metrics) ==\n")
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1)
+        .filter(_._2.value != 0)
+        .map { case (name, m) => s"$name=${m.value}" }
+      sb.append("  " * depth).append(p.nodeName)
+      if (ms.nonEmpty) sb.append("  [").append(ms.mkString(", ")).append("]")
+      sb.append('\n')
+      p match {
+        // descend into the finalized AQE plan — the pre-AQE skeleton's
+        // children never executed and carry no metrics
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        // a materialized stage hides its subtree behind `plan`, not
+        // `children` — without this the report stops at the stage shell
+        case qs: QueryStageExec => walk(qs.plan, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(plan, 0)
+    sb.append(s"rows: $nRows\n")
+    sb.toString
+  }
+
+  private val ExplainAnalyze = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
+
+  /** Run one ;-stripped statement: route EXPLAIN ANALYZE, render
+    * everything else, and report wall time to `err` (stderr, so
+    * csv/json stdout stays machine-clean — the reference CLI reports
+    * elapsed per query the same way). */
+  private[graft] def runStatement(spark: SparkSession, stmt: String,
+                                  format: String, out: java.io.PrintStream,
+                                  err: java.io.PrintStream): Unit = {
+    val t0 = System.nanoTime()
+    stmt.stripSuffix(";") match {
+      case ExplainAnalyze(query) => out.println(explainAnalyze(spark, query))
+      case bare                  => render(spark.sql(bare), format, out)
+    }
+    err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.error("usage: GraftCli <sfDir> [--format table|csv|json] [-f script.sql | sql...]"))
@@ -142,7 +196,7 @@ object GraftCli {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     open(spark, sfDir)
     statements.foreach { stmt =>
-      try render(spark.sql(stmt.stripSuffix(";")), format, System.out)
+      try runStatement(spark, stmt, format, System.out, System.err)
       catch { case e: Exception =>
         System.err.println(s"[graft-cli] error: ${e.getMessage}")
       }

@@ -120,6 +120,32 @@ class CliSpec extends GraftSpec {
     assert(GraftCli.queries.keySet == GraftCli.oracles.keySet)
   }
 
+  test("EXPLAIN ANALYZE and per-statement timing round-trip through the real main") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val errB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val (savedOut, savedErr) = (System.out, System.err)
+    System.setOut(outP); System.setErr(errP)
+    try GraftCli.main(Array(sf,
+      "EXPLAIN ANALYZE SELECT n_name, count(*) AS n FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+      "SELECT 1 AS one"))
+    finally { System.setOut(savedOut); System.setErr(savedErr); outP.flush(); errP.flush() }
+    val out = new String(outB.toByteArray, "UTF-8")
+    val err = new String(errB.toByteArray, "UTF-8")
+    // the analyzed plan is the EXECUTED one: post-AQE operators with
+    // runtime metrics attached — not the never-run EXPLAIN skeleton
+    assert(out.contains("Physical Plan (executed, with metrics)"), out)
+    assert(out.contains("HashAggregate"), out)
+    assert(out.contains("numOutputRows="), s"metrics must carry runtime values:\n$out")
+    assert("rows: \\d+".r.findFirstIn(out).isDefined, out)
+    // every statement reports wall time on stderr (stdout stays clean
+    // for csv/json consumers)
+    val timings = "\\[graft-cli\\] \\d+\\.\\d\\ds".r.findAllIn(err).toSeq
+    assert(timings.length == 2, s"expected 2 timing lines, got:\n$err")
+  }
+
   test("join-strategy hints pass through the SQL front door") {
     // Presto tunes join strategy with session properties
     // (join_distribution_type); the Spark front door takes plan hints in
