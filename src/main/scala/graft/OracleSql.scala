@@ -2251,6 +2251,8 @@ object OracleSql {
       leaf AS (
         SELECT g1, g2,
           CASE WHEN hi = lo THEN 1
+               WHEN lo > 0 THEN LEAST(CAST(FLOOR((ln(x) - ln(lo))
+                 / ((ln(hi) - ln(lo)) / 256)) AS BIGINT) + 1, 256)
                ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
           END AS bin,
           COUNT(*) AS cnt
@@ -2275,9 +2277,12 @@ object OracleSql {
           MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
         FROM cdf GROUP BY 1, 2, 3)
       SELECT level, g1 AS event_type, g2 AS day, n,
-        round(lo + (b50 - 1) * (hi - lo) / 256, 4) AS p50,
-        round(lo + (b95 - 1) * (hi - lo) / 256, 4) AS p95,
-        round(lo + (b99 - 1) * (hi - lo) / 256, 4) AS p99
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b50 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b50 - 1) * (hi - lo) / 256 END, 4) AS p50,
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b95 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b95 - 1) * (hi - lo) / 256 END, 4) AS p95,
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b99 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b99 - 1) * (hi - lo) / 256 END, 4) AS p99
       FROM qs CROSS JOIN b
       ORDER BY level, g1, g2""",
 
@@ -2645,6 +2650,8 @@ object OracleSql {
       leaf AS (
         SELECT l_returnflag, l_linestatus,
           CASE WHEN hi = lo THEN 1
+               WHEN lo > 0 THEN LEAST(CAST(FLOOR((ln(x) - ln(lo))
+                 / ((ln(hi) - ln(lo)) / 256)) AS BIGINT) + 1, 256)
                ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
           END AS bin,
           COUNT(*) AS cnt
@@ -2672,9 +2679,12 @@ object OracleSql {
           MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
         FROM cdf GROUP BY 1, 2, 3)
       SELECT level, l_returnflag, l_linestatus, n,
-        round(lo + (b50 - 1) * (hi - lo) / 256, 4) AS p50,
-        round(lo + (b95 - 1) * (hi - lo) / 256, 4) AS p95,
-        round(lo + (b99 - 1) * (hi - lo) / 256, 4) AS p99
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b50 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b50 - 1) * (hi - lo) / 256 END, 4) AS p50,
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b95 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b95 - 1) * (hi - lo) / 256 END, 4) AS p95,
+        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b99 - 1) * (ln(hi) - ln(lo)) / 256)
+                   ELSE lo + (b99 - 1) * (hi - lo) / 256 END, 4) AS p99
       FROM qs CROSS JOIN b
       ORDER BY level, l_returnflag, l_linestatus""",
 

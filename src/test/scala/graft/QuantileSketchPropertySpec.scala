@@ -54,6 +54,10 @@ class QuantileSketchPropertySpec extends GraftSpec {
       val lo = rows.map(_.getDouble(2)).min
       val hi = rows.map(_.getDouble(2)).max
       val binW = (hi - lo) / QuantileSketch.Bins
+      // lo > 0 → the sketch's log-scaled regime: the bound is one
+      // multiplicative bin factor, not one absolute bin width
+      val logMode = lo > 0 && hi != lo
+      val ratio = if (logMode) math.pow(hi / lo, 1.0 / QuantileSketch.Bins) else 1.0
       val tol = math.max(1e-4, math.abs(hi) * 1e-9)
       def exact(vs: Seq[Double], p: Double): Double =
         vs.sorted.apply(math.ceil(vs.size * p).toInt - 1)
@@ -72,9 +76,49 @@ class QuantileSketchPropertySpec extends GraftSpec {
         assert(vs.size.toLong == row.getAs[Long]("n"), s"seed $seed: $row")
         Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (p, v) =>
           val ex = exact(vs, p)
-          assert(v <= ex + tol && ex <= v + binW + tol,
-            s"seed $seed p=$p: exact=$ex sketch=$v binW=$binW n=${vs.size}")
+          if (logMode)
+            assert(v <= ex + tol && ex <= v * ratio + tol,
+              s"seed $seed p=$p: exact=$ex sketch=$v ratio=$ratio n=${vs.size}")
+          else
+            assert(v <= ex + tol && ex <= v + binW + tol,
+              s"seed $seed p=$p: exact=$ex sketch=$v binW=$binW n=${vs.size}")
         }
+      }
+    }
+  }
+
+  test("log-scaled bins bound p99 RELATIVE error on lognormal data") {
+    for (seed <- 7 to 9) {
+      val r = new scala.util.Random(seed)
+      // lognormal spanning ~6 decades — the heavy-tailed price/latency
+      // shape where equi-width bins would lump 99% of the mass into bin
+      // 1 and report a p99 off by orders of magnitude
+      val rows = (0 until 3000).map { _ =>
+        Row(s"a${r.nextInt(2)}", s"b${r.nextInt(2)}",
+          math.exp(r.nextGaussian() * 2.0 + 3.0))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      val rep = QuantileSketch.report(df).collect()
+      val lo = rows.map(_.getDouble(2)).min
+      val hi = rows.map(_.getDouble(2)).max
+      assert(lo > 0, s"seed $seed must generate a strictly positive domain")
+      val ratio = math.pow(hi / lo, 1.0 / QuantileSketch.Bins)
+      // the whole point: even across ~6 decades one bin is a small factor
+      assert(ratio - 1 < 0.15, s"seed $seed: per-bin factor too coarse: $ratio")
+      def exact(vs: Seq[Double], p: Double): Double =
+        vs.sorted.apply(math.ceil(vs.size * p).toInt - 1)
+      rep.foreach { row =>
+        val vs =
+          if (row.getAs[String]("level") == "merged")
+            rows.filter(_.getString(0) == row.getAs[String]("g1")).map(_.getDouble(2))
+          else rows.filter(x => x.getString(0) == row.getAs[String]("g1") &&
+            x.getString(1) == row.getAs[String]("g2")).map(_.getDouble(2))
+        val ex = exact(vs, 0.99)
+        val v = row.getAs[Double]("p99")
+        assert(v <= ex + 1e-3 && ex <= v * ratio + 1e-3,
+          s"seed $seed: p99 relative error beyond one log bin: " +
+            s"exact=$ex sketch=$v ratio=$ratio")
       }
     }
   }

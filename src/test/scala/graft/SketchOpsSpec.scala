@@ -104,12 +104,15 @@ class SketchOpsSpec extends GraftSpec {
     }
   }
 
-  test("q115 sketch error is bounded by one bin width vs the exact percentile") {
+  test("q115 sketch error is bounded by one log-bin factor vs the exact percentile") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_extendedprice").cast("double").as("x"))
     val Row(lo: Double, hi: Double) = li.agg(min(col("x")), max(col("x"))).head
-    val binW = (hi - lo) / 256
+    // prices are strictly positive, so the sketch runs its log-scaled
+    // regime: error is RELATIVE, one bin = factor (hi/lo)^(1/256)
+    assert(lo > 0, "lineitem prices must put the sketch in log mode")
+    val ratio = math.pow(hi / lo, 1.0 / 256)
     val grp = Seq(col("l_returnflag"), col("l_linestatus"))
     val exact = li
       .withColumn("rn", row_number().over(
@@ -124,9 +127,9 @@ class SketchOpsSpec extends GraftSpec {
         val key = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
         val x = exact(key)
         val p95 = r.getAs[Double]("p95")
-        // p95 is the lower edge of the bin holding the ceil-rank element
-        assert(p95 <= x + 1e-4 && x <= p95 + binW + 1e-4,
-          s"$key exact=$x sketch=$p95 binW=$binW")
+        // p95 is the lower edge of the log bin holding the ceil-rank element
+        assert(p95 <= x + 1e-4 && x <= p95 * ratio + 1e-4,
+          s"$key exact=$x sketch=$p95 ratio=$ratio")
       }
   }
 }
