@@ -70,6 +70,30 @@ object GraftSession {
     "spark.dynamicAllocation.executorIdleTimeout" -> "120s",
     "spark.dynamicAllocation.schedulerBacklogTimeout" -> "5s")
 
+  /** Streaming state-store confs for state that exceeds executor heap —
+    * the URL-frontier dedup topology at crawl scale. The DEFAULT
+    * (HDFSBackedStateStoreProvider) keeps every key's state in an
+    * on-heap map per partition: a 100 TB crawl's frontier (billions of
+    * canonical URLs inside the watermark horizon) OOMs the executor.
+    * RocksDB spills state to local SSD with a bounded block cache, and
+    * changelog checkpointing uploads per-batch deltas instead of
+    * re-snapshotting the full store — the production topology for
+    * unbounded-key streaming dedup/sessionization. Ships in spark-sql
+    * proper (rocksdbjni is a stock Spark dependency) — no extra module. */
+  def rocksdbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** Builder for streaming jobs whose state outgrows the heap (frontier
+    * dedup, billion-user sessionization): graft defaults + RocksDB
+    * state store. */
+  def streamingBuilder(master: String = "local[*]",
+                       shufflePartitions: Int = 32): SparkSession.Builder =
+    rocksdbStateConfs.foldLeft(builder(master, shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
   /** Builder for a real multi-executor deployment: graft defaults + the
     * elasticity surface + an AQE initial partition count sized for the
     * worker ceiling (AQE coalesces down at runtime; see class doc). */

@@ -120,6 +120,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("URL frontier runs on the RocksDB state store (crawl-scale state)") {
+    // the default HDFS-backed provider holds every canonical URL in an
+    // on-heap map — a 100 TB crawl frontier won't fit; this pins the
+    // production config (GraftSession.rocksdbStateConfs) actually
+    // driving the same topology, state living in RocksDB
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.rocksdbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[(Timestamp, String)]
+      val q = EventPipelines.urlFrontier(input.toDF().toDF("ts", "url"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("frontier_rocks").start()
+      try {
+        input.addData(
+          (ts("2024-01-01 10:00:00"), "https://www.example.com/a"),
+          (ts("2024-01-01 10:00:10"), "https://example.com/b?id=2"))
+        q.processAllAvailable()
+        input.addData( // re-discoveries across a batch boundary still dedup
+          (ts("2024-01-01 10:01:00"), "HTTPS://example.com/a?utm_source=x#f"),
+          (ts("2024-01-01 10:01:10"), "https://www.example.com/b?id=2"))
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM frontier_rocks").head().getLong(0) == 2)
+        // the state operator reports RocksDB-specific metrics — proof the
+        // provider swap reached the running query, not just the conf map
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+          .keySet().toArray.map(_.toString)
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected RocksDB state metrics, got: ${metrics.mkString(", ")}")
+      } finally q.stop()
+    } finally GraftSession.rocksdbStateConfs.keys.foreach(spark.conf.unset)
+  }
+
   test("flatMapGroupsWithState emits sessions as they close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
