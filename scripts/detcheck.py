@@ -7,7 +7,8 @@ import pandas as pd
 a_dir, b_dir = sys.argv[1], sys.argv[2]
 
 def h(path):
-    df = pd.read_parquet(path).reindex(sorted(pd.read_parquet(path).columns), axis=1)
+    df = pd.read_parquet(path)
+    df = df.reindex(sorted(df.columns), axis=1)
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
 names = sorted(p.split("/")[-1] for p in glob.glob(f"{a_dir}/*") if not p.endswith(".json"))

@@ -1434,6 +1434,14 @@ object OracleSql {
     // m08: little-endian int16 decode of the PCM body (= the text bytes;
     // the 44-byte header is synthetic and stripped by the parsed offset),
     // integer sum-of-squares, then the ratio report.
+    // INVARIANT behind `TRUE AS decode_ok`: the Spark side derives
+    // decode_ok from AudioHeaders.parseWav over a header IT synthesizes
+    // (valid RIFF/WAVE magic by construction), and the oracle never sees
+    // those bytes — documents.text is the payload, the header exists
+    // only inside the Spark query. If audioEnergy ever ingests real
+    // (possibly malformed) WAV payloads, this oracle must switch to
+    // replaying the magic check on the actual bytes instead of
+    // asserting it.
     "m08_audio_energy" -> """
       WITH raws AS (
         SELECT doc_id, unnest(list_transform(
