@@ -2796,6 +2796,34 @@ object OracleSql {
           % 2 = 1 AS inside
       FROM p ORDER BY c_custkey""",
 
+    // q124: Web-Mercator tile x/y replay (same clamp/floor order as the
+    // kernel; ln spelled on the identical (1+sin)/(1-sin) form), quadkey
+    // digits via bit interleave over range(1, zoom+1).
+    "q124_bing_tiles" -> """
+      WITH p AS (
+        SELECT CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS lat,
+               CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS lon
+        FROM customer),
+      s AS (
+        SELECT lon,
+          sin(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi()) AS sl
+        FROM p),
+      t AS (
+        SELECT
+          CAST(least(63, greatest(0,
+            floor((lon + 180.0) / 360.0 * 64))) AS BIGINT) AS tx,
+          CAST(least(63, greatest(0,
+            floor((0.5 - ln((1.0 + sl) / (1.0 - sl)) / (4.0 * pi())) * 64)))
+            AS BIGINT) AS ty
+        FROM s),
+      q AS (
+        SELECT array_to_string(list_transform(range(1, 7), i ->
+          CAST(((tx >> (6 - i)) & 1) + 2 * ((ty >> (6 - i)) & 1) AS VARCHAR)),
+          '') AS quadkey
+        FROM t)
+      SELECT quadkey, substr(quadkey, 1, 4) AS parent4, COUNT(*) AS n_points
+      FROM q GROUP BY quadkey ORDER BY quadkey""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,

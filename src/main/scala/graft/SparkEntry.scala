@@ -193,6 +193,7 @@ object SparkEntry {
     "q121_tpch_q4" -> (Relational.q121 _),
     "q122_geo_distance" -> (Relational.q122 _),
     "q123_point_in_polygon" -> (Relational.q123 _),
+    "q124_bing_tiles" -> (Relational.q124 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -57,6 +57,12 @@ object GraftFunctions {
   def pointInPolygon(px: Column, py: Column, xs: Column, ys: Column): Column =
     c(PointInPolygon(e(px.cast("double")), e(py.cast("double")), e(xs), e(ys)))
 
+  /** Bing-maps quadkey of the tile containing (lat, lon) at zoom 1..23
+    * (Presto bing_tile_at + bing_tile_quadkey): the geo join/rollup key
+    * whose prefix IS the parent tile at any coarser zoom. */
+  def bingTileQuadkey(lat: Column, lon: Column, zoom: Int): Column =
+    c(BingTileQuadkey(e(lat.cast("double")), e(lon.cast("double")), zoom))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -93,6 +99,8 @@ object GraftFunctions {
     register("geometric_mean", args => GeometricMean(args.head).toAggregateExpression())
     register("haversine_km", args => HaversineKm(args(0), args(1), args(2), args(3)))
     register("point_in_polygon", args => PointInPolygon(args(0), args(1), args(2), args(3)))
+    register("bing_tile_quadkey", args => BingTileQuadkey(args(0), args(1),
+      literalInt("bing_tile_quadkey", args(2))))
   }
 }
 
@@ -143,5 +151,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("point_in_polygon"),
       new ExpressionInfo("graft.functions", "point_in_polygon"),
       (args: Seq[Expression]) => PointInPolygon(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("bing_tile_quadkey"),
+      new ExpressionInfo("graft.functions", "bing_tile_quadkey"),
+      (args: Seq[Expression]) => BingTileQuadkey(args(0), args(1),
+        GraftFunctions.literalInt("bing_tile_quadkey", args(2)))))
   }
 }

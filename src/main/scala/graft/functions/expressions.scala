@@ -165,6 +165,35 @@ object Kernels {
     2.0 * 6371.01 * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** Web-Mercator latitude clamp — Bing tiles are undefined beyond this
+    * (Presto's bing_tile_at rejects out-of-range latitudes; clamping is
+    * the pipeline-friendly choice for crawl-derived coordinates). */
+  private val MaxBingLat = 85.05112878
+
+  /** Bing-maps quadkey of the tile containing (lat, lon) at `zoom` —
+    * Presto 0.248's bing_tile_at + bing_tile_quadkey composed (the
+    * Bing-tile family's idiomatic join key: tiles at any zoom share the
+    * quadkey PREFIX of their children, so zoom-out aggregation is a
+    * substring groupBy). Standard Web-Mercator math; x/y clamped into
+    * [0, 2^zoom). */
+  def bingTileQuadkey(lat0: Double, lon: Double, zoom: Int): UTF8String = {
+    val n = 1L << zoom
+    val lat = math.max(-MaxBingLat, math.min(MaxBingLat, lat0))
+    val x = math.min(n - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * n).toLong))
+    val sinLat = math.sin(lat / 180.0 * math.Pi)
+    val y = math.min(n - 1, math.max(0L,
+      math.floor((0.5 - math.log((1.0 + sinLat) / (1.0 - sinLat))
+        / (4.0 * math.Pi)) * n).toLong))
+    val sb = new java.lang.StringBuilder(zoom)
+    var i = zoom - 1
+    while (i >= 0) {
+      sb.append(('0' + (((x >> i) & 1L) + 2L * ((y >> i) & 1L)).toInt).toChar)
+      i -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Ray-casting point-in-polygon (the core of Presto's ST_Contains for
     * the point-in-ring case). The ring is CLOSED (last vertex repeats
     * the first); edges use strict comparisons, so boundary points fall
@@ -312,6 +341,30 @@ case class Hamming64(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hamming64($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+}
+
+/** bing_tile_quadkey(lat, lon, zoom) -> string — Presto's
+  * bing_tile_at + bing_tile_quadkey composed; zoom bounded to Presto's
+  * 1..23 (quadkey length = zoom). */
+case class BingTileQuadkey(left: Expression, right: Expression, zoom: Int)
+  extends BinaryExpression {
+
+  require(zoom >= 1 && zoom <= 23,
+    s"bing_tile_quadkey: zoom must be in [1, 23], got $zoom")
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.bingTileQuadkey(a.asInstanceOf[Double], b.asInstanceOf[Double], zoom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.bingTileQuadkey($a, $b, $zoom)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BingTileQuadkey =
     copy(left = l, right = r)
 }
 

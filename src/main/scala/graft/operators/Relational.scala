@@ -1736,6 +1736,26 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  // --- q124: Bing-tile spatial rollup (Presto's bing_tile_at +
+  // bing_tile_quadkey — the rest of the 0.248 geo family beyond
+  // q122/q123). Points bucket into zoom-6 Web-Mercator tiles via the
+  // codegen-native BingTileQuadkey kernel; the quadkey's PREFIX is the
+  // parent tile at any coarser zoom (emitted as parent4), which is what
+  // makes quadkeys the idiomatic distributed geo join/rollup key: a
+  // zoom-out re-aggregation is a substring groupBy over already-reduced
+  // tile rows, never a re-scan. Only the tile-key agg shuffles.
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val lat = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val lon = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    Tables.customer(s, d)
+      .select(graft.functions.GraftFunctions.bingTileQuadkey(lat, lon, 6).as("quadkey"))
+      .groupBy(col("quadkey"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("quadkey"), substring(col("quadkey"), 1, 4).as("parent4"),
+        col("n_points"))
+      .orderBy(col("quadkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -212,4 +212,35 @@ class ExpressionsSpec extends GraftSpec {
     assert(viaSql.getBoolean(0))
     assert(math.abs(viaSql.getDouble(1) - 6371.01 * math.Pi) < 1e-6)
   }
+
+  test("bing_tile_quadkey: quadrant digits, parent-prefix property, zoom bounds") {
+    // zoom 1 splits the world into the four quadkey digits
+    val quads = Seq(
+      (45.0, -90.0, "0"),  // NW
+      (45.0, 90.0, "1"),   // NE
+      (-45.0, -90.0, "2"), // SW
+      (-45.0, 90.0, "3")   // SE
+    ).toDF("lat", "lon", "expected")
+    quads.select(bingTileQuadkey($"lat", $"lon", 1).as("q"), $"expected").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // the quadkey at a coarser zoom is a PREFIX of the finer one — the
+    // property that makes quadkeys a rollup key
+    val pt = Seq((47.6062, -122.3321)).toDF("lat", "lon")
+    val Seq(z4, z6, z10) = Seq(4, 6, 10).map(z =>
+      pt.select(bingTileQuadkey($"lat", $"lon", z)).head().getString(0))
+    assert(z6.startsWith(z4) && z10.startsWith(z6), s"$z4 / $z6 / $z10")
+    assert(z10.length == 10)
+    // out-of-range latitudes clamp (Web-Mercator singularity) instead of
+    // exploding — crawl coordinates are dirty
+    val poles = Seq((90.0, 0.0), (-90.0, 0.0)).toDF("lat", "lon")
+      .select(bingTileQuadkey($"lat", $"lon", 3)).collect()
+    assert(poles.forall(_.getString(0).length == 3))
+    // SQL registration + Presto's zoom bound
+    graft.functions.GraftFunctions.install(spark)
+    assert(spark.sql("SELECT bing_tile_quadkey(45.0D, 90.0D, 1) AS q")
+      .head().getString(0) == "1")
+    val err = intercept[Exception](
+      pt.select(bingTileQuadkey($"lat", $"lon", 0)).head())
+    assert(err.getMessage.contains("zoom"), err.getMessage)
+  }
 }
