@@ -2988,6 +2988,28 @@ object OracleSql {
         COUNT(*) AS n_copies, CAST(SUM(tracked) AS BIGINT) AS n_tracked
       FROM c GROUP BY canonical_url ORDER BY canonical_url""",
 
+    // d12: the Bloom prefilter is exact-confirmed on the Spark side, so
+    // the oracle replays only the exact contamination semantics (same
+    // answer as d07 by construction — that equivalence IS the check that
+    // no false positive leaked past the confirm join).
+    "d12_bloom_contamination" -> """
+      WITH wl AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' '))) AS gram
+          FROM wl WHERE len(w) >= 8) t),
+      bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT g.doc_id, COUNT(*) AS n
+        FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+      SELECT d.doc_id, COALESCE(n, 0) AS n_shared_grams,
+        COALESCE(n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
     // d10: per-shingle Hash64 replay (FNV-1a64 + splitmix64, seed 0) on
     // parallel-unnest-indexed shingles, 4-wide window minima, distinct
     // fingerprints, capped-bucket pair counts.

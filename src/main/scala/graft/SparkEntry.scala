@@ -105,6 +105,7 @@ object SparkEntry {
     "d09_minhash_est" -> (Dedup.minhashEstimate _),
     "d10_winnowing" -> (Dedup.winnowing _),
     "d11_url_dedup" -> (Dedup.urlDedup _),
+    "d12_bloom_contamination" -> (Dedup.bloomContamination _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),

@@ -233,6 +233,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  private val BloomBits = 1 << 19 // 64 KiB filter
+  private val BloomHashes = 7
+
+  /**
+   * d12: Bloom-prefiltered contamination — same answer as d07, different
+   * scale topology. d07 broadcasts the full benchmark 8-gram set to every
+   * executor (GBs for a real eval-suite union); d12 first tree-reduces the
+   * gram set to a CONSTANT 64 KiB Bloom filter ([[graft.functions
+   * .BloomFilterBuild]] — partials merge by byte-OR, the driver holds only
+   * the filter itself), probes it with a codegen'd might-contain inside
+   * the corpus scan stage, and exact-confirms ONLY the survivors (true
+   * hits + ~2^-7 false positives at 7 hashes) against the gram set with a
+   * gram-keyed shuffle join — so the confirm shuffle carries the survivor
+   * sliver, not the corpus, and nothing benchmark-sized ever broadcasts.
+   * False positives cannot reach the output: the confirm join is exact,
+   * which is also why the entry stays hash-verifiable (the oracle replays
+   * the exact semantics; the Bloom is invisible to the result).
+   */
+  def bloomContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val benchGrams = ngramRows(docs.filter(col("doc_id") % 97 === 0), ContamN)
+      .select(col("gram")).distinct()
+    // bounded driver collect: exactly one row of BloomBits/8 bytes
+    val bloom = benchGrams
+      .agg(GraftFunctions.bloomBuild(col("gram"), BloomBits, BloomHashes).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val survivors = ngramRows(docs, ContamN)
+      .filter(GraftFunctions.bloomMightContain(lit(bloom), col("gram"), BloomHashes))
+    // shuffle_hash pins the at-scale confirm shape: benchmark gram sets
+    // outgrow any broadcast threshold long before the corpus does
+    val hits = survivors
+      .join(benchGrams.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * d05: embedding near-dup via random-hyperplane LSH. 16 sign bits from
    * fixed pseudo-random planes bucket the vectors; cosine (custom codegen

@@ -63,6 +63,17 @@ object GraftFunctions {
   def bingTileQuadkey(lat: Column, lon: Column, zoom: Int): Column =
     c(BingTileQuadkey(e(lat.cast("double")), e(lon.cast("double")), zoom))
 
+  /** Bloom-filter aggregate: a string column reduced to a constant
+    * `numBits/8`-byte membership sketch (map-side-combined byte-OR
+    * merge). Pair with [[bloomMightContain]] as a prefilter, then
+    * exact-confirm — false positives never reach a confirmed result. */
+  def bloomBuild(x: Column, numBits: Int, numHashes: Int): Column =
+    c(BloomFilterBuild(e(x), numBits, numHashes).toAggregateExpression())
+
+  /** Probe a [[bloomBuild]] filter: false = definitely absent. */
+  def bloomMightContain(bloom: Column, x: Column, numHashes: Int): Column =
+    c(BloomMightContain(e(bloom), e(x), numHashes))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -101,6 +112,11 @@ object GraftFunctions {
     register("point_in_polygon", args => PointInPolygon(args(0), args(1), args(2), args(3)))
     register("bing_tile_quadkey", args => BingTileQuadkey(args(0), args(1),
       literalInt("bing_tile_quadkey", args(2))))
+    register("bloom_build", args => BloomFilterBuild(args(0),
+      literalInt("bloom_build", args(1)),
+      literalInt("bloom_build", args(2))).toAggregateExpression())
+    register("bloom_might_contain", args => BloomMightContain(args(0), args(1),
+      literalInt("bloom_might_contain", args(2))))
   }
 }
 

@@ -165,6 +165,42 @@ object Kernels {
     2.0 * 6371.01 * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** Set `s`'s k Bloom bits in `bits` (Kirsch-Mitzenmacher double
+    * hashing over the same FNV-1a64+mix kernel as minhash — two string
+    * hashes per element, k derived probes). Positions are unsigned
+    * mod the bit length, so any power-of-two-free size works too. */
+  def bloomSet(bits: Array[Byte], s: UTF8String, k: Int): Unit = {
+    val m = bits.length.toLong << 3
+    val h1 = hash64(s, 0x71ee5851a2c5e1a6L)
+    val h2 = hash64(s, 0x435ea1ac14f8bcadL) | 1L
+    var j = 0
+    var h = h1
+    while (j < k) {
+      val pos = java.lang.Long.remainderUnsigned(h, m)
+      val idx = (pos >>> 3).toInt
+      bits(idx) = (bits(idx) | (1 << (pos & 7L).toInt)).toByte
+      h += h2
+      j += 1
+    }
+  }
+
+  /** Membership probe against a [[bloomSet]]-built filter: false means
+    * definitely absent; true means present-or-false-positive. */
+  def bloomTest(bits: Array[Byte], s: UTF8String, k: Int): Boolean = {
+    val m = bits.length.toLong << 3
+    val h1 = hash64(s, 0x71ee5851a2c5e1a6L)
+    val h2 = hash64(s, 0x435ea1ac14f8bcadL) | 1L
+    var j = 0
+    var h = h1
+    while (j < k) {
+      val pos = java.lang.Long.remainderUnsigned(h, m)
+      if ((bits((pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0) return false
+      h += h2
+      j += 1
+    }
+    true
+  }
+
   /** Web-Mercator latitude clamp — Bing tiles are undefined beyond this
     * (Presto's bing_tile_at rejects out-of-range latitudes; clamping is
     * the pipeline-friendly choice for crawl-derived coordinates). */
@@ -468,4 +504,81 @@ case class GeometricMean(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): GeometricMean =
     copy(child = c)
+}
+
+/**
+ * bloom_build(string) -> binary — aggregate a string column into a
+ * fixed-size Bloom filter (the Presto-side analog is the engine's
+ * runtime dynamic filtering; here it is a first-class aggregate so a
+ * pipeline can materialize a membership sketch and ship it).
+ *
+ * Scale shape: the buffer is a CONSTANT `numBits/8` bytes regardless of
+ * input cardinality, partials merge by bytewise OR (commutative,
+ * associative), so the plan is a map-side-combined tree-reduce to one
+ * 64 KiB-ish blob — the driver never holds more than the filter itself.
+ * Deterministic: the bit positions come from the same FNV-1a64+mix
+ * kernel as the MinHash family, so the same inputs give the same bytes
+ * on every engine/JVM.
+ */
+case class BloomFilterBuild(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(numBits > 0 && (numBits & 7) == 0,
+    s"bloom_build: numBits must be a positive multiple of 8, got $numBits")
+  require(numHashes > 0, s"bloom_build: numHashes must be positive, got $numHashes")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](numBits >>> 3)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Kernels.bloomSet(buf, v.asInstanceOf[UTF8String], numHashes)
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): BloomFilterBuild =
+    copy(child = c)
+}
+
+/** bloom_might_contain(binary, string) -> boolean — codegen'd probe
+  * against a [[BloomFilterBuild]] filter: false is definite absence,
+  * true is presence-or-false-positive, so it is a PREFILTER — an exact
+  * confirm must follow wherever false positives matter. */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(bloom: Any, v: Any): Any =
+    Kernels.bloomTest(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, v) => s"graft.functions.Kernels.bloomTest($b, $v, $numHashes)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
 }

@@ -243,4 +243,37 @@ class ExpressionsSpec extends GraftSpec {
       pt.select(bingTileQuadkey($"lat", $"lon", 0)).head())
     assert(err.getMessage.contains("zoom"), err.getMessage)
   }
+
+  test("bloom_build/bloom_might_contain: no false negatives, bounded false positives, OR-merge") {
+    val bits = 1 << 16
+    val k = 7
+    val members = (0 until 2000).map(i => s"member-gram-$i")
+    val bloom = members.toDF("g")
+      .agg(bloomBuild($"g", bits, k).as("bf")).head().getAs[Array[Byte]]("bf")
+    // every inserted element MUST test true (the prefilter contract:
+    // false = definite absence, so a false negative would drop real hits)
+    val probed = members.toDF("g")
+      .select(bloomMightContain(lit(bloom), $"g", k).as("hit")).collect()
+    assert(probed.forall(_.getBoolean(0)))
+    // non-members mostly test false: 2000 items in 65536 bits at k=7 is
+    // well under half-full, FP rate should sit in low single digits
+    val fps = (0 until 2000).map(i => s"absent-gram-$i").toDF("g")
+      .select(bloomMightContain(lit(bloom), $"g", k).as("hit"))
+      .collect().count(_.getBoolean(0))
+    assert(fps < 200, s"false-positive count $fps of 2000 is out of family")
+    // partial-aggregate merge is byte-OR: the union of two half-builds
+    // equals the one-shot build (determinism across partitionings)
+    val half1 = members.take(1000).toDF("g")
+      .agg(bloomBuild($"g", bits, k)).head().getAs[Array[Byte]](0)
+    val half2 = members.drop(1000).toDF("g")
+      .agg(bloomBuild($"g", bits, k)).head().getAs[Array[Byte]](0)
+    val merged = half1.zip(half2).map { case (a, b) => (a | b).toByte }
+    assert(java.util.Arrays.equals(merged, bloom))
+    // SQL registration round-trip
+    graft.functions.GraftFunctions.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT bloom_might_contain(bf, 'member-gram-7', $k) AS hit FROM " +
+      s"(SELECT bloom_build(g, $bits, $k) AS bf FROM VALUES ('member-gram-7') t(g))")
+    assert(viaSql.head().getBoolean(0))
+  }
 }

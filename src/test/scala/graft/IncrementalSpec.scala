@@ -89,6 +89,15 @@ class IncrementalSpec extends GraftSpec {
     assert(r.getAs[String]("redacted_md5") == md)
   }
 
+  test("d12 bloom-prefiltered contamination returns exactly d07's answer") {
+    // the Bloom is a prefilter, the confirm join is exact — so any
+    // divergence from d07 means a false negative (dropped hit) or a
+    // leaked false positive, both bugs
+    val viaBloom = Dedup.bloomContamination(spark, sf).collect().toSeq
+    val exact = Dedup.contamination(spark, sf).collect().toSeq
+    assert(viaBloom == exact)
+  }
+
   test("d07 contamination flags exactly the docs sharing benchmark 8-grams") {
     val rows = Dedup.contamination(spark, sf).collect()
     val flagged = rows.filter(_.getAs[Boolean]("contaminated")).map(_.getLong(0))

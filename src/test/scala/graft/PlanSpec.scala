@@ -124,6 +124,20 @@ class PlanSpec extends GraftSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("d12 bloom contamination probes the filter in-scan and confirms on a shuffle join") {
+    val plan = executedPlan(graft.dedup.Dedup.bloomContamination(spark, sf))
+    // the 64 KiB bloom probe must sit in the corpus-side filter (codegen
+    // prefilter), and the exact confirm must be the shuffle-hash form —
+    // at real scale the benchmark gram set outgrows broadcast, so the
+    // plan must not depend on small-side luck
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom prefilter missing from the corpus scan stage:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram confirm must be a shuffle join, not a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("a04 quantization is a narrow scan: the only exchange is the output sort") {
     val plan = executedPlan(graft.ann.Ann.quantize(spark, sf))
     val exchanges = plan.split('\n').count(_.contains("Exchange"))
