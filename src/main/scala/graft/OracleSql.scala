@@ -2824,6 +2824,46 @@ object OracleSql {
       SELECT quadkey, substr(quadkey, 1, 4) AS parent4, COUNT(*) AS n_points
       FROM q GROUP BY quadkey ORDER BY quadkey""",
 
+    // q125: map lambdas replayed relationally — per-mille via integer
+    // floor division (all-positive, so DuckDB's // == Spark's div).
+    "q125_map_transform" -> """
+      WITH py AS (
+        SELECT o_orderpriority,
+          CAST(year(o_orderdate) AS INTEGER) - 1990 AS yr_off,
+          COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2),
+      tot AS (
+        SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM py GROUP BY 1)
+      SELECT p.o_orderpriority, t.total, p.yr_off,
+        CAST((p.cnt * 1000) // t.total AS BIGINT) AS permille
+      FROM py p JOIN tot t USING (o_orderpriority)
+      WHERE (p.cnt * 1000) // t.total >= 100
+      ORDER BY p.o_orderpriority, p.yr_off""",
+
+    // q126: sparse cosine replayed relationally — integer-exact dot and
+    // norms, one IEEE sqrt·sqrt divide at the end.
+    "q126_map_cosine" -> """
+      WITH w AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents) t
+        WHERE length(w) >= 4 GROUP BY doc_id, w),
+      n AS (SELECT doc_id, SUM(c * c) AS nsq FROM w GROUP BY doc_id),
+      qn AS (SELECT nsq AS qnsq FROM n WHERE doc_id = 0),
+      dots AS (
+        SELECT w.doc_id, SUM(w.c * q.c) AS dot
+        FROM w JOIN (SELECT w, c FROM w WHERE doc_id = 0) q USING (w)
+        WHERE w.doc_id <> 0 GROUP BY w.doc_id)
+      SELECT d.doc_id,
+        CAST(d.dot AS DOUBLE) /
+          (sqrt(CAST(n.nsq AS DOUBLE)) *
+           sqrt(CAST((SELECT qnsq FROM qn) AS DOUBLE))) AS cosine
+      FROM dots d JOIN n USING (doc_id)
+      WHERE d.dot > 0
+      ORDER BY cosine DESC, d.doc_id LIMIT 20""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,

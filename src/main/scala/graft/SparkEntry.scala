@@ -195,6 +195,8 @@ object SparkEntry {
     "q122_geo_distance" -> (Relational.q122 _),
     "q123_point_in_polygon" -> (Relational.q123 _),
     "q124_bing_tiles" -> (Relational.q124 _),
+    "q125_map_transform" -> (Relational.q125 _),
+    "q126_map_cosine" -> (Relational.q126 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -1756,6 +1756,69 @@ object Relational {
       .orderBy(col("quadkey"))
   }
 
+  /** q125: Presto's map-lambda family — transform_keys, transform_values,
+    * map_filter (all Spark builtins, codegen'd) over a priority→yearly-
+    * count map. The q114 discipline: the map is built over the
+    * priority×year AGGREGATE (≤ priorities×years entries), never raw
+    * orders, so no map value ever crosses a corpus-sized shuffle; keys
+    * shift to epoch offsets, values rescale to integer per-mille of the
+    * priority's total (`div` keeps the arithmetic exact cross-engine),
+    * map_filter keeps the ≥10% years, and the result explodes back to
+    * sorted rows for emission. */
+  def q125(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("yr"), col("cnt"))))).as("m"),
+        sum(col("cnt")).as("total"))
+      .select(col("o_orderpriority"), col("total"),
+        explode(expr(
+          """map_filter(
+               transform_values(
+                 transform_keys(m, (k, v) -> k - 1990),
+                 (k, v) -> v * 1000L div total),
+               (k, v) -> v >= 100L)""")).as(Seq("yr_off", "permille")))
+      .orderBy(col("o_orderpriority"), col("yr_off"))
+
+  /** q126: Presto cosine_similarity(map, map) — sparse-vector cosine over
+    * per-doc term-frequency maps against a one-row broadcast query map,
+    * via map_zip_with + aggregate. Determinism adaptation: tf counts stay
+    * INTEGER so the dot product and squared norms accumulate exactly in
+    * BIGINT (a double dot product would hash-fork on summation order);
+    * the only float math is one sqrt·sqrt divide of exact-rounded values,
+    * bit-identical on any IEEE engine. Scale shape: the single corpus
+    * shuffle is the (doc_id, term) tf build (map-side combined); each
+    * doc's map is doc-vocabulary bounded; the query side is a 1-row
+    * broadcast; top-k compiles to TakeOrdered, never a global sort. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("w"), col("c"))))).as("m"),
+        sum(col("c") * col("c")).as("nsq"))
+    val query = tf.filter(col("doc_id") === 0)
+      .select(col("m").as("qm"), col("nsq").as("qnsq"))
+    tf.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("doc_id"), col("nsq"), col("qnsq"),
+        expr("""aggregate(
+                  map_values(map_zip_with(m, qm,
+                    (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))),
+                  0L, (acc, v) -> acc + v)""").as("dot"))
+      .filter(col("dot") > 0)
+      .select(col("doc_id"),
+        (col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

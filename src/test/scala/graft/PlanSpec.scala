@@ -124,6 +124,15 @@ class PlanSpec extends GraftSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q126 map cosine broadcasts the 1-row query map and takes top-k via TakeOrdered") {
+    val plan = executedPlan(graft.operators.Relational.q126(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded per-partition heap, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("d12 bloom contamination probes the filter in-scan and confirms on a shuffle join") {
     val plan = executedPlan(graft.dedup.Dedup.bloomContamination(spark, sf))
     // the 64 KiB bloom probe must sit in the corpus-side filter (codegen

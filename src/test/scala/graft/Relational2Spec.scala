@@ -107,6 +107,25 @@ class Relational2Spec extends GraftSpec {
     }
   }
 
+  test("q125: map-lambda per-mille shares are ≥ the filter floor and sum ≤ 1000 per priority") {
+    val rows = Relational.q125(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("permille") >= 100L))
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (p, rs) =>
+      // floor division can only lose mass; the kept subset can't exceed it
+      assert(rs.map(_.getAs[Long]("permille")).sum <= 1000L, p)
+    }
+  }
+
+  test("q126: sparse map cosine is in (0,1], descending, and never the query doc itself") {
+    val rows = Relational.q126(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sims = rows.map(_.getAs[Double]("cosine"))
+    assert(sims.forall(s => s > 0.0 && s <= 1.0 + 1e-12))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("doc_id") != 0L))
+  }
+
   test("q09: HLL approx distinct within 3 sigma of exact (rsd = 2.3%)") {
     import org.apache.spark.sql.functions._
     val exact = Tables.lineitem(spark, sf)
