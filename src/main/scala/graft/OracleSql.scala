@@ -1931,6 +1931,37 @@ object OracleSql {
         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
       FROM c GROUP BY split, shard_id ORDER BY split, shard_id""",
 
+    // p10: the greedy next-fit recurrence replayed as a recursive CTE —
+    // the working table carries one row per shard per step, so depth =
+    // max docs per shard, never total docs.
+    "p10_pack_sequences" -> """
+      WITH RECURSIVE t AS (
+        SELECT ((doc_id * 69069 + 12345) % 1048576) % 16 AS shard,
+               (doc_id * 69069 + 12345) % 1048576 AS ord,
+               doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      d AS (
+        SELECT shard, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
+        FROM t),
+      rec AS (
+        SELECT shard, rn, doc_id, n_tokens,
+          CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+          CASE WHEN rec.fill + d.n_tokens > 1024
+               THEN rec.seq_id + 1 ELSE rec.seq_id END,
+          CASE WHEN rec.fill + d.n_tokens > 1024
+               THEN d.n_tokens ELSE rec.fill + d.n_tokens END
+        FROM rec JOIN d ON d.shard = rec.shard AND d.rn = rec.rn + 1)
+      SELECT shard, seq_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        CAST(SUM(n_tokens) AS BIGINT) > 1024 AS overflow
+      FROM rec GROUP BY shard, seq_id ORDER BY shard, seq_id""",
+
     "p06_global_shuffle" -> """
       WITH t AS (
         SELECT doc_id, (doc_id * 69069 + 12345) % 1048576 AS pos_key,

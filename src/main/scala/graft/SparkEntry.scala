@@ -115,6 +115,7 @@ object SparkEntry {
     "p07_mixture" -> (graft.pipeline.Splits.mixture _),
     "p08_split_leakage" -> (graft.pipeline.Splits.splitLeakage _),
     "p09_curriculum" -> (graft.pipeline.Splits.curriculum _),
+    "p10_pack_sequences" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.packSequences(s, d)),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),

@@ -219,6 +219,54 @@ object Splits {
       .orderBy(col("epoch"), col("bin"))
   }
 
+  /** p10: training-sequence packing — greedy NEXT-FIT of whole documents
+    * into fixed token-budget sequences, the packing a dataloader does
+    * when documents must not split across sequences (contrast p05, whose
+    * shard boundaries straddle documents). A sequence closes when the
+    * next doc would overflow it; a doc larger than the budget gets a
+    * sequence of its own (flagged `overflow`).
+    *
+    * Next-fit is inherently sequential state, so it runs as ONE streaming
+    * pass per shard: hash-repartition by shard, sort within partitions on
+    * the deterministic (scatter, doc_id) order, then a mapPartitions scan
+    * whose state is two longs (current fill, sequence counter) reset at
+    * each shard boundary — O(1) memory however large the shard, one
+    * shuffle total, and the result is independent of how shards co-locate
+    * because each shard is wholly contained in one partition and
+    * processed in sorted order. Shards are the parallelism unit, as in
+    * p06: at 100 TB you raise nShards with the cluster, never the state.
+    * The oracle replays the same recurrence as a per-shard recursive CTE. */
+  def packSequences(s: SparkSession, d: String, budget: Long = 1024L,
+      nShards: Int = 16): DataFrame = {
+    import s.implicits._
+    val packed = Tables.documents(s, d)
+      .select(pmod(scatter(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        scatter(col("doc_id")).as("ord"),
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var fill = 0L
+        var seq = 0L
+        it.map { case (sh, _, id, tok) =>
+          if (sh != curShard) { curShard = sh; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + tok > budget) { seq += 1; fill = 0L }
+          fill += tok
+          (sh, seq, id, tok)
+        }
+      }
+      .toDF("shard", "seq_id", "doc_id", "n_tokens")
+    packed
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+        (col("seq_tokens") > budget).as("overflow"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** p02: stratified cap — keep at most `cap` docs per language, chosen
     * by deterministic hash order (so the sample is stable and unbiased by
     * ingestion order). The window sorts only within each stratum; at

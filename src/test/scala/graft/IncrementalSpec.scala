@@ -181,6 +181,30 @@ class IncrementalSpec extends GraftSpec {
     }
   }
 
+  test("p10 sequence packing conserves docs/tokens, respects the budget, numbers contiguously") {
+    val budget = 1024L
+    val seqs = graft.pipeline.Splits.packSequences(spark, sf, budget).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(count(lit(1)), sum(size(split(trim($"text"), "\\s+")).cast("long")))
+      .head()
+    assert(seqs.map(_.getAs[Long]("n_docs")).sum == docs.getLong(0))
+    assert(seqs.map(_.getAs[Long]("seq_tokens")).sum == docs.getLong(1))
+    seqs.foreach { r =>
+      // an over-budget sequence is legal ONLY as a single oversized doc
+      if (r.getAs[Boolean]("overflow")) assert(r.getAs[Long]("n_docs") == 1L, r.toString)
+      assert((r.getAs[Long]("seq_tokens") > budget) == r.getAs[Boolean]("overflow"))
+    }
+    seqs.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.sameElements(ids.indices.map(_.toLong)),
+        s"shard $sh sequence ids must be contiguous from 0")
+    }
+    // deterministic across independent executions (stateful scan + hash
+    // shuffle must not leak partition-layout dependence)
+    val again = graft.pipeline.Splits.packSequences(spark, sf, budget).collect()
+    assert(seqs.toSeq == again.toSeq)
+  }
+
   test("m04 perceptual hash is deterministic and groups equal-content payloads") {
     val a = graft.multimodal.Multimodal.perceptualHash(spark, sf).collect()
     val b = graft.multimodal.Multimodal.perceptualHash(spark, sf).collect()
