@@ -2567,6 +2567,73 @@ object OracleSql {
       FROM best WHERE rn = 1
       GROUP BY m, code ORDER BY subspace, code""",
 
+    // a13: trained-IVF cells (lloyd prefix) + a11's PQ code replay + ADC
+    // ranking; per-subspace terms decimal-summed so the 4-term addition
+    // is exact and order-free, matching Spark's fixed-order decimal fold.
+    "a13_ivfpq_recall" -> s"""
+      WITH $lloydPrefixSql,
+      ms AS (SELECT unnest(range(4)) AS m),
+      ev AS (SELECT vec_id, m, emb[m*16+1 : m*16+16] AS sv
+             FROM e CROSS JOIN ms),
+      book AS (SELECT vec_id AS code, m, emb[m*16+1 : m*16+16] AS cw
+               FROM e CROSS JOIN ms WHERE vec_id < 16),
+      dist AS (
+        SELECT ev.vec_id, ev.m, b.code,
+          list_dot_product(ev.sv, ev.sv) - 2.0 * list_dot_product(ev.sv, b.cw)
+            + list_dot_product(b.cw, b.cw) AS sqdist
+        FROM ev JOIN book b ON b.m = ev.m),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY sqdist, code) AS rn
+          FROM dist) t WHERE rn = 1),
+      assigned AS (
+        SELECT e.vec_id, e.emb,
+          (SELECT cell FROM cent3
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cell DESC LIMIT 1) AS cell
+        FROM e),
+      probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 5),
+      pcells AS (
+        SELECT probe_id, pemb, cell FROM (
+          SELECT p.probe_id, p.pemb, c.cell,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY ${cos("p.pemb", "c.cemb")} DESC, c.cell DESC) AS rn
+          FROM probes p CROSS JOIN cent3 c) t
+        WHERE rn <= 2),
+      cand AS (
+        SELECT pc.probe_id, pc.pemb, a.vec_id AS cand_id
+        FROM pcells pc JOIN assigned a USING (cell)),
+      adc AS (
+        SELECT c.probe_id, c.cand_id,
+          round(CAST(SUM(CAST(
+            list_dot_product(c.pemb[k.m*16+1 : k.m*16+16],
+                             c.pemb[k.m*16+1 : k.m*16+16])
+            - 2.0 * list_dot_product(c.pemb[k.m*16+1 : k.m*16+16], b.cw)
+            + list_dot_product(b.cw, b.cw) AS DECIMAL(28,12))) AS DOUBLE), 4)
+            AS adc
+        FROM cand c JOIN codes k ON k.vec_id = c.cand_id
+          JOIN book b ON b.m = k.m AND b.code = k.code
+        GROUP BY c.probe_id, c.cand_id),
+      pq_top AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY adc, cand_id) AS rn
+          FROM adc) t WHERE rn <= 10),
+      exact_top AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.probe_id, e.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY round(list_dot_product(p.pemb, p.pemb)
+                - 2.0 * list_dot_product(p.pemb, e.emb)
+                + list_dot_product(e.emb, e.emb), 4), e.vec_id) AS rn
+          FROM probes p CROSS JOIN e) t WHERE rn <= 10)
+      SELECT probe_id, COUNT(*) AS n_common,
+        round(COUNT(*) / 10.0, 2) AS recall_at_10
+      FROM exact_top JOIN pq_top USING (probe_id, cand_id)
+      GROUP BY probe_id ORDER BY probe_id""",
+
     "a10_ivf_trained_recall" -> s"""
       WITH $lloydPrefixSql,
       assigned AS (

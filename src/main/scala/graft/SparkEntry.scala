@@ -219,6 +219,7 @@ object SparkEntry {
     "a10_ivf_trained_recall" -> (Ann.ivfTrainedRecall _),
     "a11_pq" -> (Ann.pqCodes _),
     "a12_nprobe_curve" -> (Ann.nprobeCurve _),
+    "a13_ivfpq_recall" -> (Ann.ivfpqRecall _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

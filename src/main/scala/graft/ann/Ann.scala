@@ -697,4 +697,114 @@ object Ann {
           count(lit(1)), 6).as("avg_sqdist"))
       .orderBy(col("subspace"), col("code"))
   }
+
+  /**
+   * a13: IVF-PQ with ADC ranking — the production ANN-at-scale
+   * configuration, composed from the family's trained parts: a09's Lloyd
+   * rounds give the coarse quantizer, a11's codebook gives the
+   * 2-byte-per-vector PQ codes, and search ranks each probe's candidates
+   * by ASYMMETRIC DISTANCE (exact query sub-vectors against each
+   * candidate's codewords) — the memory shape that lets a 100 TB index
+   * keep codes in RAM instead of 256-byte float vectors.
+   *
+   * Scale shape: cell assignment and PQ encoding are narrow projections
+   * against literal centroid/codeword matrices (the corpus never
+   * shuffles to index); each probe's ADC dot tables (PqM×PqKw doubles)
+   * are computed ONCE on the 5×NProbe-row probe frame and broadcast, so
+   * per-candidate ranking is PqM table LOOKUPS, not dim multiplies;
+   * candidates exist only inside probed cells. Determinism: every dot is
+   * the same sequential left fold both engines run (list_dot_product in
+   * the oracle), the per-subspace ADC terms are decimal-summed (exact ⇒
+   * order-free), rankings use round(…, 4) with id tiebreaks. Recall is
+   * against the exact full-dimension L2 top-10 — the ADC-vs-exact number
+   * an IVF-PQ deployment tunes nprobe/codebooks on.
+   */
+  def ivfpqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (_, cents, _) = lloydRounds(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val book: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < PqKw)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val dim = book.head._2.length
+    val sub = dim / PqM
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    def cwSlice(full: Seq[Double], m: Int): Seq[Double] =
+      full.slice(m * sub, m * sub + sub)
+    def ccOf(cw: Seq[Double]): Double = cw.foldLeft(0.0)((a, v) => a + v * v)
+    def simsTo(v: Column) = array(cents.sortBy(_._1).map { case (id, ce) =>
+      struct(cosD(v, typedLit(ce)).as("sim"), lit(id).as("cent_id"))
+    }: _*)
+
+    // index side: coarse cell + per-subspace PQ code, all narrow
+    val sliced = emb.select(col("vec_id") +: col("emb") +:
+      (0 until PqM).map(m => slice(col("emb"), m * sub + 1, sub).as(s"s$m")): _*)
+    val withXx = sliced.select(col("vec_id") +: col("emb") +:
+      (0 until PqM).flatMap(m =>
+        Seq(col(s"s$m"), dot(col(s"s$m"), col(s"s$m")).as(s"xx$m"))): _*)
+    val coded = withXx.select(col("vec_id") +:
+      array_max(simsTo(col("emb"))).getField("cent_id").as("cell") +:
+      (0 until PqM).map { m =>
+        array_min(array(book.map { case (code, full) =>
+          val cw = cwSlice(full, m)
+          struct(
+            (col(s"xx$m") - lit(2.0) * dot(col(s"s$m"), typedLit(cw)) +
+              lit(ccOf(cw))).as("sqdist"),
+            lit(code).as("code"))
+        }: _*)).getField("code").as(s"code$m")
+      }: _*)
+
+    // probe side: NProbe trained cells + per-subspace ADC dot tables,
+    // a 5×NProbe-row frame however large the corpus
+    val probeCells = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        simsTo(col("emb")).as("cellsims"))
+      .select(col("probe_id"), col("pemb"), explode(expr(
+        s"slice(transform(reverse(array_sort(cellsims)), c -> c.cent_id), 1, $NProbe)"))
+        .as("cell"))
+    val probeTbl = probeCells.select(col("probe_id") +: col("cell") +:
+      (0 until PqM).flatMap { m =>
+        val qm = slice(col("pemb"), m * sub + 1, sub)
+        Seq(dot(qm, qm).as(s"qxx$m"),
+          array(book.map { case (_, full) =>
+            dot(qm, typedLit(cwSlice(full, m))) }: _*).as(s"dt$m"))
+      }: _*)
+
+    val adcTerm: Int => Column = m =>
+      (col(s"qxx$m") -
+        lit(2.0) * element_at(col(s"dt$m"), (col(s"code$m") + 1).cast("int")) +
+        element_at(typedLit(book.map { case (_, full) => ccOf(cwSlice(full, m)) }),
+          (col(s"code$m") + 1).cast("int")))
+        .cast(DecimalType(28, 12))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val ivfpqTop = coded.join(broadcast(probeTbl), Seq("cell"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round((0 until PqM).map(adcTerm).reduce(_ + _).cast("double"), 4).as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+
+    // exact full-dimension L2 top-k — the eval's ground truth
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val wEx = Window.partitionBy(col("probe_id"))
+      .orderBy(col("l2"), col("cand_id"))
+    val exactTop = emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(dot(col("pemb"), col("pemb")) -
+          lit(2.0) * dot(col("pemb"), col("emb")) +
+          dot(col("emb"), col("emb")), 4).as("l2"))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("cand_id"))
+
+    exactTop.join(ivfpqTop, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("probe_id"), col("n_common"),
+        round(col("n_common").cast("double") / K, 2).as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
 }

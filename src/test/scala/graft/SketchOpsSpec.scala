@@ -52,6 +52,23 @@ class SketchOpsSpec extends GraftSpec {
     }
   }
 
+  test("a13 IVF-PQ ADC recall: one row per probe, bounded, non-degenerate") {
+    val rows = Ann.ivfpqRecall(spark, sf).collect()
+    assert(rows.length == 5)
+    // unlike a10 the self-hit is NOT guaranteed: the probe's own ADC
+    // distance is its quantization error, which other candidates can
+    // undercut — so assert bounds, not a floor per probe
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_common")
+      assert(n >= 0 && n <= 10, r.toString)
+      assert(math.abs(r.getAs[Double]("recall_at_10") - n / 10.0) < 1e-9, r.toString)
+    }
+    // but a 2-byte code must beat random guessing somewhere: at least one
+    // probe recovers some of the exact top-10 through ADC ranking
+    assert(rows.map(_.getAs[Long]("n_common")).sum >= 5,
+      rows.mkString(", "))
+  }
+
   test("q114 map_union: n_keys = distinct years per status; canonical order") {
     val rows = Relational.q114(spark, sf).collect()
     assert(rows.nonEmpty)
