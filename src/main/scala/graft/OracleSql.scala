@@ -2275,7 +2275,8 @@ object OracleSql {
       ORDER BY r_score, f_score, m_score""",
 
     // e12: the q115 sketch replay over same-user inter-event gaps —
-    // identical floor binning, window CDF, bin-lower-edge quantiles.
+    // identical shared-edge-table binning, window CDF, bin-lower-edge
+    // quantiles.
     "e12_gap_sketch" -> """
       WITH g AS (
         SELECT event_type AS g1, strftime(ts, '%Y-%m-%d') AS g2,
@@ -2287,15 +2288,20 @@ object OracleSql {
           FROM events) t
         WHERE prev_us IS NOT NULL),
       b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM g),
+      be AS (SELECT lo, hi,
+          CASE WHEN hi = lo THEN [lo]
+               WHEN lo > 0 THEN list_transform(range(1, 257), j ->
+                 round(exp(ln(lo) + (CAST(j AS DOUBLE) - 1.0)
+                   * (ln(hi) - ln(lo)) / 256), 6))
+               ELSE list_transform(range(1, 257), j ->
+                 round(lo + (CAST(j AS DOUBLE) - 1.0) * (hi - lo) / 256, 6))
+          END AS edges
+        FROM b),
       leaf AS (
         SELECT g1, g2,
-          CASE WHEN hi = lo THEN 1
-               WHEN lo > 0 THEN LEAST(CAST(FLOOR((ln(x) - ln(lo))
-                 / ((ln(hi) - ln(lo)) / 256)) AS BIGINT) + 1, 256)
-               ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
-          END AS bin,
+          GREATEST(CAST(len(list_filter(edges, e -> e <= x)) AS BIGINT), 1) AS bin,
           COUNT(*) AS cnt
-        FROM g CROSS JOIN b GROUP BY 1, 2, 3),
+        FROM g CROSS JOIN be GROUP BY 1, 2, 3),
       merged AS (
         SELECT g1, 'ALL' AS g2, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
         FROM leaf GROUP BY 1, 2, 3),
@@ -2316,13 +2322,8 @@ object OracleSql {
           MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
         FROM cdf GROUP BY 1, 2, 3)
       SELECT level, g1 AS event_type, g2 AS day, n,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b50 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b50 - 1) * (hi - lo) / 256 END, 4) AS p50,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b95 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b95 - 1) * (hi - lo) / 256 END, 4) AS p95,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b99 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b99 - 1) * (hi - lo) / 256 END, 4) AS p99
-      FROM qs CROSS JOIN b
+        edges[b50] AS p50, edges[b95] AS p95, edges[b99] AS p99
+      FROM qs CROSS JOIN be
       ORDER BY level, g1, g2""",
 
     "t11_gopher_quality" -> raw"""
@@ -2746,22 +2747,29 @@ object OracleSql {
           ORDER BY CAST(yr AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS map_union
       FROM resolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
-    // q115: identical explicit floor binning, window CDF, bin-lower-edge
-    // quantiles; BIGINT casts where DuckDB's window SUM widens to HUGEINT.
+    // q115: identical shared-edge-table binning (edges rounded to 6 dp,
+    // bin = count of edges <= x — no per-row transcendental feeds the
+    // discrete decision), window CDF, bin-lower-edge quantiles; BIGINT
+    // casts where DuckDB's window SUM widens to HUGEINT.
     "q115_sketch_quantile" -> """
       WITH li AS (
         SELECT l_returnflag, l_linestatus, CAST(l_extendedprice AS DOUBLE) AS x
         FROM lineitem),
       b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM li),
+      be AS (SELECT lo, hi,
+          CASE WHEN hi = lo THEN [lo]
+               WHEN lo > 0 THEN list_transform(range(1, 257), j ->
+                 round(exp(ln(lo) + (CAST(j AS DOUBLE) - 1.0)
+                   * (ln(hi) - ln(lo)) / 256), 6))
+               ELSE list_transform(range(1, 257), j ->
+                 round(lo + (CAST(j AS DOUBLE) - 1.0) * (hi - lo) / 256, 6))
+          END AS edges
+        FROM b),
       leaf AS (
         SELECT l_returnflag, l_linestatus,
-          CASE WHEN hi = lo THEN 1
-               WHEN lo > 0 THEN LEAST(CAST(FLOOR((ln(x) - ln(lo))
-                 / ((ln(hi) - ln(lo)) / 256)) AS BIGINT) + 1, 256)
-               ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 256)) AS BIGINT) + 1, 256)
-          END AS bin,
+          GREATEST(CAST(len(list_filter(edges, e -> e <= x)) AS BIGINT), 1) AS bin,
           COUNT(*) AS cnt
-        FROM li CROSS JOIN b GROUP BY 1, 2, 3),
+        FROM li CROSS JOIN be GROUP BY 1, 2, 3),
       merged AS (
         SELECT l_returnflag, 'ALL' AS l_linestatus, bin,
           CAST(SUM(cnt) AS BIGINT) AS cnt
@@ -2785,13 +2793,8 @@ object OracleSql {
           MIN(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) AS b99
         FROM cdf GROUP BY 1, 2, 3)
       SELECT level, l_returnflag, l_linestatus, n,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b50 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b50 - 1) * (hi - lo) / 256 END, 4) AS p50,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b95 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b95 - 1) * (hi - lo) / 256 END, 4) AS p95,
-        round(CASE WHEN lo > 0 THEN exp(ln(lo) + (b99 - 1) * (ln(hi) - ln(lo)) / 256)
-                   ELSE lo + (b99 - 1) * (hi - lo) / 256 END, 4) AS p99
-      FROM qs CROSS JOIN b
+        edges[b50] AS p50, edges[b95] AS p95, edges[b99] AS p99
+      FROM qs CROSS JOIN be
       ORDER BY level, l_returnflag, l_linestatus""",
 
     "q117_tpch_q5" -> s"""

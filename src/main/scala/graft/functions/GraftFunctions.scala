@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.sql.GraftBridge
 
 /**
@@ -74,6 +74,14 @@ object GraftFunctions {
   def bloomMightContain(bloom: Column, x: Column, numHashes: Int): Column =
     c(BloomMightContain(e(bloom), e(x), numHashes))
 
+  /** Unicode normalization (Presto normalize(string, form)); form is one
+    * of NFC | NFD | NFKC | NFKD, default NFC like Presto's one-arg form.
+    * Codegen-native with an allocation-free already-normalized fast
+    * path — cheap enough to run as the first cleaning step of a corpus
+    * pipeline. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    c(NormalizeUnicode(e(text), form))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -89,34 +97,51 @@ object GraftFunctions {
   private[functions] def literalInt(fn: String, arg: Expression): Int =
     literalLong(fn, arg).toInt
 
+  /** Extract a foldable string argument (e.g. a normalization form). */
+  private[functions] def literalString(fn: String, arg: Expression): String = arg match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a string literal, got ${other.sql}")
+  }
+
+  /** The one SQL surface, consumed by BOTH [[install]] and
+    * [[GraftExtensions]] — a single table so the two registration paths
+    * can never drift (an extensions-configured session and an
+    * install()-based one expose identical function sets by
+    * construction). */
+  private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
+    "minhash_sig" -> (args => MinHashSignature(args(0),
+      literalInt("minhash_sig", args(1)))),
+    "simhash64" -> (args => SimHash64(args.head)),
+    "winnow_fps" -> (args => WinnowFingerprints(args(0),
+      literalInt("winnow_fps", args(1)))),
+    "fingerprint64" -> (args => RollingFingerprint(args.head)),
+    "hamming64" -> (args => Hamming64(args(0), args(1))),
+    "hash64" -> (args => Hash64(args.head,
+      if (args.length > 1) literalLong("hash64", args(1)) else 0L)),
+    "geometric_mean" -> (args => GeometricMean(args.head).toAggregateExpression()),
+    "haversine_km" -> (args => HaversineKm(args(0), args(1), args(2), args(3))),
+    "point_in_polygon" -> (args => PointInPolygon(args(0), args(1), args(2), args(3))),
+    "bing_tile_quadkey" -> (args => BingTileQuadkey(args(0), args(1),
+      literalInt("bing_tile_quadkey", args(2)))),
+    "bloom_build" -> (args => BloomFilterBuild(args(0),
+      literalInt("bloom_build", args(1)),
+      literalInt("bloom_build", args(2))).toAggregateExpression()),
+    "bloom_might_contain" -> (args => BloomMightContain(args(0), args(1),
+      literalInt("bloom_might_contain", args(2)))),
+    "normalize_unicode" -> (args => NormalizeUnicode(args.head,
+      if (args.length > 1) literalString("normalize_unicode", args(1)) else "NFC")))
+
   /** SQL registration (same names) for `spark.sql` users; idempotent. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
       reg.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder)
-    register("cosine_sim", args => CosineSimilarity(args(0), args(1)))
-    register("minhash_sig", args => MinHashSignature(args(0),
-      literalInt("minhash_sig", args(1))))
-    register("simhash64", args => SimHash64(args.head))
-    register("winnow_fps", args => WinnowFingerprints(args(0),
-      literalInt("winnow_fps", args(1))))
-    register("fingerprint64", args => RollingFingerprint(args.head))
-    register("hamming64", args => Hamming64(args(0), args(1)))
-    register("hash64", args => Hash64(args.head,
-      if (args.length > 1) literalLong("hash64", args(1)) else 0L))
-    register("geometric_mean", args => GeometricMean(args.head).toAggregateExpression())
-    register("haversine_km", args => HaversineKm(args(0), args(1), args(2), args(3)))
-    register("point_in_polygon", args => PointInPolygon(args(0), args(1), args(2), args(3)))
-    register("bing_tile_quadkey", args => BingTileQuadkey(args(0), args(1),
-      literalInt("bing_tile_quadkey", args(2))))
-    register("bloom_build", args => BloomFilterBuild(args(0),
-      literalInt("bloom_build", args(1)),
-      literalInt("bloom_build", args(2))).toAggregateExpression())
-    register("bloom_might_contain", args => BloomMightContain(args(0), args(1),
-      literalInt("bloom_might_contain", args(2))))
+    }
   }
 }
 
@@ -129,48 +154,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SelfHammingRule)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo("graft.functions", "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo("graft.functions", "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
-        GraftFunctions.literalInt("minhash_sig", args(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo("graft.functions", "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("fingerprint64"),
-      new ExpressionInfo("graft.functions", "fingerprint64"),
-      (args: Seq[Expression]) => RollingFingerprint(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("hamming64"),
-      new ExpressionInfo("graft.functions", "hamming64"),
-      (args: Seq[Expression]) => Hamming64(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("hash64"),
-      new ExpressionInfo("graft.functions", "hash64"),
-      (args: Seq[Expression]) => Hash64(args.head,
-        if (args.length > 1) GraftFunctions.literalLong("hash64", args(1)) else 0L)))
-    ext.injectFunction((
-      FunctionIdentifier("geometric_mean"),
-      new ExpressionInfo("graft.functions", "geometric_mean"),
-      (args: Seq[Expression]) => GeometricMean(args.head).toAggregateExpression()))
-    ext.injectFunction((
-      FunctionIdentifier("haversine_km"),
-      new ExpressionInfo("graft.functions", "haversine_km"),
-      (args: Seq[Expression]) => HaversineKm(args(0), args(1), args(2), args(3))))
-    ext.injectFunction((
-      FunctionIdentifier("point_in_polygon"),
-      new ExpressionInfo("graft.functions", "point_in_polygon"),
-      (args: Seq[Expression]) => PointInPolygon(args(0), args(1), args(2), args(3))))
-    ext.injectFunction((
-      FunctionIdentifier("bing_tile_quadkey"),
-      new ExpressionInfo("graft.functions", "bing_tile_quadkey"),
-      (args: Seq[Expression]) => BingTileQuadkey(args(0), args(1),
-        GraftFunctions.literalInt("bing_tile_quadkey", args(2)))))
+    // same builder table as install(): the two registration paths expose
+    // one identical SQL surface by construction
+    GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
   }
 }

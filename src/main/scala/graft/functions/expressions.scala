@@ -249,6 +249,19 @@ object Kernels {
     }
     inside
   }
+
+  /** Unicode normalization (UAX #15) over a UTF8String. `isNormalized`
+    * is the fast path: ASCII and already-composed text — the vast
+    * majority of a real corpus — returns the input UTF8String without
+    * decoding or allocating. The tables come from the JDK's
+    * java.text.Normalizer (ICU4J-derived, same UAX #15 forms DuckDB's
+    * utf8proc-based nfc_normalize implements, which is what makes NFC
+    * oracle-replayable cross-engine). */
+  def normalizeUtf8(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -402,6 +415,36 @@ case class BingTileQuadkey(left: Expression, right: Expression, zoom: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BingTileQuadkey =
     copy(left = l, right = r)
+}
+
+/** normalize_unicode(string, NFC|NFD|NFKC|NFKD) -> string — Presto
+  * 0.248's normalize(string, form) (presto-docs string functions; default
+  * form NFC). Codegen-native: one static call per row, the common
+  * already-normalized case returns the input without allocating, and the
+  * expression stays inside the scan stage's whole-stage-codegen span —
+  * the property that matters when this runs as the first cleaning step
+  * over 100 TB of crawl text. */
+case class NormalizeUnicode(child: Expression, form: String)
+  extends UnaryExpression {
+
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"normalize_unicode: form must be NFC|NFD|NFKC|NFKD, got $form")
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = StringType
+
+  private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.normalizeUtf8(in.asInstanceOf[UTF8String], f)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.normalizeUtf8($c, java.text.Normalizer.Form.$form)")
+
+  override protected def withNewChildInternal(c: Expression): NormalizeUnicode =
+    copy(child = c)
 }
 
 /** haversine_km(lat1, lon1, lat2, lon2) -> double — great-circle

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
  *     property this sketch exists to match);
  *   - otherwise: equi-width bins, error ≤ one absolute bin width.
  * Quantiles read off the merged CDF at the bin's lower edge.
- * Deterministic by construction (explicit floor binning, bounded CDF
- * windows), therefore hash-verifiable cross-engine — unlike
- * engine-defined digest sketches.
+ * Deterministic by construction: the Bins lower edges are computed ONCE
+ * from the global bounds and snapped to a 1e-6 grid, and the per-row bin
+ * decision is a pure IEEE comparison count against that shared edge
+ * table — no per-row transcendental ever feeds a floor (JVM Math.log
+ * and DuckDB ln are each only ~1-ulp accurate and not bit-identical, so
+ * floor((ln x − ln lo)/w) could bin a boundary value differently
+ * cross-engine). The only libm exposure left is the edge table itself:
+ * Bins values, each rounded to 6 dp, where an ulp flips the rounded
+ * value only within ~1e-10 of a grid midpoint. Hash-verifiable
+ * cross-engine — unlike engine-defined digest sketches.
  *
  * Kernel input is a frame with columns (g1, g2, x:double); q115 maps the
  * lineitem columns in and renames the report out.
@@ -36,22 +43,28 @@ object QuantileSketch {
   /** (level, g1, g2, n, p50, p95, p99): leaf = per-(g1, g2) sketch,
     * merged = per-g1 union of its leaf sketches. */
   private[graft] def report(base: DataFrame): DataFrame = {
+    // the Bins lower edges, computed once on the 1-row bounds frame and
+    // snapped to a 1e-6 grid — shared constants both engines agree on
+    // (not builtin width_bucket, and not per-row floor-over-ln: both put
+    // engine-specific libm inside the discrete bin decision)
     val bounds = base.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    // explicit floor binning (not builtin width_bucket — its internal op
-    // order is engine-specific; this exact formula replays anywhere);
-    // a constant column (hi = lo) degenerates to bin 1, not NaN
-    val linBin = least(
-      floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / Bins)) + 1,
-      lit(Bins.toLong))
-    val logBin = least(
-      floor((log(col("x")) - log(col("lo"))) /
-        ((log(col("hi")) - log(col("lo"))) / Bins)) + 1,
-      lit(Bins.toLong))
+      .withColumn("edges",
+        when(col("hi") === col("lo"), array(col("lo")))
+          .when(col("lo") > 0, expr(
+            s"""transform(sequence(1, $Bins), j ->
+               |  round(exp(ln(lo) + (CAST(j AS DOUBLE) - 1.0D)
+               |    * (ln(hi) - ln(lo)) / $Bins), 6))""".stripMargin))
+          .otherwise(expr(
+            s"""transform(sequence(1, $Bins), j ->
+               |  round(lo + (CAST(j AS DOUBLE) - 1.0D)
+               |    * (hi - lo) / $Bins, 6))""".stripMargin)))
+    // bin = how many lower edges lie at or below x — pure comparisons
+    // against the shared table; clamp covers x < edges[1] when rounding
+    // nudged the first edge above the true lo
     val leafHist = base.crossJoin(broadcast(bounds))
       .select(col("g1"), col("g2"),
-        when(col("hi") === col("lo"), lit(1L))
-          .when(col("lo") > 0, logBin)
-          .otherwise(linBin).as("bin"))
+        greatest(size(filter(col("edges"), _ <= col("x"))).cast("long"),
+          lit(1L)).as("bin"))
       .groupBy(col("g1"), col("g2"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       // materialize the leaf sketch (≤ groups·bins rows) so the merged
@@ -79,13 +92,9 @@ object QuantileSketch {
           col("b50"), col("b95"), col("b99"))
     }
 
-    def edge(b: String) =
-      round(
-        when(col("lo") > 0,
-          exp(log(col("lo")) +
-            (col(b) - lit(1)).cast("double") * (log(col("hi")) - log(col("lo"))) / Bins))
-        .otherwise(col("lo") +
-          (col(b) - lit(1)).cast("double") * (col("hi") - col("lo")) / Bins), 4)
+    // quantile = the chosen bin's lower edge, read straight from the
+    // shared table (no second exp/ln replay to diverge from binning)
+    def edge(b: String) = element_at(col("edges"), col(b).cast("int"))
     quantiles(leafHist, "leaf").unionByName(quantiles(mergedHist, "merged"))
       .crossJoin(broadcast(bounds))
       .select(col("level"), col("g1"), col("g2"), col("n"),

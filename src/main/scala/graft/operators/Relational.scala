@@ -1793,6 +1793,10 @@ object Relational {
     * doc's map is doc-vocabulary bounded; the query side is a 1-row
     * broadcast; top-k compiles to TakeOrdered, never a global sort. */
   def q126(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint so the broadcast query side reads the MATERIALIZED
+    // per-doc maps instead of re-executing the full (doc, word) shuffle a
+    // second time just to extract one row (the e13/q115 discipline — one
+    // executed corpus aggregation, not one logical one)
     val tf = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
@@ -1803,6 +1807,7 @@ object Relational {
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("w"), col("c"))))).as("m"),
         sum(col("c") * col("c")).as("nsq"))
+      .localCheckpoint()
     val query = tf.filter(col("doc_id") === 0)
       .select(col("m").as("qm"), col("nsq").as("qnsq"))
     tf.filter(col("doc_id") =!= 0)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 import graft.text.TextAnalysis
 
@@ -41,10 +42,16 @@ object Curation {
     * formulation, which scanned and scored the corpus twice). */
   def curate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NFC-normalize before content-hashing: composed vs decomposed forms
+    // of the same text (café typed two ways) must dedup together in a
+    // real crawl corpus. Codegen-native expression with an
+    // allocation-free already-normalized fast path, so the common ASCII
+    // document pays one isNormalized scan; oracle replays it with
+    // DuckDB's nfc_normalize.
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("score_raw"),
-        md5(lower(trim(col("text")))).as("h"))
+        md5(lower(trim(GraftFunctions.normalizeUnicode(col("text"))))).as("h"))
       .filter(col("score_raw") >= 0.5)
     scored
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
