@@ -164,16 +164,20 @@ object GraftCli {
   /** Run one ;-stripped statement: route EXPLAIN ANALYZE, render
     * everything else, and report wall time to `err` (stderr, so
     * csv/json stdout stays machine-clean — the reference CLI reports
-    * elapsed per query the same way). */
+    * elapsed per query the same way). EXPLAIN ANALYZE's plan report is
+    * free text, so under csv/json it ALSO goes to stderr — stdout
+    * carries machine-readable rows only, in every mode. The timing line
+    * prints even when the statement throws (finally), so a csv/json
+    * consumer can rely on exactly one timing line per statement. */
   private[graft] def runStatement(spark: SparkSession, stmt: String,
                                   format: String, out: java.io.PrintStream,
                                   err: java.io.PrintStream): Unit = {
     val t0 = System.nanoTime()
-    stmt.stripSuffix(";") match {
-      case ExplainAnalyze(query) => out.println(explainAnalyze(spark, query))
-      case bare                  => render(spark.sql(bare), format, out)
-    }
-    err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    try stmt.stripSuffix(";") match {
+      case ExplainAnalyze(query) =>
+        (if (format == "table") out else err).println(explainAnalyze(spark, query))
+      case bare => render(spark.sql(bare), format, out)
+    } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
   def main(args: Array[String]): Unit = {

@@ -50,6 +50,17 @@ object GraftSession {
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined ... Moving all data to a
+    // single partition" on ANY empty partitionSpec, including the three
+    // deliberate sites here (q43's bounded slice, q87's and t13's windows
+    // over already-aggregated/limited frames — each audited: the frame
+    // entering the window is O(groups) or O(100) rows, never the corpus,
+    // which is exactly when a global window is the correct scalable form).
+    // Suppress that one logger rather than distorting the plans with a
+    // dummy literal partition key.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 

@@ -2299,9 +2299,20 @@ object OracleSql {
         FROM b),
       leaf AS (
         SELECT g1, g2,
-          GREATEST(CAST(len(list_filter(edges, e -> e <= x)) AS BIGINT), 1) AS bin,
+          CAST(CASE
+            WHEN cand < len(edges) AND edges[cand + 1] <= x THEN cand + 1
+            WHEN edges[cand] <= x THEN cand
+            ELSE GREATEST(cand - 1, 1) END AS BIGINT) AS bin,
           COUNT(*) AS cnt
-        FROM g CROSS JOIN be GROUP BY 1, 2, 3),
+        FROM (
+          SELECT g1, g2, x, edges,
+            LEAST(GREATEST(CASE
+              WHEN hi = lo THEN CAST(1 AS BIGINT)
+              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
+                / (ln(hi) - ln(lo))) AS BIGINT) + 1
+              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1
+            END, CAST(1 AS BIGINT)), len(edges)) AS cand
+          FROM g CROSS JOIN be) c GROUP BY 1, 2, 3),
       merged AS (
         SELECT g1, 'ALL' AS g2, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
         FROM leaf GROUP BY 1, 2, 3),
@@ -2747,10 +2758,12 @@ object OracleSql {
           ORDER BY CAST(yr AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS map_union
       FROM resolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
-    // q115: identical shared-edge-table binning (edges rounded to 6 dp,
-    // bin = count of edges <= x — no per-row transcendental feeds the
-    // discrete decision), window CDF, bin-lower-edge quantiles; BIGINT
-    // casts where DuckDB's window SUM widens to HUGEINT.
+    // q115: identical shared-edge-table binning (edges rounded to 6 dp;
+    // the closed-form floor is only an O(1) CANDIDATE — the bin decision
+    // is the ±1 correction by comparisons against the shared table, so
+    // no engine-specific transcendental decides a bin), window CDF,
+    // bin-lower-edge quantiles; BIGINT casts where DuckDB's window SUM
+    // widens to HUGEINT.
     "q115_sketch_quantile" -> """
       WITH li AS (
         SELECT l_returnflag, l_linestatus, CAST(l_extendedprice AS DOUBLE) AS x
@@ -2767,9 +2780,20 @@ object OracleSql {
         FROM b),
       leaf AS (
         SELECT l_returnflag, l_linestatus,
-          GREATEST(CAST(len(list_filter(edges, e -> e <= x)) AS BIGINT), 1) AS bin,
+          CAST(CASE
+            WHEN cand < len(edges) AND edges[cand + 1] <= x THEN cand + 1
+            WHEN edges[cand] <= x THEN cand
+            ELSE GREATEST(cand - 1, 1) END AS BIGINT) AS bin,
           COUNT(*) AS cnt
-        FROM li CROSS JOIN be GROUP BY 1, 2, 3),
+        FROM (
+          SELECT l_returnflag, l_linestatus, x, edges,
+            LEAST(GREATEST(CASE
+              WHEN hi = lo THEN CAST(1 AS BIGINT)
+              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
+                / (ln(hi) - ln(lo))) AS BIGINT) + 1
+              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1
+            END, CAST(1 AS BIGINT)), len(edges)) AS cand
+          FROM li CROSS JOIN be) c GROUP BY 1, 2, 3),
       merged AS (
         SELECT l_returnflag, 'ALL' AS l_linestatus, bin,
           CAST(SUM(cnt) AS BIGINT) AS cnt
@@ -3059,6 +3083,19 @@ object OracleSql {
           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sents,
           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS INTEGER) AS n_syll
         FROM documents) t
+      ORDER BY doc_id""",
+
+    // t18: the same decomposed suffix ("Cafe" + chr(0x0301)) appended in
+    // SQL, normalized with DuckDB's nfc_normalize — code-point counts
+    // before/after, md5 of the normalized bytes, ASCII identity check.
+    "t18_normalize_unicode" -> """
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS n_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        md5(nfc_normalize(raw)) AS h_nfc,
+        (nfc_normalize(text) = text) AS ascii_identity
+      FROM (SELECT doc_id, text, text || ' Cafe' || chr(769) AS raw
+            FROM documents) t
       ORDER BY doc_id""",
 
     // t16: the t01 regexp-strip count trick per character class; same

@@ -91,6 +91,7 @@ object SparkEntry {
     "t15_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "t16_scripts" -> (TextAnalysis.scripts _),
     "t17_readability" -> (TextAnalysis.readability _),
+    "t18_normalize_unicode" -> (TextAnalysis.normalizeUnicodeReport _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),

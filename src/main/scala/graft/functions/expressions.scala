@@ -155,7 +155,17 @@ object Kernels {
   /** Haversine great-circle distance in km — Presto 0.248's
     * great_circle_distance (presto-main MathFunctions, mean earth
     * radius 6371.01 km). asin argument clamped to 1.0 so antipodal
-    * rounding noise can't produce NaN. */
+    * rounding noise can't produce NaN.
+    *
+    * Residual cross-engine libm risk (documented, accepted): sin/cos/
+    * asin are ~1-ulp per engine and not bit-identical, and the result
+    * feeds a 6-dp round plus a distance threshold downstream (q122).
+    * An input whose true distance lies within ~1e-10 of a rounding
+    * midpoint or of the threshold can flip cross-engine. Unlike the
+    * quantile-sketch bins there is no shared discrete table to correct
+    * against — the output IS the transcendental — so the honest options
+    * are this documented risk or degrading the function's precision;
+    * the synthetic corpus sits nowhere near the boundaries. */
   def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val dLat = math.toRadians(lat2 - lat1) / 2
     val dLon = math.toRadians(lon2 - lon1) / 2
@@ -211,7 +221,16 @@ object Kernels {
     * Bing-tile family's idiomatic join key: tiles at any zoom share the
     * quadkey PREFIX of their children, so zoom-out aggregation is a
     * substring groupBy). Standard Web-Mercator math; x/y clamped into
-    * [0, 2^zoom). */
+    * [0, 2^zoom).
+    *
+    * Residual cross-engine libm risk (documented, accepted): the tile y
+    * floors over a sin/log Mercator projection whose ~1-ulp engine
+    * variance can flip the floor for latitudes within ~1e-11 of a tile
+    * boundary — a different quadkey digit cross-engine. Tile boundaries
+    * are a measure-zero set and the synthetic corpus avoids them; a
+    * boundary-exact contract would need a shared quantized y (both
+    * engines rounding the projected y to a fixed grid before the
+    * floor), which trades public-formula fidelity for it. */
   def bingTileQuadkey(lat0: Double, lon: Double, zoom: Int): UTF8String = {
     val n = 1L << zoom
     val lat = math.max(-MaxBingLat, math.min(MaxBingLat, lat0))

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
  * Quantiles read off the merged CDF at the bin's lower edge.
  * Deterministic by construction: the Bins lower edges are computed ONCE
  * from the global bounds and snapped to a 1e-6 grid, and the per-row bin
- * decision is a pure IEEE comparison count against that shared edge
- * table — no per-row transcendental ever feeds a floor (JVM Math.log
- * and DuckDB ln are each only ~1-ulp accurate and not bit-identical, so
- * floor((ln x − ln lo)/w) could bin a boundary value differently
- * cross-engine). The only libm exposure left is the edge table itself:
+ * DECISION is pure IEEE comparisons against that shared edge table —
+ * the closed-form floor((ln x − ln lo)/w) is computed only as an O(1)
+ * candidate (JVM Math.log and DuckDB ln are each only ~1-ulp accurate
+ * and not bit-identical, so a raw floor could bin a boundary value
+ * differently cross-engine) and then corrected ±1 by comparing x to
+ * edges[cand]/edges[cand+1]. The only libm exposure left is the edge
+ * table itself:
  * Bins values, each rounded to 6 dp, where an ulp flips the rounded
  * value only within ~1e-10 of a grid midpoint. Hash-verifiable
  * cross-engine — unlike engine-defined digest sketches.
@@ -58,13 +60,31 @@ object QuantileSketch {
             s"""transform(sequence(1, $Bins), j ->
                |  round(lo + (CAST(j AS DOUBLE) - 1.0D)
                |    * (hi - lo) / $Bins, 6))""".stripMargin)))
-    // bin = how many lower edges lie at or below x — pure comparisons
-    // against the shared table; clamp covers x < edges[1] when rounding
-    // nudged the first edge above the true lo
+    // bin = index of the greatest lower edge at or below x. O(1) per row:
+    // the closed-form floor (engine libm, ~1 ulp) is only a CANDIDATE —
+    // against edges snapped to the 1e-6 grid it can be off by at most one
+    // bin — and the DECISION is the ±1 correction below, pure IEEE
+    // comparisons against the shared edge table, so both engines land on
+    // the same bin regardless of whose libm computed the candidate. (The
+    // previous size(filter(edges, _ <= x)) form had the same determinism
+    // property but paid an interpreted O(Bins) lambda scan plus a filtered
+    // array allocation per row — an 8× regression at sf0.1; this is the
+    // d10 lesson: keep per-row work closed-form and codegen'd.)
     val leafHist = base.crossJoin(broadcast(bounds))
-      .select(col("g1"), col("g2"),
-        greatest(size(filter(col("edges"), _ <= col("x"))).cast("long"),
-          lit(1L)).as("bin"))
+      .withColumn("cand", expr(
+        s"""CAST(least(greatest(CASE
+           |  WHEN hi = lo THEN 1L
+           |  WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * $Bins
+           |    / (ln(hi) - ln(lo))) AS BIGINT) + 1L
+           |  ELSE CAST(floor((x - lo) * $Bins / (hi - lo)) AS BIGINT) + 1L
+           |END, 1L), CAST(size(edges) AS BIGINT)) AS INT)""".stripMargin))
+      .select(col("g1"), col("g2"), expr(
+        s"""CAST(CASE
+           |  WHEN cand < size(edges) AND element_at(edges, cand + 1) <= x
+           |    THEN cand + 1
+           |  WHEN element_at(edges, cand) <= x THEN cand
+           |  ELSE greatest(cand - 1, 1)
+           |END AS BIGINT)""".stripMargin).as("bin"))
       .groupBy(col("g1"), col("g2"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       // materialize the leaf sketch (≤ groups·bins rows) so the merged

@@ -1704,7 +1704,10 @@ object Relational {
   // family, which Spark has no builtin for). Coordinates are synthesized
   // deterministically from keys (the d11 discipline: synthetic input,
   // REAL kernel — the oracle replays the identical haversine closed
-  // form on the same doubles, so a wrong formula breaks the hash). The
+  // form on the same doubles, so a wrong formula breaks the hash;
+  // residual ~1-ulp libm variance near the 6-dp round / 2000 km cut is
+  // a documented accepted risk — see [[graft.functions.Kernels
+  // .haversineKm]]). The
   // kernel is a codegen-native QuaternaryExpression ([[graft.functions
   // .HaversineKm]]): narrow per-row inside whole-stage codegen, the only
   // exchange is the final output sort.

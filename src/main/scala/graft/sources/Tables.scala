@@ -32,14 +32,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = df(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = df(s, d, "lineitem")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and rebuild a (µs) timestamp. `div` keeps
-    * the arithmetic in exact integer space (ns epochs overflow double). */
+  /** events.ts encoding has varied across driver data generations:
+    * INT64 TIMESTAMP(NANOS) (read as long via the legacy flag, rebuilt at
+    * µs precision — `div` keeps the arithmetic in exact integer space, ns
+    * epochs overflow double) vs plain TIMESTAMP(MICROS) (surfaces as
+    * TIMESTAMP_NTZ; cast to session-local TIMESTAMP — sessions pin UTC —
+    * so downstream unix_micros/date_format see one type either way).
+    * Dispatch on the actual parquet schema, not an assumed generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df(s, d, "events").select(
-      col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
+    val raw = df(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.select(col("event_id"), ts.as("ts"),
       col("user_id"), col("event_type"), col("value"), col("props"))
   }
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")

@@ -497,6 +497,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * t18: Unicode normalization (Presto 0.248's normalize(string, form) —
+   * presto-main StringFunctions) as a standalone verified entry, via the
+   * codegen-native [[graft.functions.NormalizeUnicode]] expression (c01
+   * uses the same kernel inside its content hash). Every document gets a
+   * deterministic DECOMPOSED suffix ("Cafe" + U+0301 combining acute) so
+   * NFC has real composition work on every row — the synthetic corpus is
+   * ASCII, where normalization is the identity; the oracle replays with
+   * DuckDB's nfc_normalize on the same construction. Emits code-point
+   * counts before/after (the composed form is one char shorter), the
+   * md5 of the normalized bytes (value-verifies the normalization
+   * without dumping bodies), and the ASCII fast-path identity check
+   * (normalize(text) = text — exercises the allocation-free
+   * already-normalized path end-to-end). Narrow projection, one scan,
+   * no shuffle but the output sort. NFD/NFKC/NFKD forms have no DuckDB
+   * replay and are spec-covered instead (ExpressionsSpec).
+   */
+  def normalizeUnicodeReport(s: SparkSession, d: String): DataFrame = {
+    // "Cafe" + COMBINING ACUTE ACCENT (U+0301), the decomposed form —
+    // NFC composes it to \u00e9, one code point shorter
+    val raw = concat(col("text"), lit(" Cafe\u0301"))
+    val nfc = GraftFunctions.normalizeUnicode(raw)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(raw).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"),
+        md5(nfc).as("h_nfc"),
+        (GraftFunctions.normalizeUnicode(col("text")) === col("text"))
+          .as("ascii_identity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: 64-bit rolling-hash document fingerprint (custom codegen
     * expression); groups identical-after-normalization documents. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

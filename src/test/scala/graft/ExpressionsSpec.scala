@@ -276,4 +276,40 @@ class ExpressionsSpec extends GraftSpec {
       s"(SELECT bloom_build(g, $bits, $k) AS bf FROM VALUES ('member-gram-7') t(g))")
     assert(viaSql.head().getBoolean(0))
   }
+
+  test("normalize_unicode: all four forms, fast path, SQL surface") {
+    // decomposed e + COMBINING ACUTE; NFC composes to U+00E9
+    val decomposed = "Cafe\u0301"
+    val composed = "Caf\u00e9"
+    // NFKC/NFKD compatibility: the fi ligature U+FB01 expands to "fi"
+    // under K-forms and survives untouched under NFC/NFD
+    val ligature = "\ufb01le"
+    val df = Seq((decomposed, ligature)).toDF("d", "l")
+    val got = df.select(
+      normalizeUnicode($"d").as("nfc"),
+      normalizeUnicode($"d", "NFD").as("nfd"),
+      normalizeUnicode($"l", "NFKC").as("nfkc"),
+      normalizeUnicode($"l", "NFKD").as("nfkd"),
+      normalizeUnicode($"l", "NFC").as("lig_nfc")).head()
+    assert(got.getString(0) == composed)
+    assert(got.getString(1) == decomposed) // NFD keeps the decomposed form
+    assert(got.getString(2) == "file")
+    assert(got.getString(3) == "file")
+    assert(got.getString(4) == ligature)   // canonical forms keep ligatures
+    // already-normalized fast path returns the value unchanged
+    val ascii = Seq(Tuple1("plain ascii")).toDF("t")
+      .select(normalizeUnicode($"t").as("n")).head().getString(0)
+    assert(ascii == "plain ascii")
+    // round-trip composition: NFD then NFC is identity on the composed form
+    val rt = Seq(Tuple1(composed)).toDF("t")
+      .select(normalizeUnicode(normalizeUnicode($"t", "NFD"), "NFC"))
+      .head().getString(0)
+    assert(rt == composed)
+    // SQL registration, both 1-arg (NFC default) and explicit-form paths
+    graft.functions.GraftFunctions.install(spark)
+    val viaSql2 = spark.sql(
+      "SELECT normalize_unicode('Cafe\u0301') AS a, " +
+      "normalize_unicode('\ufb01le', 'NFKC') AS b").head()
+    assert(viaSql2.getString(0) == composed && viaSql2.getString(1) == "file")
+  }
 }
