@@ -122,4 +122,65 @@ class QuantileSketchPropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("O(1) candidate binning emits the same VALUES as count-of-edges, " +
+       "including sub-grid plateau regions") {
+    // The r10 kernel computes the bin as a closed-form libm CANDIDATE
+    // corrected ±1 against the snapped edge table; the previous form was
+    // a literal count of edges <= x. When adjacent log edges collapse on
+    // the 1e-6 rounding grid (lo near the grid, e.g. e12's 1µs-resolution
+    // gaps), the two forms may pick DIFFERENT plateau indices — but every
+    // index on a plateau carries the same edge value, so the reported
+    // quantiles must be value-identical. This pins that equivalence on
+    // exactly the collapsing-domain shape where it could break.
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 10 to 12) {
+      val r = new scala.util.Random(seed)
+      // integer-microsecond gaps scaled to seconds: lo = 1e-6 forces the
+      // first dozens of log edges onto the same rounded value
+      val rows = Seq(Row("a0", "b0", 1e-6)) ++ (0 until 2000).map { _ =>
+        Row("a0", s"b${r.nextInt(2)}",
+          (1L + r.nextInt(100000000)).toDouble / 1e6)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      val rep = QuantileSketch.report(df).collect()
+
+      val xs = rows.map(_.getDouble(2))
+      val lo = xs.min
+      val hi = xs.max
+      val edges = (1 to QuantileSketch.Bins).map(j => round6(math.exp(
+        math.log(lo) + (j - 1.0) * (math.log(hi) - math.log(lo))
+          / QuantileSketch.Bins)))
+      assert(edges.distinct.size < edges.size,
+        s"seed $seed: domain must actually collapse edges on the grid " +
+          s"for this test to bite (distinct=${edges.distinct.size})")
+      // the pre-r10 definition, replayed on the driver
+      def binOf(x: Double): Int = math.max(1, edges.count(_ <= x))
+      def replay(vs: Seq[Double], p: Double): Double = {
+        val hist = vs.groupBy(binOf).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        val total = vs.size.toLong
+        val k = math.ceil(total * p).toLong
+        var cum = 0L
+        val bin = hist.collectFirst {
+          case (b, c) if { cum += c; cum >= k } => b
+        }.get
+        edges(bin - 1)
+      }
+      rep.foreach { row =>
+        val vs =
+          if (row.getAs[String]("level") == "merged")
+            rows.filter(_.getString(0) == row.getAs[String]("g1")).map(_.getDouble(2))
+          else rows.filter(x => x.getString(0) == row.getAs[String]("g1") &&
+            x.getString(1) == row.getAs[String]("g2")).map(_.getDouble(2))
+        Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99").foreach { case (p, c) =>
+          assert(row.getAs[Double](c) == replay(vs, p),
+            s"seed $seed $c: sketch=${row.getAs[Double](c)} " +
+              s"count-definition=${replay(vs, p)}")
+        }
+      }
+    }
+  }
 }
