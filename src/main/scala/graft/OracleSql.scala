@@ -3170,6 +3170,36 @@ object OracleSql {
     // the oracle replays only the exact contamination semantics (same
     // answer as d07 by construction — that equivalence IS the check that
     // no false positive leaked past the confirm join).
+    // d13: the oracle counts duplicate grams on the gram TEXT itself —
+    // hash64 on the Spark side is only the shuffle-key narrowing (the
+    // d08 discipline: multiplicities are equal absent a 64-bit
+    // collision); 0-based pos matches posexplode; gaps-and-islands
+    // window merges adjacent duplicated shingle starts into maximal
+    // spans of start..(last + K - 1).
+    "d13_span_dedup" -> raw"""
+      WITH wl AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      p0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS pos
+             FROM wl WHERE len(w) >= 8),
+      pos AS (SELECT doc_id, pos,
+                array_to_string(w[pos+1:pos+8], ' ') AS gram FROM p0),
+      dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
+      lagd AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM hits),
+      isl AS (SELECT doc_id, pos,
+                SUM(CASE WHEN prev IS NULL OR pos - prev > 1
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagd)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
+
     "d12_bloom_contamination" -> """
       WITH wl AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -107,6 +107,7 @@ object SparkEntry {
     "d10_winnowing" -> (Dedup.winnowing _),
     "d11_url_dedup" -> (Dedup.urlDedup _),
     "d12_bloom_contamination" -> (Dedup.bloomContamination _),
+    "d13_span_dedup" -> (Dedup.spanDedup _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),

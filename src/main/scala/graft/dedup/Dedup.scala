@@ -466,4 +466,67 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Shingle width for duplicated-span extraction — the 8-gram standard
+    * from published LLM decontamination/dedup procedures (same width as
+    * [[ContamN]]; spans this long shared verbatim are near-certain
+    * duplication, not coincidence). */
+  private val SpanK = 8
+
+  /**
+   * d13: exact duplicated-SPAN extraction — the substring-level dedup of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better": find every maximal token span whose 8-grams ALL occur more
+   * than once corpus-wide, per document, so a pipeline can cut the span
+   * (boilerplate headers, license blocks, templated passages) while
+   * keeping the rest of the document — where d01/d02 drop whole
+   * documents and d08 drops fixed-boundary chunks, this emits exact
+   * maximal spans at token granularity.
+   *
+   * Scale shape: the corpus explodes ONCE to (doc, pos, 8-byte
+   * shingle-hash64) rows — the shuffle the exact algorithm genuinely
+   * requires (the serial alternative is a suffix array; distributed,
+   * the hash-keyed shuffle IS the suffix-array substitute), kept narrow
+   * by hashing grams to fixed 8-byte keys before any exchange (the
+   * string gram never leaves its scan task). Duplicated hashes
+   * (count ≥ 2, within- OR cross-document — both are wasted tokens at
+   * training time) aggregate map-side; the hit positions come back via
+   * one hash semi-join, and maximal spans merge per document with the
+   * q111 gaps-and-islands window over the (small) hit frame — adjacent
+   * duplicated shingle starts (gap ≤ 1) chain into one span covering
+   * start..(last + K − 1). The oracle replays hash64 in HUGEINT (the
+   * q91 chain) over the same grams.
+   */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupOf(Tables.documents(s, d))
+
+  /** The d13 kernel over any (doc_id, text) frame — the unit-testable
+    * form (the spec checks exact span boundaries on hand-built docs). */
+  def spanDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), words(trim(col("text"))).as("w"))
+      .filter(size(col("w")) >= SpanK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $SpanK), i -> concat_ws(' ', slice(w, i + 1, $SpanK)))")))
+      .toDF("doc_id", "pos", "gram")
+      // hash BEFORE the exchange: 8-byte keys shuffle, ~50-byte grams don't
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        GraftFunctions.hash64(col("gram")).as("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(dup, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("isl", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanK.toLong - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(SpanK.toLong)).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 }

@@ -164,4 +164,32 @@ class DedupAnnSpec extends GraftSpec {
     val plan = Dedup.winnowing(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("d13 span dedup: exact maximal span boundaries, within-doc dups, no spans on unique text") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")  // 12 tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $shared b1 b2 b3"),    // shared at pos 5..16
+      (2L, s"$shared c1 c2 c3 c4"),                 // shared at pos 0..11
+      (3L, "totally unrelated words that appear nowhere else in any doc here"),
+      // within-doc duplication: the same 8-gram at pos 0 and pos 9
+      (4L, (1 to 8).map(i => s"x$i").mkString(" ") + " gap " +
+           (1 to 8).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.spanDedupOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+    // 12 shared tokens with k=8 → duplicated shingle starts span 5
+    // positions; the maximal merged span covers exactly the shared run
+    assert(spans.contains((1L, 5L, 16L, 12L)), spans.mkString(", "))
+    assert(spans.contains((2L, 0L, 11L, 12L)), spans.mkString(", "))
+    // doc 3 contributes nothing
+    assert(!spans.exists(_._1 == 3L), spans.mkString(", "))
+    // doc 4's two copies are separate islands (gap > 1), 8 tokens each
+    assert(spans.contains((4L, 0L, 7L, 8L)), spans.mkString(", "))
+    assert(spans.contains((4L, 9L, 16L, 8L)), spans.mkString(", "))
+    // scale posture: hash-keyed shuffle only — no cartesian, no BNLJ
+    val plan = Dedup.spanDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
