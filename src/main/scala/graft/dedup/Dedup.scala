@@ -507,12 +507,14 @@ object Dedup {
     val pos = docs
       .select(col("doc_id"), words(trim(col("text"))).as("w"))
       .filter(size(col("w")) >= SpanK)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $SpanK), i -> concat_ws(' ', slice(w, i + 1, $SpanK)))")))
-      .toDF("doc_id", "pos", "gram")
-      // hash BEFORE the exchange: 8-byte keys shuffle, ~50-byte grams don't
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        GraftFunctions.hash64(col("gram")).as("h"))
+      // one codegen kernel call per doc emits every position's 8-byte
+      // shingle hash — no gram string is ever built (the interpreted
+      // transform-concat_ws form measured ~2x slower at sf0.1), and only
+      // hashes reach the exchange
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.shingleHash64(col("w"), SpanK)))
+      .toDF("doc_id", "pos", "h")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
     val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

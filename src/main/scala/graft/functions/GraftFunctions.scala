@@ -29,6 +29,10 @@ object GraftFunctions {
     * hash64 values (MOSS), one JVM pass per row. */
   def winnowFps(shingles: Column, w: Int): Column = c(WinnowFingerprints(e(shingles), w))
 
+  /** Per-position k-word shingle hash64s (array<bigint>) of a word-array
+    * column — hash64(concat_ws(' ', slice)) without the string build. */
+  def shingleHash64(words: Column, k: Int): Column = c(ShingleHash64(e(words), k))
+
   /** Normalized rolling-hash fingerprint (bigint) of a string column. */
   def fingerprint64(text: Column): Column = c(RollingFingerprint(e(text)))
 
@@ -116,6 +120,8 @@ object GraftFunctions {
     "simhash64" -> (args => SimHash64(args.head)),
     "winnow_fps" -> (args => WinnowFingerprints(args(0),
       literalInt("winnow_fps", args(1)))),
+    "shingle_hash64" -> (args => ShingleHash64(args(0),
+      literalInt("shingle_hash64", args(1)))),
     "fingerprint64" -> (args => RollingFingerprint(args.head)),
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "hash64" -> (args => Hash64(args.head,

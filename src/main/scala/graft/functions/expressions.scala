@@ -112,6 +112,44 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position k-word shingle hashes: out[p] = hash64 of
+    * words[p..p+k-1] joined by ' ' — BYTE-IDENTICAL to
+    * hash64(concat_ws(' ', slice(words, p+1, k)), 0) (the FNV fold walks
+    * each word's UTF-8 bytes with a 0x20 byte between words, then
+    * mix64), but with no per-position string allocation and no
+    * interpreted array lambda: the d10/q115 lesson applied to shingle
+    * construction itself. Empty output when fewer than k words. */
+  def shingleHash64(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = if (words.isNullAt(i)) Array.emptyByteArray
+        else words.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var j = p
+      while (j < p + k) {
+        if (j > p) h = (h ^ 0x20L) * 0x100000001b3L
+        val b = bytes(j)
+        var t = 0
+        while (t < b.length) {
+          h = (h ^ (b(t) & 0xffL)) * 0x100000001b3L
+          t += 1
+        }
+        j += 1
+      }
+      out(p) = mix64(h)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token strings (weighted by occurrence). */
   def simhash(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
@@ -335,6 +373,25 @@ case class WinnowFingerprints(child: Expression, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $w)")
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** shingle_hash64(array<string> words, k) -> array<bigint> — per-position
+  * k-word shingle hash64s (see [[Kernels.shingleHash64]]). */
+case class ShingleHash64(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.shingleHash64(in.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHash64($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash64 =
     copy(child = c)
 }
 

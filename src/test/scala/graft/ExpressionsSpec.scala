@@ -277,6 +277,35 @@ class ExpressionsSpec extends GraftSpec {
     assert(viaSql.head().getBoolean(0))
   }
 
+  test("shingle_hash64 is byte-identical to hash64(concat_ws(' ', slice)) per position") {
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta", "epsilon")),
+      (2L, Seq("one", "two")),            // fewer than k → empty
+      (3L, Seq("", "x", "", "y", "zz"))   // empty words keep separators honest
+    ).toDF("id", "w")
+    val k = 3
+    graft.functions.GraftFunctions.install(spark)
+    val viaKernel = docs.select($"id",
+      shingleHash64($"w", k).as("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference side must skip short docs itself: sequence(0, size-k)
+    // is DESCENDING for size < k (the t06 gotcha) and slice errors on 0
+    val expected = docs.filter(size($"w") >= k).select($"id", expr(
+      s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))").as("grams"))
+      .select($"id", expr("transform(grams, g -> hash64(g))").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel(1L) == expected(1L))
+    assert(viaKernel(3L) == expected(3L))
+    assert(viaKernel(2L).isEmpty)
+    // SQL surface matches the driver-side kernel on a literal input
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaSql = spark.sql(
+      "SELECT shingle_hash64(array('a','b','c','d'), 2) AS hs").head().getSeq[Long](0)
+    val direct = Seq("a b", "b c", "c d")
+      .map(s => Kernels.hash64(UTF8String.fromString(s), 0L))
+    assert(viaSql == direct, s"$viaSql vs $direct")
+  }
+
   test("normalize_unicode: all four forms, fast path, SQL surface") {
     // decomposed e + COMBINING ACUTE; NFC composes to U+00E9
     val decomposed = "Cafe\u0301"
