@@ -146,6 +146,33 @@ class CliSpec extends GraftSpec {
     assert(timings.length == 2, s"expected 2 timing lines, got:\n$err")
   }
 
+  test("EXPLAIN ANALYZE under csv keeps stdout machine-clean; errors still emit a timing line") {
+    def run(stmts: String*): (String, String) = {
+      val outB = new java.io.ByteArrayOutputStream()
+      val errB = new java.io.ByteArrayOutputStream()
+      val outP = new java.io.PrintStream(outB, true, "UTF-8")
+      val errP = new java.io.PrintStream(errB, true, "UTF-8")
+      stmts.foreach { s =>
+        try GraftCli.runStatement(spark, s, "csv", outP, errP)
+        catch { case _: Exception => () } // main's per-statement catch
+      }
+      outP.flush(); errP.flush()
+      (new String(outB.toByteArray, "UTF-8"), new String(errB.toByteArray, "UTF-8"))
+    }
+    GraftCli.open(spark, sf)
+    // plan text goes to stderr under csv; stdout carries ONLY csv rows
+    val (out1, err1) = run(
+      "EXPLAIN ANALYZE SELECT count(*) AS n FROM nation",
+      "SELECT 1 AS one")
+    assert(!out1.contains("Physical Plan"), s"plan text leaked to stdout:\n$out1")
+    assert(err1.contains("Physical Plan (executed, with metrics)"), err1)
+    assert(out1.linesIterator.toSeq == Seq("one", "1"), out1)
+    // a failing statement still reports exactly one timing line
+    val (out2, err2) = run("SELECT * FROM no_such_table")
+    assert(out2.isEmpty, out2)
+    assert("\\[graft-cli\\] \\d+\\.\\d\\ds".r.findAllIn(err2).size == 1, err2)
+  }
+
   test("join-strategy hints pass through the SQL front door") {
     // Presto tunes join strategy with session properties
     // (join_distribution_type); the Spark front door takes plan hints in
