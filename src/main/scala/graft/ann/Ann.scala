@@ -148,7 +148,7 @@ object Ann {
     * (the a02 rule; every oracle replays `ORDER BY sim DESC, cent_id
     * DESC LIMIT 1`). Narrow codegen'd projection, no shuffle. */
   private def centroidSims(centroids: Array[(Long, Seq[Float])])(v: Column): Column =
-    array(centroids.map { case (id, ce) =>
+    array(centroids.toIndexedSeq.map { case (id, ce) =>
       struct(
         GraftFunctions.cosineSim(v, typedLit(ce)).as("sim"),
         lit(id).as("cent_id"))
@@ -680,7 +680,7 @@ object Ann {
       (0 until PqM).flatMap(m => Seq(col(s"s$m"), dot(col(s"s$m"), col(s"s$m")).as(s"xx$m"))): _*)
     withXx
       .select(col("vec_id"), posexplode(array((0 until PqM).map { m =>
-        array_min(array(book.map { case (code, full) =>
+        array_min(array(book.toIndexedSeq.map { case (code, full) =>
           val cw = full.slice(m * sub, m * sub + sub)
           val cc = cw.foldLeft(0.0)((a, v) => a + v * v)
           struct(
@@ -746,7 +746,7 @@ object Ann {
     val coded = withXx.select(col("vec_id") +:
       array_max(simsTo(col("emb"))).getField("cent_id").as("cell") +:
       (0 until PqM).map { m =>
-        array_min(array(book.map { case (code, full) =>
+        array_min(array(book.toIndexedSeq.map { case (code, full) =>
           val cw = cwSlice(full, m)
           struct(
             (col(s"xx$m") - lit(2.0) * dot(col(s"s$m"), typedLit(cw)) +

@@ -34,7 +34,7 @@ object Incremental {
              versionCol: String): DataFrame = {
     val all = base.unionByName(updates)
     val contentHash = md5(concat_ws("\u0001",
-      all.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      all.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, contentHash)
     all
