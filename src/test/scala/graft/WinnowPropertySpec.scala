@@ -39,6 +39,28 @@ class WinnowPropertySpec extends GraftSpec {
     }
   }
 
+  test("shingle_hash64 kernel equals hash64 of the joined gram on random docs") {
+    import spark.implicits._
+    // the d13 kernel's contract: out(p) == hash64(words[p..p+k-1].mkString(" "))
+    // for every position, across random word streams including repeats,
+    // empty-ish words, and docs shorter than k
+    for (seed <- 1 to 10) {
+      val r = new scala.util.Random(seed)
+      val k = 2 + r.nextInt(7)
+      val words = randWords(r, r.nextInt(60))
+      val expected =
+        if (words.length < k) Seq.empty[Long]
+        else (0 to words.length - k).map(p =>
+          Kernels.hash64(UTF8String.fromString(
+            words.slice(p, p + k).mkString(" ")), 0L))
+      val got = Seq(Tuple1(words))
+        .toDF("w")
+        .select(graft.functions.GraftFunctions.shingleHash64($"w", k).as("hs"))
+        .head().getSeq[Long](0)
+      assert(got == expected, s"seed $seed k=$k n=${words.length}")
+    }
+  }
+
   test("guarantee: any shared run of ≥ w+2 words yields a shared fingerprint") {
     for (seed <- 1 to 20) {
       val r = new scala.util.Random(seed)
