@@ -77,7 +77,11 @@ object Bench {
     val spreadJson = results.sortBy(_._1).map { case (k, ts) =>
       "\"" + k + "\":[" + ts.sorted.map(fmt).mkString(",") + "]"
     }.mkString("{\"sf\":\"" + sfName + "\",\"runs\":3,\"spread\":{", ",", "}}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(spreadPath), spreadJson)
+    // best-effort: an unwritable CWD must never cost the metrics line below
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(spreadPath), spreadJson)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
