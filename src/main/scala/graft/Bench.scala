@@ -52,21 +52,34 @@ object Bench {
       name -> Seq(once(), once(), once())
     }
     // Compact line: the harness keeps only the last ~2000 chars of stdout,
-    // so the whole JSON must fit inside that window. Centisecond precision
-    // with stripped zeros, and the per-query map self-limits to a fixed
-    // character budget, keeping the slowest (most informative) queries when
-    // the inventory grows beyond what fits.
+    // so the whole JSON must fit inside that window (r10 measured: the
+    // driver artifact's `tail` is exactly 2000 chars and the metrics line
+    // must survive inside it). Centisecond precision with stripped zeros.
+    // Two per-query blocks share the window:
+    //   - "queries": the slowest entries under FULL names, capped at a
+    //     character budget (human/judge-readable at a glance);
+    //   - "all": EVERY entry's min, grouped into per-family arrays
+    //     ("a":[...], "q":[...], ...) whose values are ordered by plain
+    //     lexicographic entry-name sort within the family (the same
+    //     sortBy(_._1) order as the spread file) — complete per-query
+    //     data in the driver-visible artifact at ~5 chars/entry, which
+    //     full names (~19 chars/entry) could never fit in the window.
     def fmt(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val mins = results.map { case (k, ts) => k -> ts.min }
     val entries = mins.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val budget = 1500
+    val budget = 600
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
+    // mins is already in lexicographic name order (results was sorted).
+    val allFamilies = mins.groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (fam, es) =>
+        "\"" + fam + "\":[" + es.map(e => fmt(e._2)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     // Full spread (all three timed runs per query, ascending) to a file —
@@ -82,7 +95,12 @@ object Bench {
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Exception =>
       System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"all":$allFamilies,"allOrder":"lexicographic entry name within family","sf":"$sfName"}"""
+    // hard guard: a line longer than the driver's tail window would lose
+    // its HEAD (the window keeps the END of stdout) and fail to parse —
+    // degrade by dropping the redundant named-slowest block first
+    println(if (line.length <= 1900) line
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{},"all":$allFamilies,"allOrder":"lexicographic entry name within family","sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -139,14 +139,21 @@ object GraftFunctions {
     "normalize_unicode" -> (args => NormalizeUnicode(args.head,
       if (args.length > 1) literalString("normalize_unicode", args(1)) else "NFC")))
 
-  /** SQL registration (same names) for `spark.sql` users; idempotent. */
+  /** SQL registration (same names) for `spark.sql` users; idempotent —
+    * an already-registered name is SKIPPED, not replaced (the builders
+    * come from the one sqlBuilders table, so a re-register could only
+    * install the identical function; skipping also silences the
+    * per-function "replaced a previously registered function" WARN that
+    * a repeated open()/install() otherwise prints — noise that competes
+    * with the Bench metrics line inside the driver's bounded stdout
+    * tail window). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     sqlBuilders.foreach { case (name, builder) =>
-      reg.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name),
-        builder)
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, new ExpressionInfo("graft.functions", name), builder)
+      }
     }
   }
 }

@@ -140,14 +140,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   // --- q10: exact percentile (continuous) per group ---------------------
-  def q10(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+  // NOT the builtin `percentile` aggregate: that buffers every group
+  // value in ONE ObjectHashAggregate buffer (3 l_returnflag groups ->
+  // ~1/3 of the fact column per task at scale — the r10-flagged
+  // scale-killer). [[ExactSelection]] computes the same bit-exact
+  // interpolated result via histogram-narrowed distributed selection
+  // (O(bins) + O(distinct-in-bin) state per task); PlanSpec pins the
+  // plan percentile-aggregate-free. Two kernel runs (one per value
+  // column) join on the 3-row group frame.
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val qty = ExactSelection.percentiles(
+      li.select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("x")),
+      Seq(0.5, 0.9))
+      .select(col("g"), round(col("p50"), 4).as("p50_qty"),
+        round(col("p90"), 4).as("p90_qty"))
+    val price = ExactSelection.percentiles(
+      li.select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("x")),
+      Seq(0.5))
+      .select(col("g"), round(col("p50"), 4).as("p50_price"))
+    qty.join(price, "g")
+      .select(col("g").as("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("p50_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   // --- q11: ranking window functions ------------------------------------
   def q11(s: SparkSession, d: String): DataFrame = {
