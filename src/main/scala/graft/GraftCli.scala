@@ -280,7 +280,60 @@ object GraftCli {
         GROUP BY n_name
         ORDER BY n_cust DESC, n_name
         LIMIT 2) l
-      ORDER BY r.r_name, l.n_cust DESC, l.n_name"""))
+      ORDER BY r.r_name, l.n_cust DESC, l.n_name""")),
+    // The q115 mergeable-quantile topology as PURE SQL TEXT through the
+    // graft-registered sketch aggregates (Presto's qdigest_agg / merge /
+    // value_at_quantile surface, README.md:90-96 `presto:test>` flow):
+    // leaf sketches via quantile_sketch_agg over the shared snapped edge
+    // table, rollup via quantile_sketch_merge over sketch rows only,
+    // quantile values via sketch_quantile_bin + element_at. Same oracle
+    // discipline as q115 (the binning SQL is the kernel's own expr text).
+    "s09_sql_sketch_agg" -> ((s, d) => sql(s, d, """
+      WITH base AS (
+        SELECT l_returnflag AS g1, l_linestatus AS g2,
+          CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem),
+      bounds AS (
+        SELECT lo, hi,
+          CASE WHEN hi = lo THEN array(lo)
+               WHEN lo > 0 THEN transform(sequence(1, 256), j ->
+                 round(exp(ln(lo) + (CAST(j AS DOUBLE) - 1.0D)
+                   * (ln(hi) - ln(lo)) / 256), 6))
+               ELSE transform(sequence(1, 256), j ->
+                 round(lo + (CAST(j AS DOUBLE) - 1.0D) * (hi - lo) / 256, 6))
+          END AS edges
+        FROM (SELECT min(x) AS lo, max(x) AS hi FROM base)),
+      binned AS (
+        SELECT g1, g2, CAST(CASE
+            WHEN cand < size(edges) AND element_at(edges, cand + 1) <= x
+              THEN cand + 1
+            WHEN element_at(edges, cand) <= x THEN cand
+            ELSE greatest(cand - 1, 1) END AS INT) AS bin
+        FROM (
+          SELECT g1, g2, x, edges, CAST(least(greatest(CASE
+              WHEN hi = lo THEN 1L
+              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
+                / (ln(hi) - ln(lo))) AS BIGINT) + 1L
+              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1L
+            END, 1L), CAST(size(edges) AS BIGINT)) AS INT) AS cand
+          FROM base CROSS JOIN bounds) c),
+      leaf AS (
+        SELECT g1, g2, quantile_sketch_agg(bin) AS sk
+        FROM binned GROUP BY g1, g2),
+      merged AS (
+        SELECT g1, 'ALL' AS g2, quantile_sketch_merge(sk) AS sk
+        FROM leaf GROUP BY g1),
+      both_l AS (
+        SELECT 'leaf' AS level, g1, g2, sk FROM leaf
+        UNION ALL
+        SELECT 'merged' AS level, g1, g2, sk FROM merged)
+      SELECT level, g1 AS l_returnflag, g2 AS l_linestatus,
+        aggregate(sk, 0L, (a, x) -> a + x) AS n,
+        element_at(edges, sketch_quantile_bin(sk, 0.5D)) AS p50,
+        element_at(edges, sketch_quantile_bin(sk, 0.95D)) AS p95,
+        element_at(edges, sketch_quantile_bin(sk, 0.99D)) AS p99
+      FROM both_l CROSS JOIN bounds
+      ORDER BY level, l_returnflag, l_linestatus"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -349,6 +402,10 @@ object GraftCli {
         GROUP BY n_name
         ORDER BY n_cust DESC, n_name
         LIMIT 2) l
-      ORDER BY r.r_name, l.n_cust DESC, l.n_name"""
+      ORDER BY r.r_name, l.n_cust DESC, l.n_name""",
+    // s09 computes exactly the q115 report (same binning text, same CDF
+    // pick) through the SQL aggregates, so it shares q115's oracle BY
+    // REFERENCE — the two entries can never drift apart.
+    "s09_sql_sketch_agg" -> OracleSql.sql("q115_sketch_quantile")
   )
 }

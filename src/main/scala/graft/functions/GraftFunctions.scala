@@ -86,6 +86,24 @@ object GraftFunctions {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     c(NormalizeUnicode(e(text), form))
 
+  /** Histogram-sketch aggregate over 1-based bin indices (Presto
+    * qdigest_agg parity for the graft deterministic sketch): a dense
+    * array<bigint> of bin counts, constant-sized per group. */
+  def quantileSketchAgg(bin: Column): Column =
+    c(QuantileSketchAgg(e(bin)).toAggregateExpression())
+
+  /** Merge already-reduced sketches by elementwise addition (Presto
+    * merge(qdigest) parity) — the rollup level of a two-level percentile
+    * topology, never re-touching the corpus. */
+  def quantileSketchMerge(sketch: Column): Column =
+    c(QuantileSketchMerge(e(sketch)).toAggregateExpression())
+
+  /** The sketch's CDF read: smallest 1-based bin whose cumulative count
+    * reaches ceil(total * p); `element_at(edges, ...)` turns it into the
+    * quantile VALUE against the shared edge table. */
+  def sketchQuantileBin(sketch: Column, p: Column): Column =
+    c(SketchQuantileBin(e(sketch), e(p.cast("double"))))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -137,7 +155,10 @@ object GraftFunctions {
     "bloom_might_contain" -> (args => BloomMightContain(args(0), args(1),
       literalInt("bloom_might_contain", args(2)))),
     "normalize_unicode" -> (args => NormalizeUnicode(args.head,
-      if (args.length > 1) literalString("normalize_unicode", args(1)) else "NFC")))
+      if (args.length > 1) literalString("normalize_unicode", args(1)) else "NFC")),
+    "quantile_sketch_agg" -> (args => QuantileSketchAgg(args.head).toAggregateExpression()),
+    "quantile_sketch_merge" -> (args => QuantileSketchMerge(args.head).toAggregateExpression()),
+    "sketch_quantile_bin" -> (args => SketchQuantileBin(args(0), args(1))))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

@@ -319,6 +319,28 @@ object Kernels {
     if (java.text.Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
+
+  /** CDF read of a bin-count sketch array: smallest 1-based bin whose
+    * cumulative count reaches ceil(total * p) — the q115 kernel's pick,
+    * `min(bin where cum >= ceil(total * p))`, as one O(bins) scan over
+    * an already-aggregated sketch row. An all-zero (or empty) sketch
+    * reads bin 1, matching the kernel's behavior on a 0-count group
+    * (cum >= 0 at the first bin). */
+  def sketchQuantileBin(sketch: ArrayData, p: Double): Int = {
+    val n = sketch.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) { total += sketch.getLong(i); i += 1 }
+    val target = math.ceil(total * p).toLong
+    var cum = 0L
+    i = 0
+    while (i < n) {
+      cum += sketch.getLong(i)
+      if (cum >= target) return i + 1
+      i += 1
+    }
+    1
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -699,5 +721,169 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
     defineCodeGen(ctx, ev, (b, v) => s"graft.functions.Kernels.bloomTest($b, $v, $numHashes)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+/**
+ * quantile_sketch_agg(bin) -> array<bigint> — the SQL-surface form of the
+ * [[graft.operators.QuantileSketch]] histogram sketch (Presto parity:
+ * qdigest_agg, which 0.248 exposes as a SQL aggregate): per-group bin
+ * counts as a dense array indexed by 1-based bin. The buffer grows to the
+ * highest bin actually seen (so callers don't pass a bins constant), is
+ * merged by elementwise addition (commutative, associative — map-side
+ * combine for free), and is CONSTANT-sized per group regardless of group
+ * cardinality: the scale shape that makes a two-level percentile rollup
+ * (leaf sketch → merged sketch) run without re-touching the corpus.
+ * Deterministic by construction — unlike qdigest's engine-defined
+ * internals, the array is hash-verifiable cross-engine.
+ */
+case class QuantileSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  /** Runaway-memory guard: a bin index beyond this is a caller bug (the
+    * q115 topology uses 256), not a bigger sketch. */
+  private val MaxBins = 1 << 20
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def grown(buf: Array[Long], n: Int): Array[Long] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val bin = v match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"quantile_sketch_agg: bin must be integral, got $other")
+      }
+      require(bin >= 1 && bin <= MaxBins,
+        s"quantile_sketch_agg: bin must be in [1, $MaxBins], got $bin")
+      val b = grown(buf, bin.toInt)
+      b(bin.toInt - 1) += 1
+      b
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val m = grown(a, b.length)
+    var i = 0
+    while (i < b.length) { m(i) += b(i); i += 1 }
+    m
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): QuantileSketchAgg =
+    copy(child = c)
+}
+
+/**
+ * quantile_sketch_merge(array<bigint>) -> array<bigint> — Presto's
+ * merge(qdigest) for the graft sketch: elementwise-sum already-reduced
+ * sketches, so a rollup level aggregates O(groups x bins) sketch rows and
+ * never re-touches the corpus. Shorter arrays pad with zeros (a leaf that
+ * never saw high bins merges correctly).
+ */
+case class QuantileSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val m = if (buf.length >= arr.numElements()) buf
+        else java.util.Arrays.copyOf(buf, arr.numElements())
+      var i = 0
+      while (i < arr.numElements()) { m(i) += arr.getLong(i); i += 1 }
+      m
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val m = if (a.length >= b.length) a else java.util.Arrays.copyOf(a, b.length)
+    var i = 0
+    while (i < b.length) { m(i) += b(i); i += 1 }
+    m
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): QuantileSketchMerge =
+    copy(child = c)
+}
+
+/** sketch_quantile_bin(array<bigint>, p) -> int — the CDF read of the
+  * histogram sketch: the smallest 1-based bin whose cumulative count
+  * reaches ceil(total * p), exactly the q115 kernel's
+  * `min(bin where cum >= ceil(total * p))` pick (and the DuckDB oracle's
+  * replay of it), so `element_at(edges, sketch_quantile_bin(sk, p))`
+  * reads the same quantile value the DataFrame topology reports.
+  * Codegen'd via the static kernel; runs over already-aggregated sketch
+  * rows, never the corpus. */
+case class SketchQuantileBin(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(sk: Any, p: Any): Any =
+    Kernels.sketchQuantileBin(sk.asInstanceOf[ArrayData], p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sk, p) => s"graft.functions.Kernels.sketchQuantileBin($sk, $p)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SketchQuantileBin =
     copy(left = l, right = r)
 }
