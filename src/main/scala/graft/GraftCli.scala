@@ -24,6 +24,19 @@ import graft.sources.Tables
  * `--format csv|json` emits machine-readable rows to stdout — the
  * reference CLI's `--output-format CSV` (Presto CLI docs); the default
  * `table` keeps the human show() rendering.
+ *
+ * DML works through the same front door (the reference CLI writes
+ * through its connectors — the MySQL catalog of mysql.properties:1-3,
+ * reached via README.md:44's `connect` flow): `CREATE TABLE t AS
+ * SELECT ...` / `INSERT INTO t ...` / `DROP TABLE t` run against the
+ * session catalog as parquet-backed managed tables under
+ * `spark.sql.warehouse.dir` (override with SPARK_GRAFT_WAREHOUSE).
+ * Writes are distributed parquet jobs — executors write files, the
+ * driver only commits, so an INSERT of a 100 TB SELECT is the same
+ * plan shape as any other parquet sink. Misuse (CTAS over an existing
+ * table, INSERT into a missing one) surfaces Spark's catalog error as
+ * one clean `[graft-cli] error:` line, statement-scoped like every
+ * other statement failure.
  */
 object GraftCli {
 
@@ -197,7 +210,9 @@ object GraftCli {
     // notebook), borrow it and leave it running; only stop what we started
     val preexisting = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
-    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"),
+      extraConfs = sys.env.get("SPARK_GRAFT_WAREHOUSE")
+        .map("spark.sql.warehouse.dir" -> _).toMap)
     open(spark, sfDir)
     statements.foreach { stmt =>
       try runStatement(spark, stmt, format, System.out, System.err)

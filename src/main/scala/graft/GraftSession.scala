@@ -46,9 +46,14 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
-  /** Create (or reuse) a session with graft defaults. */
-  def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val s = builder(master, shufflePartitions).getOrCreate()
+  /** Create (or reuse) a session with graft defaults; `extraConfs` are
+    * applied at build time (no-ops when an existing session is reused —
+    * standard getOrCreate semantics). */
+  def get(master: String = "local[*]", shufflePartitions: Int = 32,
+          extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val s = extraConfs.foldLeft(builder(master, shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // WindowExec warns "No Partition Defined ... Moving all data to a
     // single partition" on ANY empty partitionSpec, including the three

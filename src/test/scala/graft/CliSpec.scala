@@ -188,4 +188,57 @@ class CliSpec extends GraftSpec {
     assert(merge.contains("SortMergeJoin"),
       s"MERGE hint must override the broadcast default:\n$merge")
   }
+
+  test("DML round-trips through the real main: CTAS -> INSERT -> SELECT read-back") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "DROP TABLE IF EXISTS graft_dml_rt",
+      """CREATE TABLE graft_dml_rt AS
+         SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3""",
+      "INSERT INTO graft_dml_rt SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 3",
+      "INSERT INTO graft_dml_rt VALUES (99, 'SYNTH')",
+      "SELECT r_regionkey, r_name FROM graft_dml_rt ORDER BY r_regionkey, r_name"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    // the SELECT is the last statement: its header + 6 rows close the output
+    val sel = lines.takeRight(7)
+    assert(sel.head == "r_regionkey,r_name", lines.mkString("\n"))
+    val want = GraftCli.sql(spark, sf, "SELECT r_regionkey, r_name FROM region")
+      .collect().map(r => s"${r.getInt(0)},${r.getString(1)}").sorted :+ "99,SYNTH"
+    assert(sel.tail == want.sorted.toSeq, sel.mkString("\n"))
+    // the managed table is parquet-backed in the session warehouse
+    val detail = GraftCli.sql(spark, sf, "DESCRIBE EXTENDED graft_dml_rt")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+    assert(detail.toLowerCase.contains("parquet"), detail)
+    GraftCli.sql(spark, sf, "DROP TABLE graft_dml_rt")
+    val gone = GraftCli.sql(spark, sf, "SHOW TABLES")
+      .collect().map(_.getAs[String]("tableName"))
+    assert(!gone.contains("graft_dml_rt"))
+  }
+
+  test("DML misuse fails with one clean statement-scoped error line") {
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val saved = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf,
+      "DROP TABLE IF EXISTS graft_dml_dup",
+      "CREATE TABLE graft_dml_dup AS SELECT 1 AS x",
+      "CREATE TABLE graft_dml_dup AS SELECT 2 AS x", // duplicate CTAS
+      "INSERT INTO graft_dml_missing VALUES (1)"))   // missing target
+    finally { System.setErr(saved); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 2, s"expected exactly 2 clean errors:\n$err")
+    assert(errors.exists(_.toLowerCase.contains("already exists")), err)
+    assert(errors.exists(e => e.contains("graft_dml_missing")), err)
+    // the duplicate CTAS must not have clobbered the original data
+    val x = GraftCli.sql(spark, sf, "SELECT x FROM graft_dml_dup").head().getInt(0)
+    assert(x == 1, "failed CTAS must leave the existing table untouched")
+    GraftCli.sql(spark, sf, "DROP TABLE graft_dml_dup")
+  }
 }
