@@ -2989,6 +2989,60 @@ object OracleSql {
       WHERE d.dot > 0
       ORDER BY cosine DESC, d.doc_id LIMIT 20""",
 
+    // q127: closed-form replay of the segment-intersection orientation
+    // test and the clamp-projection point-to-segment distance — the same
+    // fixed-association IEEE multiply/subtract order as the Kernels
+    // methods (orient/segmentsIntersect/pointSegmentDist), so every
+    // intermediate is bit-identical cross-engine (the q123 discipline;
+    // no libm beyond one correctly-rounded sqrt). The Spark side's bbox
+    // prefilter is result-invariant (intersecting segments always have
+    // overlapping bboxes), so the oracle replays the predicate alone.
+    "q127_st_predicates" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS ax,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS ay,
+          CAST((c_custkey * 7) % 341 AS DOUBLE) * 1.05 - 178.5 AS bx,
+          CAST((c_custkey * 13) % 171 AS DOUBLE) * 0.9 - 76.5 AS by
+        FROM customer),
+      edges(edge_id, ex1, ey1, ex2, ey2) AS (VALUES
+        (0, -50.0, -30.0, 60.0, -40.0),
+        (1, 60.0, -40.0, 70.0, 50.0),
+        (2, 70.0, 50.0, 0.0, 10.0),
+        (3, 0.0, 10.0, -60.0, 40.0),
+        (4, -60.0, 40.0, -50.0, -30.0)),
+      o AS (
+        SELECT c_custkey, ax, ay, bx, by, ex1, ey1, ex2, ey2,
+          (ex2 - ex1) * (ay - ey1) - (ey2 - ey1) * (ax - ex1) AS d1,
+          (ex2 - ex1) * (by - ey1) - (ey2 - ey1) * (bx - ex1) AS d2,
+          (bx - ax) * (ey1 - ay) - (by - ay) * (ex1 - ax) AS d3,
+          (bx - ax) * (ey2 - ay) - (by - ay) * (ex2 - ax) AS d4,
+          LEAST(GREATEST(
+            ((ax - ex1) * (ex2 - ex1) + (ay - ey1) * (ey2 - ey1))
+              / ((ex2 - ex1) * (ex2 - ex1) + (ey2 - ey1) * (ey2 - ey1)),
+            0.0), 1.0) AS t
+        FROM pts CROSS JOIN edges),
+      v AS (
+        SELECT c_custkey,
+          ((((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+             AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+           OR (d1 = 0 AND LEAST(ex1, ex2) <= ax AND ax <= GREATEST(ex1, ex2)
+               AND LEAST(ey1, ey2) <= ay AND ay <= GREATEST(ey1, ey2))
+           OR (d2 = 0 AND LEAST(ex1, ex2) <= bx AND bx <= GREATEST(ex1, ex2)
+               AND LEAST(ey1, ey2) <= by AND by <= GREATEST(ey1, ey2))
+           OR (d3 = 0 AND LEAST(ax, bx) <= ex1 AND ex1 <= GREATEST(ax, bx)
+               AND LEAST(ay, by) <= ey1 AND ey1 <= GREATEST(ay, by))
+           OR (d4 = 0 AND LEAST(ax, bx) <= ex2 AND ex2 <= GREATEST(ax, bx)
+               AND LEAST(ay, by) <= ey2 AND ey2 <= GREATEST(ay, by))) AS hit,
+          sqrt((ax - (ex1 + t * (ex2 - ex1))) * (ax - (ex1 + t * (ex2 - ex1)))
+             + (ay - (ey1 + t * (ey2 - ey1))) * (ay - (ey1 + t * (ey2 - ey1))))
+            AS dist
+        FROM o)
+      SELECT c_custkey,
+        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        round(MIN(dist), 4) AS min_dist
+      FROM v GROUP BY c_custkey ORDER BY c_custkey""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,

@@ -200,6 +200,7 @@ object SparkEntry {
     "q124_bing_tiles" -> (Relational.q124 _),
     "q125_map_transform" -> (Relational.q125 _),
     "q126_map_cosine" -> (Relational.q126 _),
+    "q127_st_predicates" -> (Relational.q127 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -104,6 +104,22 @@ object GraftFunctions {
   def sketchQuantileBin(sketch: Column, p: Column): Column =
     c(SketchQuantileBin(e(sketch), e(p.cast("double"))))
 
+  /** Closed-segment intersection (Presto ST_Intersects, segment-segment
+    * core): true on proper crossings, endpoint touches, and collinear
+    * overlap. Pair with a bounding-box prefilter; at scale the pruning
+    * form is a tile join key ([[bingTileQuadkey]]). */
+  def stIntersects(x1: Column, y1: Column, x2: Column, y2: Column,
+                   x3: Column, y3: Column, x4: Column, y4: Column): Column =
+    c(SegmentsIntersect(IndexedSeq(x1, y1, x2, y2, x3, y3, x4, y4)
+      .map(col => e(col.cast("double")))))
+
+  /** Distance from a point to a closed segment (Presto ST_Distance,
+    * point-to-segment core). */
+  def stDistance(px: Column, py: Column, x1: Column, y1: Column,
+                 x2: Column, y2: Column): Column =
+    c(PointSegmentDist(IndexedSeq(px, py, x1, y1, x2, y2)
+      .map(col => e(col.cast("double")))))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -158,7 +174,9 @@ object GraftFunctions {
       if (args.length > 1) literalString("normalize_unicode", args(1)) else "NFC")),
     "quantile_sketch_agg" -> (args => QuantileSketchAgg(args.head).toAggregateExpression()),
     "quantile_sketch_merge" -> (args => QuantileSketchMerge(args.head).toAggregateExpression()),
-    "sketch_quantile_bin" -> (args => SketchQuantileBin(args(0), args(1))))
+    "sketch_quantile_bin" -> (args => SketchQuantileBin(args(0), args(1))),
+    "st_intersects" -> (args => SegmentsIntersect(args.toIndexedSeq)),
+    "st_distance" -> (args => PointSegmentDist(args.toIndexedSeq)))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

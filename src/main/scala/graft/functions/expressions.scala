@@ -320,6 +320,58 @@ object Kernels {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 
+  /** Orientation of the triple (ax,ay)->(bx,by)->(cx,cy): the cross
+    * product (b-a) x (c-a). Pure IEEE multiply/subtract in a fixed
+    * association order, so a SQL oracle replaying the same expression
+    * text gets the same sign bit-for-bit. */
+  @inline def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Closed-segment intersection test (Presto ST_Intersects, the
+    * segment-segment core): proper crossings via the four orientation
+    * signs, plus the collinear/touching cases via on-segment bounding
+    * checks. Touching at an endpoint and collinear overlap both count
+    * as intersecting (closed-set semantics, as in Presto/JTS). */
+  def segmentsIntersect(x1: Double, y1: Double, x2: Double, y2: Double,
+                        x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else if (d1 == 0 && onSegment(x3, y3, x4, y4, x1, y1)) true
+    else if (d2 == 0 && onSegment(x3, y3, x4, y4, x2, y2)) true
+    else if (d3 == 0 && onSegment(x1, y1, x2, y2, x3, y3)) true
+    else d4 == 0 && onSegment(x1, y1, x2, y2, x4, y4)
+  }
+
+  /** Is (px,py) — already known collinear with a->b — inside a->b's
+    * bounding box? */
+  @inline private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+                                px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  /** Euclidean distance from (px,py) to the closed segment
+    * (x1,y1)-(x2,y2) (Presto ST_Distance, the point-to-segment core):
+    * project onto the segment, clamp the parameter to [0,1], distance
+    * to the clamped foot. A degenerate (zero-length) segment degrades
+    * to point distance. Fixed association order + correctly-rounded
+    * sqrt make the value oracle-replayable bit-for-bit. */
+  def pointSegmentDist(px: Double, py: Double, x1: Double, y1: Double,
+                       x2: Double, y2: Double): Double = {
+    val bx = x2 - x1
+    val by = y2 - y1
+    val len2 = bx * bx + by * by
+    val t0 = if (len2 == 0) 0.0 else ((px - x1) * bx + (py - y1) * by) / len2
+    val t = math.min(math.max(t0, 0.0), 1.0)
+    val dx = px - (x1 + t * bx)
+    val dy = py - (y1 + t * by)
+    math.sqrt(dx * dx + dy * dy)
+  }
+
   /** CDF read of a bin-count sketch array: smallest 1-based bin whose
     * cumulative count reaches ceil(total * p) — the q115 kernel's pick,
     * `min(bin where cum >= ceil(total * p))`, as one O(bins) scan over
@@ -886,4 +938,96 @@ case class SketchQuantileBin(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SketchQuantileBin =
     copy(left = l, right = r)
+}
+
+/** Shared shape for the n-ary geometry predicates (Catalyst ships fixed
+  * helpers only up to QuaternaryExpression; segment-segment needs 8
+  * doubles, point-segment 6): children all cast to double upstream, one
+  * static-kernel call per row, full codegen with standard null
+  * short-circuiting so the expression stays inside whole-stage spans. */
+trait NaryDoubleKernel extends Expression {
+  /** Fully-qualified static kernel, e.g.
+    * "graft.functions.Kernels.segmentsIntersect". */
+  protected def kernel: String
+  /** Java type + neutral initial value of the result. */
+  protected def javaType: String
+  protected def javaInit: String
+  protected def evalKernel(args: Array[Double]): Any
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val args = new Array[Double](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      args(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    evalKernel(args)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val childCode = gens.map(_.code).reduce(_ + _)
+    val callArgs = gens.map(_.value.toString).mkString(", ")
+    if (nullable) {
+      val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+      ev.copy(code = childCode + code"""
+        boolean ${ev.isNull} = $anyNull;
+        $javaType ${ev.value} = $javaInit;
+        if (!${ev.isNull}) { ${ev.value} = $kernel($callArgs); }""")
+    } else {
+      ev.copy(code = childCode + code"""
+        $javaType ${ev.value} = $kernel($callArgs);""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+}
+
+/** st_intersects(x1,y1, x2,y2, x3,y3, x4,y4) -> boolean — closed-segment
+  * intersection (Presto ST_Intersects' segment-segment core; reference
+  * surface: Presto 0.248's geospatial plugin). Orientation-sign test +
+  * collinear/touching bounding checks; see [[Kernels.segmentsIntersect]].
+  * Pair with a cheap bounding-box predicate (plain comparisons) as the
+  * prefilter — at scale the pruning form is a bbox/tile JOIN KEY
+  * (bing_tile_quadkey) so candidate pairs never materialize. */
+case class SegmentsIntersect(children: IndexedSeq[Expression])
+  extends NaryDoubleKernel {
+  require(children.length == 8,
+    s"st_intersects takes 8 coordinates (two segments), got ${children.length}")
+
+  override def dataType: DataType = BooleanType
+  override protected def kernel: String = "graft.functions.Kernels.segmentsIntersect"
+  override protected def javaType: String = "boolean"
+  override protected def javaInit: String = "false"
+  override protected def evalKernel(a: Array[Double]): Any =
+    Kernels.segmentsIntersect(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SegmentsIntersect =
+    copy(children = newChildren)
+}
+
+/** st_distance(px,py, x1,y1, x2,y2) -> double — Euclidean distance from
+  * a point to a closed segment (Presto ST_Distance's point-to-segment
+  * core); see [[Kernels.pointSegmentDist]]. */
+case class PointSegmentDist(children: IndexedSeq[Expression])
+  extends NaryDoubleKernel {
+  require(children.length == 6,
+    s"st_distance takes 6 coordinates (point + segment), got ${children.length}")
+
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "graft.functions.Kernels.pointSegmentDist"
+  override protected def javaType: String = "double"
+  override protected def javaInit: String = "0.0"
+  override protected def evalKernel(a: Array[Double]): Any =
+    Kernels.pointSegmentDist(a(0), a(1), a(2), a(3), a(4), a(5))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PointSegmentDist =
+    copy(children = newChildren)
 }

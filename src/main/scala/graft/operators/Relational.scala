@@ -1843,6 +1843,50 @@ object Relational {
       .limit(20)
   }
 
+  /** q127: geometry-geometry predicates (Presto's ST_Intersects +
+    * ST_Distance core, extending the q122/q123/q124 geo family from
+    * point-vs-shape to shape-vs-shape). Each customer carries a derived
+    * SEGMENT; it is tested against the 5 edges of the q123 ring
+    * (broadcast VALUES frame — the deliberate <= 5-row crossJoin
+    * pattern). `bbox` is a pure-comparison prefilter short-circuiting
+    * the orientation kernel (intersecting segments always have
+    * overlapping bboxes, so AND-ing it is result-invariant); at corpus x
+    * corpus scale the same pruning becomes a bing-tile join key so
+    * non-overlapping pairs never materialize (q124's quadkey). All
+    * arithmetic is fixed-association IEEE multiply/subtract + one
+    * correctly-rounded sqrt — the oracle replays it closed-form
+    * bit-for-bit (the q123 discipline). */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{stDistance, stIntersects}
+    val ring = Seq((-50.0, -30.0), (60.0, -40.0), (70.0, 50.0),
+      (0.0, 10.0), (-60.0, 40.0), (-50.0, -30.0))
+    val edges = broadcast(s.createDataFrame(
+      ring.zip(ring.tail).zipWithIndex.map { case (((ex1, ey1), (ex2, ey2)), i) =>
+        (i, ex1, ey1, ex2, ey2)
+      }).toDF("edge_id", "ex1", "ey1", "ex2", "ey2"))
+    val px = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val py = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val qx = ((col("c_custkey") * 7) % 341).cast("double") * 1.05 - 178.5
+    val qy = ((col("c_custkey") * 13) % 171).cast("double") * 0.9 - 76.5
+    val bbox =
+      least(col("ax"), col("bx")) <= greatest(col("ex1"), col("ex2")) &&
+      least(col("ex1"), col("ex2")) <= greatest(col("ax"), col("bx")) &&
+      least(col("ay"), col("by")) <= greatest(col("ey1"), col("ey2")) &&
+      least(col("ey1"), col("ey2")) <= greatest(col("ay"), col("by"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), px.as("ax"), py.as("ay"), qx.as("bx"), qy.as("by"))
+      .crossJoin(edges)
+      .select(col("c_custkey"),
+        (bbox && stIntersects(col("ax"), col("ay"), col("bx"), col("by"),
+          col("ex1"), col("ey1"), col("ex2"), col("ey2"))).as("hit"),
+        stDistance(col("ax"), col("ay"),
+          col("ex1"), col("ey1"), col("ex2"), col("ey2")).as("dist"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        round(min(col("dist")), 4).as("min_dist"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -341,4 +341,50 @@ class ExpressionsSpec extends GraftSpec {
       "normalize_unicode('\ufb01le', 'NFKC') AS b").head()
     assert(viaSql2.getString(0) == composed && viaSql2.getString(1) == "file")
   }
+
+  test("st_intersects: crossings, touches, collinear overlap, disjoint") {
+    import graft.functions.Kernels.segmentsIntersect
+    // proper crossing
+    assert(segmentsIntersect(0, 0, 10, 10, 0, 10, 10, 0))
+    // disjoint, parallel
+    assert(!segmentsIntersect(0, 0, 10, 0, 0, 1, 10, 1))
+    // touching at an endpoint counts (closed segments)
+    assert(segmentsIntersect(0, 0, 5, 5, 5, 5, 10, 0))
+    // T-touch: endpoint of one in the interior of the other
+    assert(segmentsIntersect(0, 0, 10, 0, 5, 0, 5, 7))
+    // collinear with overlap
+    assert(segmentsIntersect(0, 0, 10, 0, 5, 0, 15, 0))
+    // collinear, disjoint
+    assert(!segmentsIntersect(0, 0, 4, 0, 5, 0, 9, 0))
+    // collinear, touching at exactly one shared point
+    assert(segmentsIntersect(0, 0, 5, 0, 5, 0, 9, 0))
+    // degenerate: zero-length segment on / off the other
+    assert(segmentsIntersect(3, 0, 3, 0, 0, 0, 10, 0))
+    assert(!segmentsIntersect(3, 1, 3, 1, 0, 0, 10, 0))
+  }
+
+  test("st_distance: interior foot, clamped endpoints, degenerate segment") {
+    import graft.functions.Kernels.pointSegmentDist
+    // foot inside the segment: plain perpendicular distance
+    assert(pointSegmentDist(5, 3, 0, 0, 10, 0) == 3.0)
+    // beyond either end: clamps to the nearer endpoint (3-4-5 triangle)
+    assert(pointSegmentDist(-3, 4, 0, 0, 10, 0) == 5.0)
+    assert(pointSegmentDist(13, 4, 0, 0, 10, 0) == 5.0)
+    // on the segment: zero
+    assert(pointSegmentDist(7, 0, 0, 0, 10, 0) == 0.0)
+    // zero-length segment degrades to point distance
+    assert(pointSegmentDist(3, 4, 0, 0, 0, 0) == 5.0)
+  }
+
+  test("st_intersects / st_distance run codegen'd through the SQL surface") {
+    graft.functions.GraftFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT st_intersects(0D,0D,10D,10D, 0D,10D,10D,0D) AS hit,
+                st_intersects(0D,0D,1D,0D, 2D,0D,3D,0D) AS miss,
+                st_distance(5D,3D, 0D,0D,10D,0D) AS d,
+                st_distance(CAST(NULL AS DOUBLE),3D, 0D,0D,10D,0D) AS nd""").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getDouble(2) == 3.0)
+    assert(r.isNullAt(3), "null coordinate must yield null, not a value")
+  }
 }
