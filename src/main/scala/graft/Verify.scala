@@ -23,6 +23,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint mode (spark.graft.checkpoint.reliable=true via
+    // --conf / spark-submit) needs a checkpoint dir every executor can
+    // reach; SPARK_GRAFT_CKPT_DIR pins it (a local path is genuinely
+    // shared under local-cluster[N,..] — one machine, many JVMs)
+    if (spark.conf.getOption(graft.plans.Checkpoints.ReliableConf).exists(_.toBoolean)
+        && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+        Files.createTempDirectory("graft-ckpt").toString))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

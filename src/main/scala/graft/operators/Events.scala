@@ -282,7 +282,7 @@ object Events {
           (floor(abs(col("value")) * 100 + lit(0.5)) * signum(col("value")))
             .cast("long")).otherwise(0L))
           .as("cents"))
-      .localCheckpoint()
+      .transform(graft.plans.Checkpoints.stage)
     val metrics = users.select(expr(
       """stack(3, 'r', CAST(last_us AS DOUBLE), 'f', CAST(n_events AS DOUBLE),
         |'m', CAST(cents AS DOUBLE)) AS (metric, x)""".stripMargin))

@@ -89,8 +89,9 @@ object QuantileSketch {
       .agg(count(lit(1)).as("cnt"))
       // materialize the leaf sketch (≤ groups·bins rows) so the merged
       // level provably aggregates sketch rows, not a corpus re-scan —
-      // the p05 localCheckpoint discipline
-      .localCheckpoint()
+      // the p05 staging discipline (conf-switchable to a reliable
+      // checkpoint for churn-heavy deployments, see plans.Checkpoints)
+      .transform(graft.plans.Checkpoints.stage)
     val mergedHist = leafHist
       .groupBy(col("g1"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))

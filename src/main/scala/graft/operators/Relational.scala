@@ -1826,7 +1826,7 @@ object Relational {
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("w"), col("c"))))).as("m"),
         sum(col("c") * col("c")).as("nsq"))
-      .localCheckpoint()
+      .transform(graft.plans.Checkpoints.stage)
     val query = tf.filter(col("doc_id") === 0)
       .select(col("m").as("qm"), col("nsq").as("qnsq"))
     tf.filter(col("doc_id") =!= 0)

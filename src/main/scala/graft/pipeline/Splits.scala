@@ -59,8 +59,10 @@ object Splits {
   def shardPack(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
     import s.implicits._
     val parts = math.max(s.sparkContext.defaultParallelism, 4)
-    // localCheckpoint (eager) because BOTH passes must observe the SAME
-    // range boundaries: the range sampler's seed varies per job, so two
+    // eager checkpoint staging (plans.Checkpoints: localCheckpoint by
+    // default, conf-switchable to reliable) because BOTH passes must
+    // observe the SAME range boundaries: the range sampler's seed varies
+    // per job, so two
     // unmaterialized executions of this exchange could place boundary
     // rows in different partitions and desynchronize the collected
     // offsets from the assignment pass. A cacheManager persist would do
@@ -75,7 +77,7 @@ object Splits {
         scatter(col("doc_id")).as("ord"))
       .repartitionByRange(parts, col("split"), col("ord"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("ord"), col("doc_id"))
-      .localCheckpoint()
+      .transform(graft.plans.Checkpoints.stage)
     // pass 1: per-(partition, split) totals — numPartitions x splits rows
     val partTotals = docs
       .groupBy(spark_partition_id().as("pid"), col("split"))

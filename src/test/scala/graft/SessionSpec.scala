@@ -27,4 +27,30 @@ class SessionSpec extends GraftSpec {
     assert(spark.conf.get("spark.sql.extensions") == "graft.functions.GraftExtensions")
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
   }
+
+  test("reliable-checkpoint mode: same results, digest-identical plans (q115/e13/q126/p05)") {
+    val entries = Seq("q115_sketch_quantile", "e13_rfm", "q126_map_cosine",
+      "p05_shard_pack")
+    val before = entries.map(n => n -> SparkEntry.queries(n)(spark, sf).collect().toSeq)
+    val digestsBefore = entries.map(n =>
+      n -> graft.plans.PlanDigest.canonical(SparkEntry.queries(n)(spark, sf)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.plans.Checkpoints.ReliableConf, "true")
+    try {
+      before.foreach { case (n, want) =>
+        val got = SparkEntry.queries(n)(spark, sf).collect().toSeq
+        assert(got == want, s"$n changed results under reliable checkpointing")
+      }
+      digestsBefore.foreach { case (n, want) =>
+        val got = graft.plans.PlanDigest.canonical(SparkEntry.queries(n)(spark, sf))
+        assert(got == want, s"$n plan digest moved under reliable checkpointing")
+      }
+      // the reliable blocks actually landed on the checkpoint dir
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable mode must write checkpoint blocks to the shared dir")
+    } finally spark.conf.unset(graft.plans.Checkpoints.ReliableConf)
+  }
+
 }
