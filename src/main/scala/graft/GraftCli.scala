@@ -300,9 +300,10 @@ object GraftCli {
     // graft-registered sketch aggregates (Presto's qdigest_agg / merge /
     // value_at_quantile surface, README.md:90-96 `presto:test>` flow):
     // leaf sketches via quantile_sketch_agg over the shared snapped edge
-    // table, rollup via quantile_sketch_merge over sketch rows only,
-    // quantile values via sketch_quantile_bin + element_at. Same oracle
-    // discipline as q115 (the binning SQL is the kernel's own expr text).
+    // table (bin decision = the same codegen edge_bin the kernel uses),
+    // rollup via quantile_sketch_merge over sketch rows only, quantile
+    // values via sketch_quantile_bin + element_at. Same oracle
+    // discipline as q115 (shared BY REFERENCE below).
     "s09_sql_sketch_agg" -> ((s, d) => sql(s, d, """
       WITH base AS (
         SELECT l_returnflag AS g1, l_linestatus AS g2,
@@ -319,19 +320,8 @@ object GraftCli {
           END AS edges
         FROM (SELECT min(x) AS lo, max(x) AS hi FROM base)),
       binned AS (
-        SELECT g1, g2, CAST(CASE
-            WHEN cand < size(edges) AND element_at(edges, cand + 1) <= x
-              THEN cand + 1
-            WHEN element_at(edges, cand) <= x THEN cand
-            ELSE greatest(cand - 1, 1) END AS INT) AS bin
-        FROM (
-          SELECT g1, g2, x, edges, CAST(least(greatest(CASE
-              WHEN hi = lo THEN 1L
-              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
-                / (ln(hi) - ln(lo))) AS BIGINT) + 1L
-              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1L
-            END, 1L), CAST(size(edges) AS BIGINT)) AS INT) AS cand
-          FROM base CROSS JOIN bounds) c),
+        SELECT g1, g2, edge_bin(edges, x) AS bin
+        FROM base CROSS JOIN bounds),
       leaf AS (
         SELECT g1, g2, quantile_sketch_agg(bin) AS sk
         FROM binned GROUP BY g1, g2),

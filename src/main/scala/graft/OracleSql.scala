@@ -2298,21 +2298,15 @@ object OracleSql {
           END AS edges
         FROM b),
       leaf AS (
+        -- bin = exact count of edges <= x (clamped >= 1): the same
+        -- definitional decision the engine's codegen binary-search
+        -- EdgeBin makes — pure IEEE comparisons against the shared
+        -- snapped table, no libm candidate, no plateau residual
         SELECT g1, g2,
-          CAST(CASE
-            WHEN cand < len(edges) AND edges[cand + 1] <= x THEN cand + 1
-            WHEN edges[cand] <= x THEN cand
-            ELSE GREATEST(cand - 1, 1) END AS BIGINT) AS bin,
+          CAST(GREATEST(len(list_filter(edges, e -> e <= x)), 1)
+            AS BIGINT) AS bin,
           COUNT(*) AS cnt
-        FROM (
-          SELECT g1, g2, x, edges,
-            LEAST(GREATEST(CASE
-              WHEN hi = lo THEN CAST(1 AS BIGINT)
-              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
-                / (ln(hi) - ln(lo))) AS BIGINT) + 1
-              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1
-            END, CAST(1 AS BIGINT)), len(edges)) AS cand
-          FROM g CROSS JOIN be) c GROUP BY 1, 2, 3),
+        FROM g CROSS JOIN be GROUP BY 1, 2, 3),
       merged AS (
         SELECT g1, 'ALL' AS g2, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
         FROM leaf GROUP BY 1, 2, 3),
@@ -2779,21 +2773,15 @@ object OracleSql {
           END AS edges
         FROM b),
       leaf AS (
+        -- bin = exact count of edges <= x (clamped >= 1): the same
+        -- definitional decision the engine's codegen binary-search
+        -- EdgeBin makes — pure IEEE comparisons against the shared
+        -- snapped table, no libm candidate, no plateau residual
         SELECT l_returnflag, l_linestatus,
-          CAST(CASE
-            WHEN cand < len(edges) AND edges[cand + 1] <= x THEN cand + 1
-            WHEN edges[cand] <= x THEN cand
-            ELSE GREATEST(cand - 1, 1) END AS BIGINT) AS bin,
+          CAST(GREATEST(len(list_filter(edges, e -> e <= x)), 1)
+            AS BIGINT) AS bin,
           COUNT(*) AS cnt
-        FROM (
-          SELECT l_returnflag, l_linestatus, x, edges,
-            LEAST(GREATEST(CASE
-              WHEN hi = lo THEN CAST(1 AS BIGINT)
-              WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * 256
-                / (ln(hi) - ln(lo))) AS BIGINT) + 1
-              ELSE CAST(floor((x - lo) * 256 / (hi - lo)) AS BIGINT) + 1
-            END, CAST(1 AS BIGINT)), len(edges)) AS cand
-          FROM li CROSS JOIN be) c GROUP BY 1, 2, 3),
+        FROM li CROSS JOIN be GROUP BY 1, 2, 3),
       merged AS (
         SELECT l_returnflag, 'ALL' AS l_linestatus, bin,
           CAST(SUM(cnt) AS BIGINT) AS cnt

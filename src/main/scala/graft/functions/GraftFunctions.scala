@@ -104,6 +104,13 @@ object GraftFunctions {
   def sketchQuantileBin(sketch: Column, p: Column): Column =
     c(SketchQuantileBin(e(sketch), e(p.cast("double"))))
 
+  /** Histogram bin of x against a sorted snapped edge table: count of
+    * edges <= x (clamped >= 1), by codegen binary search — the exact
+    * definitional bin decision the quantile-sketch topologies share
+    * with their oracles. */
+  def edgeBin(edges: Column, x: Column): Column =
+    c(EdgeBin(e(edges), e(x.cast("double"))))
+
   /** Closed-segment intersection (Presto ST_Intersects, segment-segment
     * core): true on proper crossings, endpoint touches, and collinear
     * overlap. Pair with a bounding-box prefilter; at scale the pruning
@@ -175,6 +182,7 @@ object GraftFunctions {
     "quantile_sketch_agg" -> (args => QuantileSketchAgg(args.head).toAggregateExpression()),
     "quantile_sketch_merge" -> (args => QuantileSketchMerge(args.head).toAggregateExpression()),
     "sketch_quantile_bin" -> (args => SketchQuantileBin(args(0), args(1))),
+    "edge_bin" -> (args => EdgeBin(args(0), args(1))),
     "st_intersects" -> (args => SegmentsIntersect(args.toIndexedSeq)),
     "st_distance" -> (args => PointSegmentDist(args.toIndexedSeq)))
 

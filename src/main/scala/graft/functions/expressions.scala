@@ -122,10 +122,15 @@ object Kernels {
   def shingleHash64(words: ArrayData, k: Int): ArrayData = {
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
+    // null elements stay null here and are SKIPPED below — separator
+    // included — exactly concat_ws's null handling, so the byte-identity
+    // contract holds on arrays with nulls too (an empty STRING is not
+    // null: it contributes nothing but keeps its separators, also like
+    // concat_ws)
     val bytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      bytes(i) = if (words.isNullAt(i)) Array.emptyByteArray
+      bytes(i) = if (words.isNullAt(i)) null
         else words.getUTF8String(i).getBytes
       i += 1
     }
@@ -133,14 +138,18 @@ object Kernels {
     var p = 0
     while (p <= n - k) {
       var h = 0xcbf29ce484222325L
+      var emitted = false
       var j = p
       while (j < p + k) {
-        if (j > p) h = (h ^ 0x20L) * 0x100000001b3L
         val b = bytes(j)
-        var t = 0
-        while (t < b.length) {
-          h = (h ^ (b(t) & 0xffL)) * 0x100000001b3L
-          t += 1
+        if (b != null) {
+          if (emitted) h = (h ^ 0x20L) * 0x100000001b3L
+          var t = 0
+          while (t < b.length) {
+            h = (h ^ (b(t) & 0xffL)) * 0x100000001b3L
+            t += 1
+          }
+          emitted = true
         }
         j += 1
       }
@@ -370,6 +379,26 @@ object Kernels {
     val dx = px - (x1 + t * bx)
     val dy = py - (y1 + t * by)
     math.sqrt(dx * dx + dy * dy)
+  }
+
+  /** Histogram-sketch bin decision: COUNT of edges <= x over the sorted
+    * snapped edge table, clamped to >= 1 — the exact definitional form,
+    * via binary search (O(log bins) pure IEEE comparisons per row, no
+    * lambda interpretation, no allocation). This subsumes the r10
+    * closed-form-candidate-±1 scheme: that correction could land on a
+    * bin whose 6-dp-rounded edge still exceeds x when rounding collapses
+    * adjacent edges into a plateau (the backward scan needed there is
+    * plateau-length, not 1) — binary search against the rounded table
+    * has no such residual, and stays engine-agnostic: any engine that
+    * counts edges <= x agrees bit-for-bit. */
+  def edgeBin(edges: ArrayData, x: Double): Int = {
+    var lo = 0                       // edges[0..lo-1] <= x (1-based count)
+    var hi = edges.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (edges.getDouble(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    if (lo < 1) 1 else lo
   }
 
   /** CDF read of a bin-count sketch array: smallest 1-based bin whose
@@ -914,6 +943,27 @@ case class QuantileSketchMerge(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(c: Expression): QuantileSketchMerge =
     copy(child = c)
+}
+
+/** edge_bin(array<double> edges, x) -> int — the histogram-sketch bin
+  * decision (see [[Kernels.edgeBin]]): count of sorted edges <= x,
+  * clamped to >= 1, by codegen binary search. The one bin function the
+  * q115/e12/s09 topologies share with their oracles' count-of-edges
+  * replay. */
+case class EdgeBin(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(edges: Any, x: Any): Any =
+    Kernels.edgeBin(edges.asInstanceOf[ArrayData], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, x) => s"graft.functions.Kernels.edgeBin($e, $x)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EdgeBin =
+    copy(left = l, right = r)
 }
 
 /** sketch_quantile_bin(array<bigint>, p) -> int — the CDF read of the

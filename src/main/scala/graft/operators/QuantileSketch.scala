@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
  * Quantiles read off the merged CDF at the bin's lower edge.
  * Deterministic by construction: the Bins lower edges are computed ONCE
  * from the global bounds and snapped to a 1e-6 grid, and the per-row bin
- * DECISION is pure IEEE comparisons against that shared edge table —
- * the closed-form floor((ln x − ln lo)/w) is computed only as an O(1)
- * candidate (JVM Math.log and DuckDB ln are each only ~1-ulp accurate
- * and not bit-identical, so a raw floor could bin a boundary value
- * differently cross-engine) and then corrected ±1 by comparing x to
- * edges[cand]/edges[cand+1]. The only libm exposure left is the edge
- * table itself:
- * Bins values, each rounded to 6 dp, where an ulp flips the rounded
- * value only within ~1e-10 of a grid midpoint. Hash-verifiable
- * cross-engine — unlike engine-defined digest sketches.
+ * DECISION is the exact definitional count of edges <= x — a codegen
+ * binary search over the shared table ([[graft.functions.Kernels.edgeBin]],
+ * O(log Bins) pure IEEE comparisons, no libm anywhere in the decision),
+ * which any engine replays bit-for-bit by counting. (The r10 interim
+ * scheme — closed-form libm candidate corrected ±1 — could mis-bin when
+ * 6-dp rounding collapsed adjacent edges into a plateau; binary search
+ * against the rounded table removed that residual class outright.) The
+ * only libm exposure left is the edge table itself: Bins values, each
+ * rounded to 6 dp, where an ulp flips the rounded value only within
+ * ~1e-10 of a grid midpoint. Hash-verifiable cross-engine — unlike
+ * engine-defined digest sketches.
  *
  * Kernel input is a frame with columns (g1, g2, x:double); q115 maps the
  * lineitem columns in and renames the report out.
@@ -60,31 +61,20 @@ object QuantileSketch {
             s"""transform(sequence(1, $Bins), j ->
                |  round(lo + (CAST(j AS DOUBLE) - 1.0D)
                |    * (hi - lo) / $Bins, 6))""".stripMargin)))
-    // bin = index of the greatest lower edge at or below x. O(1) per row:
-    // the closed-form floor (engine libm, ~1 ulp) is only a CANDIDATE —
-    // against edges snapped to the 1e-6 grid it can be off by at most one
-    // bin — and the DECISION is the ±1 correction below, pure IEEE
-    // comparisons against the shared edge table, so both engines land on
-    // the same bin regardless of whose libm computed the candidate. (The
-    // previous size(filter(edges, _ <= x)) form had the same determinism
-    // property but paid an interpreted O(Bins) lambda scan plus a filtered
-    // array allocation per row — an 8× regression at sf0.1; this is the
-    // d10 lesson: keep per-row work closed-form and codegen'd.)
+    // bin = COUNT of edges at or below x (clamped >= 1) — the exact
+    // definitional decision, via the codegen binary-search EdgeBin
+    // expression: O(log Bins) pure IEEE comparisons per row against the
+    // shared snapped table, no lambda interpretation, no allocation (the
+    // d10 lesson), and none of the r10 closed-form-candidate residual —
+    // that ±1 correction could land on a bin whose rounded edge still
+    // exceeds x when 6-dp rounding collapses adjacent edges into a
+    // plateau (the needed backward scan is plateau-length). Any engine
+    // counting edges <= x agrees bit-for-bit; the DuckDB oracle replays
+    // exactly that count.
     val leafHist = base.crossJoin(broadcast(bounds))
-      .withColumn("cand", expr(
-        s"""CAST(least(greatest(CASE
-           |  WHEN hi = lo THEN 1L
-           |  WHEN lo > 0 THEN CAST(floor((ln(x) - ln(lo)) * $Bins
-           |    / (ln(hi) - ln(lo))) AS BIGINT) + 1L
-           |  ELSE CAST(floor((x - lo) * $Bins / (hi - lo)) AS BIGINT) + 1L
-           |END, 1L), CAST(size(edges) AS BIGINT)) AS INT)""".stripMargin))
-      .select(col("g1"), col("g2"), expr(
-        s"""CAST(CASE
-           |  WHEN cand < size(edges) AND element_at(edges, cand + 1) <= x
-           |    THEN cand + 1
-           |  WHEN element_at(edges, cand) <= x THEN cand
-           |  ELSE greatest(cand - 1, 1)
-           |END AS BIGINT)""".stripMargin).as("bin"))
+      .select(col("g1"), col("g2"),
+        graft.functions.GraftFunctions.edgeBin(col("edges"), col("x"))
+          .cast("bigint").as("bin"))
       .groupBy(col("g1"), col("g2"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       // materialize the leaf sketch (≤ groups·bins rows) so the merged

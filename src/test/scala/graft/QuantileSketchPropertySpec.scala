@@ -123,16 +123,14 @@ class QuantileSketchPropertySpec extends GraftSpec {
     }
   }
 
-  test("O(1) candidate binning emits the same VALUES as count-of-edges, " +
+  test("binary-search binning equals the count-of-edges definition, " +
        "including sub-grid plateau regions") {
-    // The r10 kernel computes the bin as a closed-form libm CANDIDATE
-    // corrected ±1 against the snapped edge table; the previous form was
-    // a literal count of edges <= x. When adjacent log edges collapse on
-    // the 1e-6 rounding grid (lo near the grid, e.g. e12's 1µs-resolution
-    // gaps), the two forms may pick DIFFERENT plateau indices — but every
-    // index on a plateau carries the same edge value, so the reported
-    // quantiles must be value-identical. This pins that equivalence on
-    // exactly the collapsing-domain shape where it could break.
+    // The kernel's EdgeBin IS the count of edges <= x (binary search over
+    // the snapped table) — this replays the count definition literally on
+    // the driver over a domain where adjacent log edges collapse on the
+    // 1e-6 rounding grid (lo near the grid, e.g. e12's 1µs-resolution
+    // gaps), the shape where the retired r10 candidate-±1 scheme could
+    // land on a plateau bin whose rounded edge exceeded x.
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     for (seed <- 10 to 12) {
@@ -180,6 +178,72 @@ class QuantileSketchPropertySpec extends GraftSpec {
             s"seed $seed $c: sketch=${row.getAs[Double](c)} " +
               s"count-definition=${replay(vs, p)}")
         }
+      }
+    }
+  }
+
+  test("adversarial plateau placement: mass just below collapsed edge groups") {
+    // The round-10 advice's adversarial shape, kept as a standing guard:
+    // place heavy mass within 5e-7 BELOW a 6-dp-collapsed edge group (and
+    // exactly ON it, and one grid step under it), so quantile picks land
+    // exactly where a candidate-correction scheme mis-bins (the retired
+    // ±1 scheme needed a plateau-length backward scan here). The
+    // binary-search kernel must agree with the literal count-of-edges
+    // replay bin-for-bin AND value-for-value.
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def edgesOf(lo: Double, hi: Double): IndexedSeq[Double] =
+      (1 to QuantileSketch.Bins).map(j => round6(math.exp(
+        math.log(lo) + (j - 1.0) * (math.log(hi) - math.log(lo))
+          / QuantileSketch.Bins)))
+    // pick targets from a provisional edge table, then derive the REAL
+    // table from the actual data bounds (the `v - 5e-7` placements pull
+    // the data minimum below the provisional lo)
+    val provisional = edgesOf(1e-6, 100.0)
+    val plateauStarts = (0 until provisional.size - 2).filter(i =>
+      provisional(i) == provisional(i + 1) && provisional(i) == provisional(i + 2))
+      .map(provisional(_))
+    assert(plateauStarts.nonEmpty, "domain must collapse edges for this test")
+    val targets = plateauStarts.distinct.take(4)
+    // placements must stay strictly positive: a 0 would flip the engine
+    // to the equi-width regime and uncollapse the table
+    val placements = targets.flatMap(v =>
+      Seq(v - 5e-7, v, v - 1e-6).filter(_ > 0))
+    val rows =
+      Seq(Row("a0", "b0", 1e-6), Row("a0", "b0", 100.0)) ++
+      placements.zipWithIndex.flatMap { case (x, i) =>
+        (0 until 200).map(_ => Row("a0", s"b${i % 2}", x))
+      }
+    val xsAll = rows.map(_.getDouble(2))
+    val edges = edgesOf(xsAll.min, xsAll.max)
+    assert((0 until edges.size - 2).exists(i =>
+      edges(i) == edges(i + 1) && edges(i) == edges(i + 2)),
+      "final edge table must still carry collapsed groups")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val rep = QuantileSketch.report(df).collect()
+    def binOf(x: Double): Int = math.max(1, edges.count(_ <= x))
+    def replay(vs: Seq[Double], p: Double): Double = {
+      val hist = vs.groupBy(binOf).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val total = vs.size.toLong
+      val k = math.ceil(total * p).toLong
+      var cum = 0L
+      val bin = hist.collectFirst {
+        case (b, c) if { cum += c; cum >= k } => b
+      }.get
+      edges(bin - 1)
+    }
+    rep.foreach { row =>
+      val vs =
+        if (row.getAs[String]("level") == "merged")
+          rows.filter(_.getString(0) == row.getAs[String]("g1")).map(_.getDouble(2))
+        else rows.filter(x => x.getString(0) == row.getAs[String]("g1") &&
+          x.getString(1) == row.getAs[String]("g2")).map(_.getDouble(2))
+      Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99").foreach { case (p, c) =>
+        assert(row.getAs[Double](c) == replay(vs, p),
+          s"$c on adversarial plateau mass: sketch=${row.getAs[Double](c)} " +
+            s"count-definition=${replay(vs, p)}")
       }
     }
   }

@@ -90,4 +90,30 @@ class WinnowPropertySpec extends GraftSpec {
       assert((fa & fb).size * 2 >= fa.size, s"seed $seed: ${(fa & fb).size}/${fa.size}")
     }
   }
+
+  test("shingle_hash64 matches concat_ws byte-for-byte on arrays containing nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.functions.GraftFunctions.install(spark)
+    // concat_ws SKIPS nulls (and their separator) but keeps empty strings
+    // (with separators) — the kernel must reproduce both, per position
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val k = 2 + r.nextInt(4)
+      val words: Seq[String] = (0 until 12 + r.nextInt(10)).map { _ =>
+        r.nextInt(5) match {
+          case 0 => null
+          case 1 => ""
+          case _ => s"w${r.nextInt(40)}"
+        }
+      }
+      val df = Seq(Tuple1(words)).toDF("w")
+      val got = df.select(expr(s"shingle_hash64(w, $k)")).head().getSeq[Long](0)
+      val wantCols = (0 to words.length - k).map(p =>
+        expr(s"hash64(concat_ws(' ', slice(w, ${p + 1}, $k)))"))
+      val wantRow = df.select(wantCols: _*).head()
+      val want = (0 to words.length - k).map(wantRow.getLong)
+      assert(got == want, s"seed $seed k=$k words=$words")
+    }
+  }
 }
