@@ -62,7 +62,10 @@ object GraftSession {
     // entering the window is O(groups) or O(100) rows, never the corpus,
     // which is exactly when a global window is the correct scalable form).
     // Suppress that one logger rather than distorting the plans with a
-    // dummy literal partition key.
+    // dummy literal partition key; the silenced warning is replaced by an
+    // explicit guard — PlanSpec pins the exact set of entries allowed to
+    // plan an empty-partitionSpec WindowExec, so a NEW accidental global
+    // window fails CI instead of scale-breaking silently.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

@@ -308,4 +308,38 @@ class PlanSpec extends GraftSpec {
     assert(compact.contains("ReadSchema:struct<l_orderkey:bigint,l_quantity:double>"),
       s"column pruning failed:\n$plan")
   }
+
+  test("only the audited entries plan a global (unpartitioned) window") {
+    // GraftSession suppresses WindowExec's "moving all data to a single
+    // partition" logger; this guard replaces the silenced warning with an
+    // explicit plan assertion (r10 advice): a NEW entry that accidentally
+    // plans an empty-partitionSpec WindowExec over corpus-sized input
+    // fails here instead of scale-breaking silently. The three audited
+    // sites each run the window over an already-reduced or bounded
+    // frame (q43's bounded slice; q87's and t13's windows over
+    // aggregate frames), which is exactly when a global window is the
+    // correct scalable form.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Int = {
+      val own = p match {
+        case a: AdaptiveSparkPlanExec => return globalWindows(a.initialPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      own + p.children.map(globalWindows).sum +
+        p.subqueries.map(globalWindows).sum
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = globalWindows(fn(spark, sf).queryExecution.executedPlan)
+        if (n > 0) Some(name) else None
+    }.toSet
+    val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf")
+    assert(offenders == audited,
+      s"global-window entries moved: unexpected=${offenders -- audited} " +
+        s"missing=${audited -- offenders} — audit any new site (is the " +
+        "frame entering the window bounded?) and update this pin")
+  }
 }
