@@ -149,19 +149,25 @@ object Relational {
   // plan percentile-aggregate-free. Two kernel runs (one per value
   // column) join on the 3-row group frame.
   def q10(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val qty = ExactSelection.percentiles(
-      li.select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("x")),
-      Seq(0.5, 0.9))
-      .select(col("g"), round(col("p50"), 4).as("p50_qty"),
-        round(col("p90"), 4).as("p90_qty"))
-    val price = ExactSelection.percentiles(
-      li.select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("x")),
-      Seq(0.5))
-      .select(col("g"), round(col("p50"), 4).as("p50_price"))
-    qty.join(price, "g")
-      .select(col("g").as("l_returnflag"), col("p50_qty"), col("p90_qty"),
-        col("p50_price"))
+    // both metric columns STACK into one kernel run (the e13 discipline):
+    // the three narrowing passes serve qty and price together — half the
+    // jobs of two separate kernel runs, same bit-exact selection per
+    // (returnflag, metric) group
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), expr(
+        """stack(2, 'qty', CAST(l_quantity AS DOUBLE),
+          |'price', CAST(l_extendedprice AS DOUBLE)) AS (metric, x)"""
+          .stripMargin))
+      .select(concat_ws("|", col("rf"), col("metric")).as("g"), col("x"))
+    ExactSelection.percentiles(base, Seq(0.5, 0.9))
+      .select(substring_index(col("g"), "|", 1).as("l_returnflag"),
+        substring_index(col("g"), "|", -1).as("metric"),
+        col("p50"), col("p90"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(max(when(col("metric") === "qty", col("p50"))), 4).as("p50_qty"),
+        round(max(when(col("metric") === "qty", col("p90"))), 4).as("p90_qty"),
+        round(max(when(col("metric") === "price", col("p50"))), 4).as("p50_price"))
       .orderBy(col("l_returnflag"))
   }
 
