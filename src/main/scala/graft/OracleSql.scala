@@ -702,6 +702,59 @@ object OracleSql {
       ORDER BY source, lang"""
     },
 
+    // g01: integer fixed-point PageRank replay. Every quantity is BIGINT
+    // (exact, order-independent sums), every division is floor (`//`,
+    // matching Spark's `div` on non-negatives), so all 5 iterations are
+    // bit-identical cross-engine — the property FP PageRank cannot give.
+    // DuckDB SUM(BIGINT) widens to HUGEINT, hence the CAST back.
+    "g01_pagerank" -> """
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      consts AS (
+        SELECT n, 1000000000000 // n AS init,
+               (15 * (1000000000000 // n)) // 100 AS base
+        FROM nn),
+      edges AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      e AS (SELECT src, dst, deg FROM edges JOIN deg USING (src)),
+      s0 AS (SELECT doc_id, (SELECT init FROM consts) AS score FROM documents),
+      s1 AS (
+        SELECT d.doc_id, (SELECT base FROM consts)
+          + (85 * COALESCE(c.csum, 0)) // 100 AS score
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, CAST(SUM(p.score // e.deg) AS BIGINT) AS csum
+          FROM e JOIN s0 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id)),
+      s2 AS (
+        SELECT d.doc_id, (SELECT base FROM consts)
+          + (85 * COALESCE(c.csum, 0)) // 100 AS score
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, CAST(SUM(p.score // e.deg) AS BIGINT) AS csum
+          FROM e JOIN s1 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id)),
+      s3 AS (
+        SELECT d.doc_id, (SELECT base FROM consts)
+          + (85 * COALESCE(c.csum, 0)) // 100 AS score
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, CAST(SUM(p.score // e.deg) AS BIGINT) AS csum
+          FROM e JOIN s2 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id)),
+      s4 AS (
+        SELECT d.doc_id, (SELECT base FROM consts)
+          + (85 * COALESCE(c.csum, 0)) // 100 AS score
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, CAST(SUM(p.score // e.deg) AS BIGINT) AS csum
+          FROM e JOIN s3 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id)),
+      s5 AS (
+        SELECT d.doc_id, (SELECT base FROM consts)
+          + (85 * COALESCE(c.csum, 0)) // 100 AS score
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, CAST(SUM(p.score // e.deg) AS BIGINT) AS csum
+          FROM e JOIN s4 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id))
+      SELECT doc_id, score FROM s5 ORDER BY score DESC, doc_id LIMIT 100""",
+
     "d01_dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY h""",
@@ -3030,6 +3083,56 @@ object OracleSql {
         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         round(MIN(dist), 4) AS min_dist
       FROM v GROUP BY c_custkey ORDER BY c_custkey""",
+
+    // q128: closed-form replay of the ring kernels on the derived
+    // triangles — the shoelace cross terms, their left-associated sum
+    // (SQL's `+` associates left, matching the kernels' running
+    // accumulator), the per-edge sqrt perimeter, and the area-weighted
+    // centroid with its signed-area-zero fallback to the vertex mean.
+    // Every intermediate is fixed-association IEEE multiply/subtract/
+    // add plus correctly-rounded sqrt, so the values are bit-identical
+    // cross-engine (the q123/q127 discipline). The envelope replays as
+    // LEAST/GREATEST over the same vertex expressions. The `+ 0.0` on
+    // the centroids canonicalizes IEEE -0.0 (a zero numerator over a
+    // negative signed area): the kernel canonicalizes too, and Spark's
+    // BigDecimal-based round() cannot emit -0.0, while DuckDB's can —
+    // without it the value-representation hash diverges on sign-of-zero.
+    "q128_geo_measures" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS ax,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS ay,
+          CAST((c_custkey * 7) % 341 AS DOUBLE) * 1.05 - 178.5 AS bx,
+          CAST((c_custkey * 13) % 171 AS DOUBLE) * 0.9 - 76.5 AS by,
+          CAST((c_custkey * 29) % 341 AS DOUBLE) * 1.05 - 178.5 AS cx,
+          CAST((c_custkey * 31) % 171 AS DOUBLE) * 0.9 - 76.5 AS cy
+        FROM customer),
+      cr AS (
+        SELECT c_custkey, ax, ay, bx, by, cx, cy,
+          ax * by - bx * ay AS cr1,
+          bx * cy - cx * by AS cr2,
+          cx * ay - ax * cy AS cr3
+        FROM pts),
+      m AS (
+        SELECT c_custkey, ax, ay, bx, by, cx, cy,
+          cr1 + cr2 + cr3 AS a2,
+          (ax + bx) * cr1 + (bx + cx) * cr2 + (cx + ax) * cr3 AS numx,
+          (ay + by) * cr1 + (by + cy) * cr2 + (cy + ay) * cr3 AS numy
+        FROM cr)
+      SELECT c_custkey,
+        round(0.5 * abs(a2), 4) AS area,
+        round(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+            + sqrt((cx - bx) * (cx - bx) + (cy - by) * (cy - by))
+            + sqrt((ax - cx) * (ax - cx) + (ay - cy) * (ay - cy)), 4) AS perim,
+        round(CASE WHEN a2 = 0 THEN (ax + bx + cx) / 3
+                   ELSE numx / (3.0 * a2) END, 4) + 0.0 AS cent_x,
+        round(CASE WHEN a2 = 0 THEN (ay + by + cy) / 3
+                   ELSE numy / (3.0 * a2) END, 4) + 0.0 AS cent_y,
+        LEAST(ax, bx, cx) AS min_x,
+        LEAST(ay, by, cy) AS min_y,
+        GREATEST(ax, bx, cx) AS max_x,
+        GREATEST(ay, by, cy) AS max_y
+      FROM m ORDER BY c_custkey""",
 
     "q116_set_union" -> """
       WITH yearly AS (

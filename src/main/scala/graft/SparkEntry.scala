@@ -201,6 +201,9 @@ object SparkEntry {
     "q125_map_transform" -> (Relational.q125 _),
     "q126_map_cosine" -> (Relational.q126 _),
     "q127_st_predicates" -> (Relational.q127 _),
+    "q128_geo_measures" -> (Relational.q128 _),
+    // Link-graph curation (crawl-scale PageRank, exact fixed-point)
+    "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -127,6 +127,22 @@ object GraftFunctions {
     c(PointSegmentDist(IndexedSeq(px, py, x1, y1, x2, y2)
       .map(col => e(col.cast("double")))))
 
+  /** Shoelace area of a closed ring (Presto ST_Area, polygon-shell
+    * case); xs/ys are the ring's vertex coordinate arrays with the
+    * first vertex repeated last, as in [[pointInPolygon]]. */
+  def stArea(xs: Column, ys: Column): Column = c(RingArea(e(xs), e(ys)))
+
+  /** Perimeter of a closed ring (Presto ST_Length/ST_Perimeter core). */
+  def stLength(xs: Column, ys: Column): Column = c(RingLength(e(xs), e(ys)))
+
+  /** X coordinate of the area-weighted polygon centroid (Presto
+    * ST_X(ST_Centroid(g))); degenerate rings degrade to the vertex
+    * mean, the JTS line/point fallback. */
+  def stCentroidX(xs: Column, ys: Column): Column = c(RingCentroid(e(xs), e(ys), 0))
+
+  /** Y coordinate of the area-weighted polygon centroid. */
+  def stCentroidY(xs: Column, ys: Column): Column = c(RingCentroid(e(xs), e(ys), 1))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -184,7 +200,11 @@ object GraftFunctions {
     "sketch_quantile_bin" -> (args => SketchQuantileBin(args(0), args(1))),
     "edge_bin" -> (args => EdgeBin(args(0), args(1))),
     "st_intersects" -> (args => SegmentsIntersect(args.toIndexedSeq)),
-    "st_distance" -> (args => PointSegmentDist(args.toIndexedSeq)))
+    "st_distance" -> (args => PointSegmentDist(args.toIndexedSeq)),
+    "st_area" -> (args => RingArea(args(0), args(1))),
+    "st_length" -> (args => RingLength(args(0), args(1))),
+    "st_centroid_x" -> (args => RingCentroid(args(0), args(1), 0)),
+    "st_centroid_y" -> (args => RingCentroid(args(0), args(1), 1)))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

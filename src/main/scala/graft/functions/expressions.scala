@@ -401,6 +401,75 @@ object Kernels {
     if (lo < 1) 1 else lo
   }
 
+  /** Shoelace area of a CLOSED ring (last vertex repeats the first;
+    * Presto ST_Area on a polygon shell): 0.5 * |Σ (x_i·y_{i+1} −
+    * x_{i+1}·y_i)|, accumulated strictly left-to-right so a SQL oracle
+    * replaying the literal expanded sum reproduces the value
+    * bit-for-bit (the q123/q127 discipline: fixed-association IEEE
+    * multiply/subtract/add only, no libm). */
+  def ringArea(xs: ArrayData, ys: ArrayData): Double =
+    0.5 * math.abs(ringCross(xs, ys))
+
+  /** The signed shoelace sum itself (twice the signed area). */
+  @inline private def ringCross(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n - 1) {
+      acc += xs.getDouble(i) * ys.getDouble(i + 1) -
+        xs.getDouble(i + 1) * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Perimeter of a CLOSED ring (Presto ST_Length / ST_Perimeter core):
+    * Σ sqrt(dx² + dy²) over consecutive vertices, left-to-right. One
+    * correctly-rounded sqrt per edge — oracle-replayable bit-for-bit. */
+  def ringLength(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val dx = xs.getDouble(i + 1) - xs.getDouble(i)
+      val dy = ys.getDouble(i + 1) - ys.getDouble(i)
+      acc += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    acc
+  }
+
+  /** One coordinate of the area-weighted polygon centroid (Presto
+    * ST_X(ST_Centroid(g)) for axis 0, ST_Y for axis 1): Σ (c_i +
+    * c_{i+1})·cross_i / (3·Σ cross_i), all sums left-to-right. A
+    * degenerate ring (signed area exactly 0 — collinear or repeated
+    * vertices) degrades to the plain vertex mean over the n−1 distinct
+    * vertices, the JTS line/point-centroid fallback. */
+  def ringCentroid(xs: ArrayData, ys: ArrayData, axis: Int): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    val cs = if (axis == 0) xs else ys
+    var a = 0.0
+    var num = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val cross = xs.getDouble(i) * ys.getDouble(i + 1) -
+        xs.getDouble(i + 1) * ys.getDouble(i)
+      a += cross
+      num += (cs.getDouble(i) + cs.getDouble(i + 1)) * cross
+      i += 1
+    }
+    val res =
+      if (a == 0.0) {
+        var s = 0.0
+        i = 0
+        while (i < n - 1) { s += cs.getDouble(i); i += 1 }
+        if (n > 1) s / (n - 1) else Double.NaN
+      } else num / (3.0 * a)
+    // canonicalize -0.0 (a 0/(3a<0) row would otherwise carry a
+    // meaningless sign that breaks value-representation hashing)
+    res + 0.0
+  }
+
   /** CDF read of a bin-count sketch array: smallest 1-based bin whose
     * cumulative count reaches ceil(total * p) — the q115 kernel's pick,
     * `min(bin where cum >= ceil(total * p))`, as one O(bins) scan over
@@ -1080,4 +1149,62 @@ case class PointSegmentDist(children: IndexedSeq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PointSegmentDist =
     copy(children = newChildren)
+}
+
+/** st_area(xs array<double>, ys array<double>) -> double — shoelace
+  * area of a closed ring (Presto ST_Area, polygon-shell case); see
+  * [[Kernels.ringArea]]. */
+case class RingArea(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    Kernels.ringArea(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.ringArea($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RingArea =
+    copy(left = l, right = r)
+}
+
+/** st_length(xs array<double>, ys array<double>) -> double — perimeter
+  * of a closed ring (Presto ST_Length/ST_Perimeter core); see
+  * [[Kernels.ringLength]]. */
+case class RingLength(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    Kernels.ringLength(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.ringLength($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RingLength =
+    copy(left = l, right = r)
+}
+
+/** st_centroid_x / st_centroid_y (xs, ys arrays) -> double — one
+  * coordinate of the area-weighted polygon centroid (Presto
+  * ST_X/ST_Y(ST_Centroid(g))); see [[Kernels.ringCentroid]]. */
+case class RingCentroid(left: Expression, right: Expression, axis: Int)
+  extends BinaryExpression {
+  require(axis == 0 || axis == 1, s"ring centroid axis must be 0 (x) or 1 (y), got $axis")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    Kernels.ringCentroid(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData], axis)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.ringCentroid($a, $b, $axis)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RingCentroid =
+    copy(left = l, right = r)
 }

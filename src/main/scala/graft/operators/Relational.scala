@@ -1893,6 +1893,49 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q128: geometry measures (Presto ST_Area / ST_Length / ST_Centroid /
+    * ST_Envelope core, completing the shape-valued half of the geo
+    * family that q127's predicates started). Each customer derives a
+    * closed triangular ring (the q127 coordinate formulas plus a third
+    * vertex); the one-pass ring kernels compute shoelace area,
+    * perimeter, and the area-weighted centroid — strictly left-to-right
+    * IEEE accumulation so the oracle replays the literal expanded sums
+    * bit-for-bit (the q123/q127 discipline; one correctly-rounded sqrt
+    * per edge, no libm). The envelope needs no kernel at all:
+    * least/greatest over the vertex columns IS ST_Envelope, and at
+    * corpus scale those four bounds are exactly what feeds the q124
+    * bing-tile join key. Degenerate (collinear) rings exercise the
+    * kernel's signed-area-zero fallback to the vertex mean. Everything
+    * is a narrow per-row map over one scan — no shuffle at all until
+    * the final presentation sort. */
+  def q128(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{stArea, stCentroidX, stCentroidY, stLength}
+    val ax = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val ay = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val bx = ((col("c_custkey") * 7) % 341).cast("double") * 1.05 - 178.5
+    val by = ((col("c_custkey") * 13) % 171).cast("double") * 0.9 - 76.5
+    val cx = ((col("c_custkey") * 29) % 341).cast("double") * 1.05 - 178.5
+    val cy = ((col("c_custkey") * 31) % 171).cast("double") * 0.9 - 76.5
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        ax.as("ax"), ay.as("ay"), bx.as("bx"), by.as("by"),
+        cx.as("cx"), cy.as("cy"))
+      .select(col("c_custkey"),
+        array(col("ax"), col("bx"), col("cx"), col("ax")).as("xs"),
+        array(col("ay"), col("by"), col("cy"), col("ay")).as("ys"),
+        least(col("ax"), col("bx"), col("cx")).as("min_x"),
+        least(col("ay"), col("by"), col("cy")).as("min_y"),
+        greatest(col("ax"), col("bx"), col("cx")).as("max_x"),
+        greatest(col("ay"), col("by"), col("cy")).as("max_y"))
+      .select(col("c_custkey"),
+        round(stArea(col("xs"), col("ys")), 4).as("area"),
+        round(stLength(col("xs"), col("ys")), 4).as("perim"),
+        round(stCentroidX(col("xs"), col("ys")), 4).as("cent_x"),
+        round(stCentroidY(col("xs"), col("ys")), 4).as("cent_y"),
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- q32: division-safe conditional aggregates ------------------------
   def q32(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

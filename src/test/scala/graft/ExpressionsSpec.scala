@@ -387,4 +387,79 @@ class ExpressionsSpec extends GraftSpec {
     assert(r.getDouble(2) == 3.0)
     assert(r.isNullAt(3), "null coordinate must yield null, not a value")
   }
+
+  test("st_area / st_length / st_centroid: known shapes through SQL") {
+    graft.functions.GraftFunctions.install(spark)
+    // 4x3 rectangle, CCW, closed ring
+    val rect = spark.sql(
+      """SELECT st_area(array(0D,4D,4D,0D,0D), array(0D,0D,3D,3D,0D)) AS a,
+                st_length(array(0D,4D,4D,0D,0D), array(0D,0D,3D,3D,0D)) AS l,
+                st_centroid_x(array(0D,4D,4D,0D,0D), array(0D,0D,3D,3D,0D)) AS cx,
+                st_centroid_y(array(0D,4D,4D,0D,0D), array(0D,0D,3D,3D,0D)) AS cy""").head()
+    assert(rect.getDouble(0) == 12.0 && rect.getDouble(1) == 14.0)
+    assert(rect.getDouble(2) == 2.0 && rect.getDouble(3) == 1.5)
+    // 3-4-5 right triangle: area 6, perimeter 12, centroid (4/3, 1)
+    val tri = spark.sql(
+      """SELECT st_area(array(0D,4D,0D,0D), array(0D,0D,3D,0D)) AS a,
+                st_length(array(0D,4D,0D,0D), array(0D,0D,3D,0D)) AS l,
+                st_centroid_x(array(0D,4D,0D,0D), array(0D,0D,3D,0D)) AS cx,
+                st_centroid_y(array(0D,4D,0D,0D), array(0D,0D,3D,0D)) AS cy""").head()
+    assert(tri.getDouble(0) == 6.0 && tri.getDouble(1) == 12.0)
+    assert(tri.getDouble(2) == 4.0 / 3.0 && tri.getDouble(3) == 1.0)
+    // winding invariance: the CW reversal has identical area/length/centroid
+    // (signed cross terms flip sign in both numerator and denominator)
+    val cw = spark.sql(
+      """SELECT st_area(array(0D,0D,4D,0D), array(0D,3D,0D,0D)) AS a,
+                st_centroid_x(array(0D,0D,4D,0D), array(0D,3D,0D,0D)) AS cx,
+                st_centroid_y(array(0D,0D,4D,0D), array(0D,3D,0D,0D)) AS cy""").head()
+    assert(cw.getDouble(0) == 6.0)
+    assert(cw.getDouble(1) == 4.0 / 3.0 && cw.getDouble(2) == 1.0)
+  }
+
+  test("st_centroid: degenerate (collinear) ring falls back to the vertex mean") {
+    graft.functions.GraftFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT st_area(array(0D,2D,4D,0D), array(0D,0D,0D,0D)) AS a,
+                st_length(array(0D,2D,4D,0D), array(0D,0D,0D,0D)) AS l,
+                st_centroid_x(array(0D,2D,4D,0D), array(0D,0D,0D,0D)) AS cx,
+                st_centroid_y(array(0D,2D,4D,0D), array(0D,0D,0D,0D)) AS cy,
+                st_area(CAST(NULL AS ARRAY<DOUBLE>), array(0D)) AS na""").head()
+    assert(r.getDouble(0) == 0.0, "collinear ring has zero area")
+    assert(r.getDouble(1) == 8.0, "out-and-back perimeter still measures")
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 0.0,
+      "zero signed area must degrade to the vertex mean, not NaN/Inf")
+    assert(r.isNullAt(4), "null ring must yield null")
+  }
+
+  test("ring kernels agree with an independent shoelace reference on random rings") {
+    import graft.functions.GraftFunctions.{stArea, stCentroidX, stCentroidY, stLength}
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val rnd = new scala.util.Random(42)
+    val rings = Seq.fill(25) {
+      val n = 3 + rnd.nextInt(5)
+      val vs = Seq.fill(n)((rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      vs :+ vs.head
+    }
+    // reference: direct shoelace/perimeter/centroid over the vertex list
+    def ref(ring: Seq[(Double, Double)]): (Double, Double, Double, Double) = {
+      val es = ring.zip(ring.tail)
+      var a = 0.0; var nx = 0.0; var ny = 0.0; var len = 0.0
+      es.foreach { case ((x1, y1), (x2, y2)) =>
+        val cr = x1 * y2 - x2 * y1
+        a += cr; nx += (x1 + x2) * cr; ny += (y1 + y2) * cr
+        len += math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+      }
+      (0.5 * math.abs(a), len, nx / (3.0 * a), ny / (3.0 * a))
+    }
+    rings.foreach { ring =>
+      val xs = array(ring.map(v => lit(v._1)): _*)
+      val ys = array(ring.map(v => lit(v._2)): _*)
+      val row = spark.range(1).select(
+        stArea(xs, ys).as("a"), stLength(xs, ys).as("l"),
+        stCentroidX(xs, ys).as("cx"), stCentroidY(xs, ys).as("cy")).head()
+      val (ea, el, ecx, ecy) = ref(ring)
+      assert(row.getDouble(0) == ea && row.getDouble(1) == el)
+      assert(row.getDouble(2) == ecx && row.getDouble(3) == ecy)
+    }
+  }
 }

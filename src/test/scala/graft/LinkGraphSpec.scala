@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.LinkGraph
+
+/** Exactness and posture checks for the fixed-point PageRank operator.
+  * The reference implementation here is an independent single-threaded
+  * Scala loop over the same integer recurrence — agreement must be
+  * EXACT (the whole point of fixed-point is that BIGINT sums are
+  * order-independent), not within-epsilon. */
+class LinkGraphSpec extends GraftSpec {
+
+  /** Single-threaded reference: same recurrence, plain Maps. */
+  private def refPagerank(n: Int, edges: Seq[(Long, Long)],
+                          iterations: Int, scale: Long): Map[Long, Long] = {
+    val init = scale / n
+    val base = 15L * init / 100L
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var score = (0L until n.toLong).map(_ -> init).toMap
+    for (_ <- 1 to iterations) {
+      val csum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => csum(d) += score(s) / deg(s) }
+      score = (0L until n.toLong).map(v => v -> (base + 85L * csum(v) / 100L)).toMap
+    }
+    score
+  }
+
+  private def g01Edges(n: Long): Seq[(Long, Long)] =
+    (0L until n).flatMap(d => Seq(
+      d -> (d * d + 1) % n, d -> (7 * d + 3) % n, d -> (13 * d + 5) % n))
+
+  test("pagerank matches the independent fixed-point reference exactly") {
+    import spark.implicits._
+    val n = 97L // prime: quadratic map folds, affine maps are bijections
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = g01Edges(n).toDF("src", "dst")
+    val got = LinkGraph.pagerank(nodes, edges, n, iterations = 5,
+        scale = 1000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPagerank(n.toInt, g01Edges(n), 5, 1000000000000L)
+    assert(got == want, "distributed and single-threaded recurrences must be bit-identical")
+    // the quadratic fold must actually spread ranks (not the uniform
+    // fixed point a bijective-only edge set would give)
+    assert(got.values.toSet.size > 10, s"expected rank spread, got ${got.values.toSet.size} distinct scores")
+  }
+
+  test("no-in-link nodes sit at the teleport base; mass is conserved up to floor loss") {
+    import spark.implicits._
+    // star: everyone cites node 0; nodes 1..9 have no in-links
+    val n = 10L
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = (1L until n).map(d => d -> 0L).toDF("src", "dst")
+    // node 0 has no OUT-edges (dangling): its mass leaves the system —
+    // acceptable for curation ranking and exactly mirrored by the
+    // recurrence (and the oracle); assert the documented behavior.
+    val scale = 1000000000L
+    val got = LinkGraph.pagerank(nodes, edges, n, iterations = 3, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = 15L * (scale / n) / 100L
+    (1L until n).foreach(v => assert(got(v) == base,
+      s"no-in-link node $v must hold exactly the teleport base"))
+    assert(got(0L) > got(1L), "the hub must outrank leaves")
+    assert(got.values.sum <= scale, "fixed-point floors may only LOSE mass")
+  }
+
+  test("g01 entry: top-k is a bounded TakeOrderedAndProject, never a global sort") {
+    val plan = LinkGraph.g01(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be per-partition heaps + merge:\n$plan")
+    val rows = LinkGraph.g01(spark, sf).collect()
+    assert(rows.length == 100)
+    // presentation order: score desc, doc_id asc tiebreak
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (s, d) => (-s, d) }))
+  }
+}
