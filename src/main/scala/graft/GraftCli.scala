@@ -338,7 +338,33 @@ object GraftCli {
         element_at(edges, sketch_quantile_bin(sk, 0.95D)) AS p95,
         element_at(edges, sketch_quantile_bin(sk, 0.99D)) AS p99
       FROM both_l CROSS JOIN bounds
-      ORDER BY level, l_returnflag, l_linestatus"""))
+      ORDER BY level, l_returnflag, l_linestatus""")),
+    // Presto's approx_set / merge / cardinality surface (the
+    // pre-aggregated-cube pattern: persist small leaf sketches, roll up
+    // without re-touching the fact table) as pure SQL text via Spark's
+    // Apache DataSketches HLL builtins: hll_sketch_agg at the leaf,
+    // hll_union_agg at the rollup, hll_sketch_estimate to read — the
+    // merge level touches ONLY sketch rows (bytes per group, constant
+    // size), never the orders scan again. The sketch is engine-defined,
+    // so like q09/q104/q106 this entry is rows-only by design;
+    // SketchSqlSpec bounds every estimate against the exact distinct
+    // count (HLL lgK=12 standard error ~1.6%) and pins leaf-vs-rollup
+    // consistency.
+    "s10_sql_hll" -> ((s, d) => sql(s, d, """
+      WITH leaf AS (
+        SELECT o_orderstatus, year(o_orderdate) AS yr,
+          hll_sketch_agg(o_custkey, 12) AS sk
+        FROM orders GROUP BY o_orderstatus, year(o_orderdate)),
+      merged AS (
+        SELECT o_orderstatus, hll_union_agg(sk) AS sk
+        FROM leaf GROUP BY o_orderstatus)
+      SELECT level, o_orderstatus, yr, est FROM (
+        SELECT 'leaf' AS level, o_orderstatus, yr,
+          hll_sketch_estimate(sk) AS est FROM leaf
+        UNION ALL
+        SELECT 'merged' AS level, o_orderstatus, CAST(NULL AS INT) AS yr,
+          hll_sketch_estimate(sk) AS est FROM merged)
+      ORDER BY level, o_orderstatus, yr"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */

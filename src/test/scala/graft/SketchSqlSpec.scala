@@ -65,4 +65,38 @@ class SketchSqlSpec extends GraftSpec {
     val got = GraftCli.queries("s09_sql_sketch_agg")(spark, sf).collect().toSeq
     assert(got == want)
   }
+
+  test("s10 HLL estimates bound against exact distincts; rollup consistent with leaves") {
+    // exact distinct custkeys per (status, year) and per status
+    val exactLeaf = spark.sql(s"""
+      SELECT o_orderstatus, year(o_orderdate) AS yr,
+        COUNT(DISTINCT o_custkey) AS n
+      FROM parquet.`$sf/orders.parquet` GROUP BY 1, 2""")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exactMerged = spark.sql(s"""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n
+      FROM parquet.`$sf/orders.parquet` GROUP BY 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = GraftCli.queries("s10_sql_hll")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (level, status, est) = (r.getString(0), r.getString(1), r.getLong(3))
+      val exact =
+        if (level == "merged") exactMerged(status)
+        else exactLeaf((status, r.getInt(2)))
+      // lgK=12 HLL standard error is ~1.6%; 5 sigma plus integer slack
+      val tol = math.max(3.0, exact * 0.08)
+      assert(math.abs(est - exact) <= tol,
+        s"$level/$status: estimate $est too far from exact $exact")
+    }
+    // every status present at both levels, and the rollup estimate is
+    // at least the largest leaf estimate for that status (a union can
+    // only grow the set)
+    val leaves = rows.filter(_.getString(0) == "leaf").groupBy(_.getString(1))
+    rows.filter(_.getString(0) == "merged").foreach { m =>
+      val maxLeaf = leaves(m.getString(1)).map(_.getLong(3)).max
+      assert(m.getLong(3) >= maxLeaf,
+        s"rollup of ${m.getString(1)} below its largest leaf")
+    }
+  }
 }
