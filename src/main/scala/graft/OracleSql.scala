@@ -755,6 +755,69 @@ object OracleSql {
           FROM e JOIN s4 p ON e.src = p.doc_id GROUP BY e.dst) c USING (doc_id))
       SELECT doc_id, score FROM s5 ORDER BY score DESC, doc_id LIMIT 100""",
 
+    // g02: integer fixed-point HITS replay — 4 iterations × 2 half-steps
+    // (authority from hubs, hub from authorities), each with the L1
+    // fixed-point renormalization raw * scale // Σraw. Same BIGINT
+    // discipline as g01: every sum exact and order-independent, every
+    // division floor, so all 8 half-steps are bit-identical cross-engine.
+    // Every CTE is MATERIALIZED: each half-step references its raw frame
+    // twice (join-back + total), so inlined CTEs re-execute the whole
+    // chain below them — 3^8-ish blow-up, the same double-reference
+    // explosion the Spark side stages away with Checkpoints.stage.
+    "g02_hits" -> """
+      WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+      edges AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents),
+      h0 AS MATERIALIZED (SELECT doc_id, 1000000000 // (SELECT n FROM nn) AS score FROM documents),
+      a1r AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN h0 p ON e.src = p.doc_id GROUP BY e.dst),
+      a1 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM a1r) AS score
+             FROM documents d LEFT JOIN a1r r USING (doc_id)),
+      h1r AS MATERIALIZED (SELECT e.src AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN a1 p ON e.dst = p.doc_id GROUP BY e.src),
+      h1 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM h1r) AS score
+             FROM documents d LEFT JOIN h1r r USING (doc_id)),
+      a2r AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN h1 p ON e.src = p.doc_id GROUP BY e.dst),
+      a2 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM a2r) AS score
+             FROM documents d LEFT JOIN a2r r USING (doc_id)),
+      h2r AS MATERIALIZED (SELECT e.src AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN a2 p ON e.dst = p.doc_id GROUP BY e.src),
+      h2 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM h2r) AS score
+             FROM documents d LEFT JOIN h2r r USING (doc_id)),
+      a3r AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN h2 p ON e.src = p.doc_id GROUP BY e.dst),
+      a3 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM a3r) AS score
+             FROM documents d LEFT JOIN a3r r USING (doc_id)),
+      h3r AS MATERIALIZED (SELECT e.src AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN a3 p ON e.dst = p.doc_id GROUP BY e.src),
+      h3 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM h3r) AS score
+             FROM documents d LEFT JOIN h3r r USING (doc_id)),
+      a4r AS MATERIALIZED (SELECT e.dst AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN h3 p ON e.src = p.doc_id GROUP BY e.dst),
+      a4 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM a4r) AS score
+             FROM documents d LEFT JOIN a4r r USING (doc_id)),
+      h4r AS MATERIALIZED (SELECT e.src AS doc_id, CAST(SUM(p.score) AS BIGINT) AS raw
+              FROM edges e JOIN a4 p ON e.dst = p.doc_id GROUP BY e.src),
+      h4 AS MATERIALIZED (SELECT d.doc_id, COALESCE(r.raw, 0) * 1000000000
+               // (SELECT CAST(SUM(raw) AS BIGINT) FROM h4r) AS score
+             FROM documents d LEFT JOIN h4r r USING (doc_id))
+      SELECT d.doc_id, a4.score AS auth, h4.score AS hub
+      FROM documents d JOIN a4 USING (doc_id) JOIN h4 USING (doc_id)
+      ORDER BY auth DESC, doc_id LIMIT 100""",
+
     "d01_dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY h""",

@@ -204,6 +204,7 @@ object SparkEntry {
     "q128_geo_measures" -> (Relational.q128 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
+    "g02_hits" -> (graft.graph.LinkGraph.g02 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -96,6 +96,73 @@ object LinkGraph {
   }
 
   /**
+   * Integer fixed-point HITS (Kleinberg 1999, "Authoritative Sources in
+   * a Hyperlinked Environment") — the hubs-and-authorities complement
+   * to [[pagerank]]: a page is a good AUTHORITY if good hubs cite it, a
+   * good HUB if it cites good authorities. For curation the authority
+   * score flags canonical content, the hub score flags link farms /
+   * directory pages.
+   *
+   * Same exactness contract as pagerank: BIGINT scores, and the
+   * per-iteration normalization (HITS diverges without it) is L1 in
+   * fixed point — `raw * scale div Σraw` — so every step is exact,
+   * order-independent, and bit-replayable. Overflow headroom: with
+   * scale = 1e9, raw ≤ (max out-degree)·scale and raw·scale ≤ ~3e18 <
+   * 2^63. The normalization total is a single-row aggregate broadcast
+   * back (the ≤5-row crossJoin pattern) — no driver collect.
+   *
+   * Returns (doc_id, auth, hub). Scale posture matches pagerank: two
+   * key-partitioned shuffles per iteration (one per direction), edge
+   * subtrees identical each round so their shuffles are AQE-reused.
+   *
+   * Unlike pagerank, each half-step references its raw-sum frame TWICE
+   * (once joined back, once reduced to the normalization total), so a
+   * fully-lazy chain doubles the logical plan per half-step — 2^8
+   * subtree copies by iteration 4, an optimizer blow-up that tiny unit
+   * graphs hide and sf0.01 exposed. Each normalized score frame is
+   * therefore STAGED ([[graft.plans.Checkpoints.stage]], the
+   * q115/e13/q126/p05 discipline — conf-switchable to reliable
+   * checkpoints): 8 bounded jobs over node-sized frames (never the
+   * edge set), each with a constant-size plan.
+   */
+  def hits(nodes: DataFrame, edges: DataFrame, n: Long,
+           iterations: Int, scale: Long): DataFrame = {
+    val init = scale / n
+    val norm = (raw: DataFrame, key: String) => {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      graft.plans.Checkpoints.stage(
+        nodes.join(raw, nodes("doc_id") === raw(key), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            expr(s"coalesce(raw, 0L) * ${scale}L div tot").as("score")))
+    }
+    var hub = nodes.select(col("doc_id"), lit(init).as("score"))
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = norm(edges.join(hub.withColumnRenamed("score", "h"),
+          edges("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw")), "dst")
+      hub = norm(edges.join(auth.withColumnRenamed("score", "a"),
+          edges("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw")), "src")
+    }
+    auth.select(col("doc_id"), col("score").as("auth"))
+      .join(hub.select(col("doc_id"), col("score").as("hub")), "doc_id")
+  }
+
+  /** The deterministic citation graph both entries share: doc d cites
+    * (d²+1) % n, (7d+3) % n, (13d+5) % n — the quadratic map folds
+    * (genuine in-degree skew), the affine maps keep the graph mixed. */
+  private def derivedEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(
+      col("doc_id").as("src"),
+      array(
+        (col("doc_id") * col("doc_id") + 1) % n,
+        (col("doc_id") * 7 + 3) % n,
+        (col("doc_id") * 13 + 5) % n).as("dsts"))
+      .select(col("src"), explode(col("dsts")).as("dst"))
+
+  /**
    * g01: PageRank curation scores over the documents link graph.
    * Links are derived deterministically from doc_id (doc_ids are
    * contiguous 0..N−1, schema_dump-pinned): each doc cites
@@ -115,15 +182,23 @@ object LinkGraph {
   def g01(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val n = docs.count()
-    val edges = docs.select(
-      col("doc_id").as("src"),
-      array(
-        (col("doc_id") * col("doc_id") + 1) % n,
-        (col("doc_id") * 7 + 3) % n,
-        (col("doc_id") * 13 + 5) % n).as("dsts"))
-      .select(col("src"), explode(col("dsts")).as("dst"))
-    pagerank(docs, edges, n, iterations = 5, scale = 1000000000000L)
+    pagerank(docs, derivedEdges(docs, n), n, iterations = 5,
+        scale = 1000000000000L)
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /**
+   * g02: HITS hub/authority scores over the same citation graph as g01
+   * (4 iterations, scale 1e9 for renormalization overflow headroom);
+   * top 100 by (auth desc, doc_id) with both scores reported. Exact
+   * fixed-point ⇒ the oracle replays all 8 half-steps bit-identically.
+   */
+  def g02(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    hits(docs, derivedEdges(docs, n), n, iterations = 4, scale = 1000000000L)
+      .orderBy(col("auth").desc, col("doc_id"))
       .limit(100)
   }
 }

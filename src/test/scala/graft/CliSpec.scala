@@ -117,7 +117,11 @@ class CliSpec extends GraftSpec {
     GraftCli.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")
     }
-    assert(GraftCli.queries.keySet == GraftCli.oracles.keySet)
+    // every SQL-text entry is oracled EXCEPT s10, whose HLL sketch is
+    // engine-defined (rows-only by design, like q09/q104/q106 —
+    // SketchSqlSpec bounds its estimates against exact distincts)
+    assert(GraftCli.queries.keySet -- GraftCli.oracles.keySet == Set("s10_sql_hll"))
+    assert(GraftCli.oracles.keySet.subsetOf(GraftCli.queries.keySet))
   }
 
   test("EXPLAIN ANALYZE and per-statement timing round-trip through the real main") {

@@ -64,6 +64,52 @@ class LinkGraphSpec extends GraftSpec {
     assert(got.values.sum <= scale, "fixed-point floors may only LOSE mass")
   }
 
+  /** Single-threaded HITS reference: same fixed-point recurrence. */
+  private def refHits(n: Long, edges: Seq[(Long, Long)],
+                      iterations: Int, scale: Long): Map[Long, (Long, Long)] = {
+    val init = scale / n
+    var hub = (0L until n).map(_ -> init).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iterations) {
+      val ar = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => ar(d) += hub(s) }
+      val at = ar.values.sum
+      auth = (0L until n).map(v => v -> ar(v) * scale / at).toMap
+      val hr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => hr(s) += auth(d) }
+      val ht = hr.values.sum
+      hub = (0L until n).map(v => v -> hr(v) * scale / ht).toMap
+    }
+    (0L until n).map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits matches the independent fixed-point reference exactly") {
+    import spark.implicits._
+    val n = 97L
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = g01Edges(n).toDF("src", "dst")
+    val got = graft.graph.LinkGraph.hits(nodes, edges, n,
+        iterations = 4, scale = 1000000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = refHits(n, g01Edges(n), 4, 1000000000L)
+    assert(got == want)
+  }
+
+  test("hits separates hubs from authorities on a directed star") {
+    import spark.implicits._
+    // 1,2,3 all cite 0: node 0 is the pure authority, 1-3 equal hubs
+    val n = 4L
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L).toDF("src", "dst")
+    val scale = 1000000L
+    val got = graft.graph.LinkGraph.hits(nodes, edges, n, iterations = 2, scale = scale)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L)._1 == scale && got(0L)._2 == 0L,
+      "the cited node holds ALL authority and no hubness")
+    assert((1L to 3L).forall(v => got(v)._1 == 0L && got(v)._2 == scale / 3),
+      "citing nodes hold equal hub mass and no authority")
+  }
+
   test("g01 entry: top-k is a bounded TakeOrderedAndProject, never a global sort") {
     val plan = LinkGraph.g01(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
