@@ -3197,6 +3197,67 @@ object OracleSql {
         GREATEST(ay, by, cy) AS max_y
       FROM m ORDER BY c_custkey""",
 
+    "q129_tpch_q3" -> s"""
+      SELECT l_orderkey,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""",
+
+    "q130_tpch_q7" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q131_tpch_q13" -> """
+      WITH co AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      SELECT c_count, COUNT(*) AS custdist
+      FROM co GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q132_tpch_q21" -> """
+      WITH lines AS (
+        SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines),
+      late_pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM late_pairs l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE s_nationkey = 5
+        AND EXISTS (
+          SELECT 1 FROM pairs l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM late_pairs l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name LIMIT 100""",
+
     "q116_set_union" -> """
       WITH yearly AS (
         SELECT o_orderstatus, year(o_orderdate) AS yr,
@@ -3407,6 +3468,87 @@ object OracleSql {
         CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+
+    // g03: the identical degree-ordered wedge join — integer counts are
+    // engine-independent; the one double (clustering) is a single
+    // correctly-rounded IEEE division.
+    "g03_triangles" -> """
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS src,
+          unnest([doc_id * doc_id + 1, doc_id * 7 + 3, doc_id * 13 + 5]) AS d0
+        FROM documents),
+      e0 AS (SELECT src, d0 % n AS dst FROM raw, n),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst),
+      deg AS (SELECT x, COUNT(*) AS deg FROM
+                (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+              GROUP BY 1),
+      fwd AS (
+        SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                    THEN u ELSE v END AS a,
+               CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                    THEN v ELSE u END AS b
+        FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x),
+      tri AS (
+        SELECT f1.a, f1.b AS b1, f2.b AS b2
+        FROM fwd f1 JOIN fwd f2 USING (a)
+        WHERE f1.b < f2.b
+          AND EXISTS (SELECT 1 FROM und WHERE u = f1.b AND v = f2.b)),
+      pn AS (SELECT x, COUNT(*) AS n_tri FROM
+               (SELECT a AS x FROM tri UNION ALL SELECT b1 AS x FROM tri
+                UNION ALL SELECT b2 AS x FROM tri)
+             GROUP BY 1)
+      SELECT deg.x AS doc_id, deg.deg,
+        CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        round(CASE WHEN deg.deg >= 2
+          THEN CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+             / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+          ELSE 0.0 END, 6) AS clustering
+      FROM deg LEFT JOIN pn ON deg.x = pn.x
+      ORDER BY doc_id""",
+
+    // d14: replayed over gram STRINGS (the d08/d13 discipline — the
+    // Spark side groups 8-byte ShingleHash64 values; FNV-1a64 over ≤ a
+    // few million grams is collision-free, and both engines would see
+    // the same collision if one existed since the hash is deterministic).
+    "d14_boilerplate" -> raw"""
+      WITH wl AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM wl),
+      p0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS pos
+             FROM wl WHERE len(w) >= 5),
+      pos AS (SELECT doc_id, pos,
+                array_to_string(w[pos+1:pos+5], ' ') AS gram FROM p0),
+      freq AS (SELECT gram FROM pos
+               GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3),
+      cov AS (SELECT doc_id, COUNT(DISTINCT i) AS covered_words
+              FROM (SELECT doc_id, pos + unnest(range(0, 5)) AS i
+                    FROM pos JOIN freq USING (gram))
+              GROUP BY doc_id)
+      SELECT nw.doc_id, n_words,
+        CAST(COALESCE(covered_words, 0) AS BIGINT) AS covered_words,
+        round(CAST(COALESCE(covered_words, 0) AS DOUBLE)
+          / CAST(n_words AS DOUBLE), 4) AS bp_frac,
+        CAST(COALESCE(covered_words, 0) AS DOUBLE)
+          < CAST(n_words AS DOUBLE) * 0.2 AS keep
+      FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
+      ORDER BY nw.doc_id""",
+
+    "t19_bigram_lm" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(ws) AS tok FROM w))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        round(CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
+                            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+      GROUP BY doc_id ORDER BY doc_id""",
 
     "d12_bloom_contamination" -> """
       WITH wl AS (

@@ -92,6 +92,7 @@ object SparkEntry {
     "t16_scripts" -> (TextAnalysis.scripts _),
     "t17_readability" -> (TextAnalysis.readability _),
     "t18_normalize_unicode" -> (TextAnalysis.normalizeUnicodeReport _),
+    "t19_bigram_lm" -> (TextAnalysis.bigramLm _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "d11_url_dedup" -> (Dedup.urlDedup _),
     "d12_bloom_contamination" -> (Dedup.bloomContamination _),
     "d13_span_dedup" -> (Dedup.spanDedup _),
+    "d14_boilerplate" -> (Dedup.boilerplate _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),
@@ -202,9 +204,14 @@ object SparkEntry {
     "q126_map_cosine" -> (Relational.q126 _),
     "q127_st_predicates" -> (Relational.q127 _),
     "q128_geo_measures" -> (Relational.q128 _),
+    "q129_tpch_q3" -> (Relational.q129 _),
+    "q130_tpch_q7" -> (Relational.q130 _),
+    "q131_tpch_q13" -> (Relational.q131 _),
+    "q132_tpch_q21" -> (Relational.q132 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),
+    "g03_triangles" -> (graft.graph.LinkGraph.g03 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -531,4 +531,54 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  private val BpK = 5       // boilerplate shingle width (words)
+  private val BpMinDocs = 3 // distinct docs for a shingle to count as boilerplate
+
+  /**
+   * d14: boilerplate-coverage filter — the cross-document complement of
+   * d13 (which flags spans duplicated ANYWHERE, including within one
+   * doc): a shingle is boilerplate only when it appears in ≥ BpMinDocs
+   * DISTINCT documents (headers, nav text, license blurbs — the CCNet /
+   * RefinedWeb removal class), and each doc is scored by the fraction of
+   * its word positions covered by the union of its boilerplate shingles.
+   *
+   * Scale: the corpus explodes ONCE to (doc, pos, 8-byte ShingleHash64)
+   * — gram strings never leave the scan task (the d13 kernel); the
+   * distinct-doc count shuffles hashes only and map-side partial
+   * distinct applies per (h, doc) run. The coverage union re-explodes
+   * only the HITS (boilerplate-matched positions — the small frame), 5
+   * ints per hit, then per-doc distinct-count; no window sort needed.
+   * Per-group state is O(1); nothing corpus-sized broadcasts.
+   */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(Tables.documents(s, d))
+
+  /** The d14 kernel over any (doc_id, text) frame — unit-testable form
+    * (the spec pins exact coverage arithmetic on hand-built docs). */
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), words(trim(col("text"))).as("w"))
+    val nWords = base.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+    val pos = base.filter(size(col("w")) >= BpK)
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.shingleHash64(col("w"), BpK)))
+      .toDF("doc_id", "pos", "h")
+    val frequent = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BpMinDocs).select(col("h"))
+    val covered = pos.join(frequent, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(BpK - 1))).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("covered_words"))
+    nWords.join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        round(coalesce(col("covered_words"), lit(0L)).cast("double") /
+          col("n_words").cast("double"), 4).as("bp_frac"),
+        (coalesce(col("covered_words"), lit(0L)).cast("double") <
+          col("n_words").cast("double") * 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -201,4 +201,78 @@ object LinkGraph {
       .orderBy(col("auth").desc, col("doc_id"))
       .limit(100)
   }
+
+  /**
+   * Exact per-node triangle counting + local clustering coefficient over
+   * an undirected edge frame (columns `u`, `v`, u < v, distinct). The
+   * local coefficient — triangles(v) / (deg(v)·(deg(v)−1)/2) — is the
+   * standard link-spam signal beside hub scores (link farms are
+   * near-cliques: coefficient ≈ 1 at high degree; organic pages are
+   * sparse neighborhoods).
+   *
+   * Scale design (the node-iterator bound, Schank & Wagner 2005): each
+   * edge is ORIENTED from its lower-(deg, id) endpoint to the higher
+   * one, so every triangle is generated exactly once from its
+   * lowest-rank vertex and — the load-bound that matters at 1e11 edges
+   * — each node's forward adjacency is O(√m): a celebrity node of
+   * degree 1e7 ranks above almost all its neighbors and receives their
+   * edges instead of fanning out its own, so the wedge self-join is
+   * skew-bounded by construction (no salting needed). Wedges
+   * (b1, b2 | both forward-neighbors of a) close by one hash semi-join
+   * against the canonical edge set; everything shuffled is a pair of
+   * 8-byte ids.
+   */
+  def triangles(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // orient: a = endpoint with smaller (deg, id), b = the other
+    val fwd = und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+    val wedges = fwd.select(col("a"), col("b").as("b1"))
+      .join(fwd.select(col("a"), col("b").as("b2")), "a")
+      .filter(col("b1") < col("b2"))
+    val tri = wedges
+      .join(und.select(col("u").as("b1"), col("v").as("b2")),
+        Seq("b1", "b2"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("x"), "left_outer")
+      .select(col("x").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(col("deg") >= 2,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
+  /**
+   * g03: triangle census of the citation graph (undirected view —
+   * direction is irrelevant to "are my neighbors interlinked"): the
+   * derived multigraph is canonicalized to distinct undirected pairs
+   * (self-links dropped), then [[triangles]]. Emits every node
+   * (zero-triangle nodes included — the LEFT join is the point, as in
+   * q131) ordered by doc_id. Exact integer counts ⇒ the oracle replays
+   * the same wedge join; the one double (clustering) is a single
+   * correctly-rounded IEEE division both engines compute identically.
+   */
+  def g03(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    val und = derivedEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    triangles(und).orderBy(col("doc_id"))
+  }
 }

@@ -1948,4 +1948,120 @@ object Relational {
         (col("sum_price") / nullif(col("sum_qty"), lit(0.0))).as("price_per_unit"),
         when(col("sum_qty") === 0, lit("empty")).otherwise(lit("ok")).as("flag"))
       .orderBy(col("l_returnflag"))
+
+  // --- q129: TPC-H Q3 — shipping-priority candidates (adapted:
+  // o_orderpriority stands in for the schema's missing o_shippriority).
+  // Segment-filtered customers broadcast into the orders scan; the only
+  // fact-sized shuffle is lineitem⋈orders on the orderkey both sides
+  // already need; top-10 by revenue is a TakeOrderedAndProject, never a
+  // global sort of the grouped frame.
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+          .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // --- q130: TPC-H Q7 — volume shipping between two nations. The cyclic
+  // constraint (supplier nation × customer nation, both directions of one
+  // pair) lives in a post-join pair filter over two broadcast nation
+  // copies; revenue is grouped by (supp_nation, cust_nation, year).
+  // supplier and both nation frames broadcast; customer joins orders on
+  // the dim side before touching the fact, so lineitem shuffles once.
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val custNation = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  // --- q131: TPC-H Q13 — customer order-count distribution (adapted:
+  // the original excludes orders by comment pattern; this schema has no
+  // comment column, so urgent orders are excluded instead). Left outer
+  // join keeps zero-order customers (the query's point); the second
+  // aggregate runs over one row per customer — already reduced, tiny.
+  def q131(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  // --- q132: TPC-H Q21 — suppliers who kept orders waiting (adapted:
+  // the schema has no commit/receipt dates, so "late" :=
+  // l_shipdate > o_orderdate + 60 days). The defining double correlation
+  // is preserved exactly: EXISTS another supplier on the order (semi
+  // join) AND NOT EXISTS another LATE supplier on the order (anti join)
+  // — the sole-blame pattern. Both probe sides are distinct
+  // (orderkey, suppkey) pairs — 16-byte rows, never full lines; the
+  // nation-filtered supplier dim broadcasts; top-100 is a TakeOrdered.
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val pairs = lines.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val latePairs = lines.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    latePairs
+      .join(broadcast(Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 5)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(pairs.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key")),
+        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("s2_key"),
+        "left_semi")
+      .join(latePairs.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key")),
+        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("s3_key"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
 }

@@ -537,4 +537,43 @@ object TextAnalysis {
       .withColumn("n_same", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .orderBy(col("doc_id"))
+
+  /**
+   * t19: add-one-smoothed bigram LM scoring — the next step up from
+   * t10's unigram LM on the perplexity-filter ladder (CCNet trains a
+   * 5-gram KenLM; a corpus-trained smoothed bigram is the same
+   * train-on-corpus / score-per-doc topology with exact, replayable
+   * arithmetic): per doc, avg over its bigrams of
+   * ln((c(w1,w2)+1) / (c(w1·)+V)).
+   *
+   * Scale: the bigram/unigram count tables are vocabulary-bounded, not
+   * corpus-bounded; scoring rejoins them to the bigram stream on
+   * (w1,w2) — one fact-sized hash shuffle with map-side partial counts,
+   * the c(w1·) table joins vocab-sized (broadcastable), V is a 1-row
+   * broadcast. Summation in DECIMAL(18,6) so the per-doc mean is
+   * order-independent (the t10 discipline).
+   */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    bi.join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("vocab")).cast("double")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
 }

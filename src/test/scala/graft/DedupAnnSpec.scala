@@ -192,4 +192,32 @@ class DedupAnnSpec extends GraftSpec {
     val plan = Dedup.spanDedup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("d14: boilerplate coverage counts exactly the union of frequent 5-gram positions") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // 5-gram in 3 distinct docs
+    val docs = Seq(
+      (0L, s"$shared zeta"),           // covered 0..4 of 6 words
+      (1L, s"$shared unique1 unique2"), // covered 0..4 of 7
+      (2L, s"x0 $shared"),             // covered 1..5 of 6
+      (3L, "totally different words here none shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("covered_words"),
+          r.getAs[Double]("bp_frac"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) == ((6L, 5L, 0.8333, false)))
+    assert(got(1L) == ((7L, 5L, 0.7143, false)))
+    assert(got(2L) == ((6L, 5L, 0.8333, false)))
+    assert(got(3L) == ((6L, 0L, 0.0, true)))
+    // entry-level: coverage never exceeds the doc, zero-covered docs keep
+    Dedup.boilerplate(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("covered_words") <= r.getAs[Long]("n_words"))
+      val frac = r.getAs[Double]("bp_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      // keep is computed pre-rounding; allow the rounded-display boundary
+      if (frac < 0.1999) assert(r.getAs[Boolean]("keep"))
+      if (frac > 0.2001) assert(!r.getAs[Boolean]("keep"))
+    }
+  }
 }

@@ -110,6 +110,39 @@ class LinkGraphSpec extends GraftSpec {
       "citing nodes hold equal hub mass and no authority")
   }
 
+  test("triangles: exact counts and coefficients on triangle+pendant, and on K4") {
+    import spark.implicits._
+    // triangle {0,1,2} plus pendant 3 hanging off 2
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = LinkGraph.triangles(und).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((2L, 1L, 1.0)))
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 0.333333))) // rounded to 6 dp by the entry
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    // K4: every node in 3 triangles, coefficient exactly 1
+    val k4 = (for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong))
+      .toDF("u", "v")
+    LinkGraph.triangles(k4).collect().foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0)
+    }
+  }
+
+  test("g03 entry: emits every edge-touched node, doc_id-ordered, counts consistent") {
+    val rows = LinkGraph.g03(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+    // handshake: every triangle contributes exactly 3 per-node increments
+    val triSum = rows.map(_.getLong(2)).sum
+    assert(triSum % 3 == 0, s"per-node triangle counts must sum to 3·T, got $triSum")
+    rows.foreach { r =>
+      val (deg, tri, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(tri <= deg * (deg - 1) / 2, "triangles at a node are bounded by its wedge count")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("g01 entry: top-k is a bounded TakeOrderedAndProject, never a global sort") {
     val plan = LinkGraph.g01(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),

@@ -126,6 +126,65 @@ class Relational2Spec extends GraftSpec {
     assert(rows.forall(_.getAs[Long]("doc_id") != 0L))
   }
 
+  test("q129: top-10 shipping-priority rows are revenue-descending and straddle the cutoff") {
+    val rows = Relational.q129(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[String]("order_date") < "1998-06-01"))
+  }
+
+  test("q130: cross-nation volume covers only the named pair, both directions, in-range years") {
+    val rows = Relational.q130(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sn = r.getAs[String]("supp_nation"); val cn = r.getAs[String]("cust_nation")
+      assert(Set(sn, cn) == Set("NATION_3", "NATION_7"))
+      val y = r.getAs[Int]("l_year")
+      assert(y == 1996 || y == 1997)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+  }
+
+  test("q131: order-count distribution partitions the customer set exactly") {
+    val rows = Relational.q131(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    // c_count buckets are distinct and the weighted sum equals the
+    // non-urgent order total (every order lands in exactly one bucket)
+    val counts = rows.map(_.getAs[Long]("c_count"))
+    assert(counts.distinct.length == counts.length)
+    val nOrders = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum == nOrders)
+  }
+
+  test("q132: sole-blame waiting counts match an independent recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q132(spark, sf).collect()
+    // independent recomputation: per (order, supplier) late flags on F
+    // orders, sole-late = exactly one late supplier among ≥2 suppliers
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      .groupBy("l_orderkey", "l_suppkey").agg(max(col("late")).as("late"))
+      .collect().groupBy(_.getAs[Long]("l_orderkey"))
+    val suppNation5 = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") === 5)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val expected = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    lines.values.foreach { grp =>
+      val lateSupps = grp.filter(_.getAs[Boolean]("late")).map(_.getAs[Long]("l_suppkey"))
+      if (grp.length >= 2 && lateSupps.length == 1)
+        suppNation5.get(lateSupps.head).foreach(n => expected(n) += 1L)
+    }
+    val got = rows.map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(got == expected.toMap.filter(_._2 > 0), s"got=$got expected=$expected")
+  }
+
   test("q09: HLL approx distinct within 3 sigma of exact (rsd = 2.3%)") {
     import org.apache.spark.sql.functions._
     val exact = Tables.lineitem(spark, sf)

@@ -123,4 +123,21 @@ class TextAnalysisSpec extends GraftSpec {
     val scores = res.map(_.getAs[Double]("avg_logp")).sorted
     assert(scores.last > scores(scores.length / 2))
   }
+
+  test("t19 bigram LM: n_bigrams = tokens-1, scores finite negative, smoothing bounds hold") {
+    import org.apache.spark.sql.functions._
+    val nToks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = graft.text.TextAnalysis.bigramLm(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == nToks(id) - 1)
+      val lp = r.getAs[Double]("avg_logp")
+      assert(!lp.isNaN && !lp.isInfinite && lp < 0.0, s"bad avg_logp $lp")
+      // add-one smoothing floor: P >= 1/(max c1 + V) > 0, and every seen
+      // bigram has P >= 2/(c1+V) — avg_logp can never reach -inf
+    }
+  }
 }
