@@ -3469,6 +3469,30 @@ object OracleSql {
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
 
+    "q133_interval_frame" -> """
+      SELECT o_orderkey, o_custkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        AS DOUBLE) AS trailing_90d_spend,
+        COUNT(*) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        AS trailing_90d_orders
+      FROM orders ORDER BY o_orderkey""",
+
+    "e14_sliding_distinct" -> """
+      WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      md AS (SELECT MAX(day) AS max_day FROM du),
+      rep AS (SELECT user_id,
+                day + CAST(unnest(range(0, 7)) AS INTEGER) AS wend FROM du)
+      SELECT strftime(wend, '%Y-%m-%d') AS window_end,
+        COUNT(DISTINCT user_id) AS active_users
+      FROM rep, md WHERE wend <= max_day
+      GROUP BY wend ORDER BY window_end""",
+
     // g03: the identical degree-ordered wedge join — integer counts are
     // engine-independent; the one double (clustering) is a single
     // correctly-rounded IEEE division.

@@ -73,6 +73,7 @@ object SparkEntry {
     "e11_transitions" -> (Events.transitions _),
     "e12_gap_sketch" -> (Events.gapSketch _),
     "e13_rfm" -> (Events.rfm _),
+    "e14_sliding_distinct" -> (Events.slidingDistinct _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q130_tpch_q7" -> (Relational.q130 _),
     "q131_tpch_q13" -> (Relational.q131 _),
     "q132_tpch_q21" -> (Relational.q132 _),
+    "q133_interval_frame" -> (Relational.q133 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

@@ -359,4 +359,36 @@ object Events {
       .select(col("level"), col("g1").as("event_type"), col("g2").as("day"),
         col("n"), col("p50"), col("p95"), col("p99"))
   }
+
+  /**
+   * e14: EXACT sliding-window distinct users — trailing-7-day active
+   * users per day, the metric naive plans get catastrophically wrong at
+   * scale (a per-day self-join of raw events, or a distinct inside a
+   * RANGE window, rebuilds the full set per window).
+   *
+   * The scalable exact topology: reduce events to distinct (day, user)
+   * ONCE (the big shuffle, map-side partial), then replicate each pair
+   * to the ≤7 window-end days it can serve — a bounded ×7 explode of
+   * the already-reduced frame, NOT of raw events — and per-end-day
+   * distinct-count. Window ends past the last observed day are
+   * suppressed (partial futures), via a 1-row max-day broadcast. The
+   * approximate path at larger windows is s10's mergeable HLL per day +
+   * 7-sketch union; this entry is the exact reference beside it (the
+   * q10/q115 pairing discipline).
+   */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    days
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("max_day"))
+      .groupBy(col("wend"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("window_end"),
+        col("active_users"))
+      .orderBy(col("window_end"))
+  }
 }

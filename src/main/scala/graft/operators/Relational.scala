@@ -2064,4 +2064,26 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }
+
+  // --- q133: time-interval RANGE window frames — the calendar-aware
+  // frame (RANGE BETWEEN INTERVAL ... PRECEDING) that q71's numeric
+  // range frame can't express: per customer, trailing-90-day spend and
+  // order count at each order. One hash shuffle on the partition key,
+  // per-partition sort, single window pass; RANGE peers (same-timestamp
+  // orders) enter the frame together in both engines by definition.
+  // DECIMAL window sum keeps the result order-independent.
+  def q133(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .selectExpr(
+        "o_orderkey", "o_custkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS order_date",
+        """CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS trailing_90d_spend""",
+        """COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+           AS trailing_90d_orders""")
+      .orderBy(col("o_orderkey"))
 }

@@ -209,4 +209,24 @@ class AnalyticsOpsSpec extends GraftSpec {
       assert(lo >= 0.0 && hi <= 1.0 && lo < p && p < hi, r.toString)
     }
   }
+
+  test("e14 sliding distinct: equals a brute-force 7-day recount; monotone vs daily") {
+    val got = Events.slidingDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("window_end") -> r.getAs[Long]("active_users")).toMap
+    assert(got.nonEmpty)
+    val dayUsers = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val maxDay = dayUsers.map(_._1).max
+    got.foreach { case (wendStr, n) =>
+      val wend = java.time.LocalDate.parse(wendStr)
+      assert(!wend.isAfter(maxDay), "no partial-future windows")
+      val want = dayUsers.filter { case (d, _) =>
+        !d.isAfter(wend) && !d.isBefore(wend.minusDays(6)) }.map(_._2).distinct.length
+      assert(n == want.toLong, s"$wendStr: got $n want $want")
+      // a 7-day window can never see fewer users than its last day alone
+      val daily = dayUsers.filter(_._1 == wend).map(_._2).distinct.length
+      assert(n >= daily)
+    }
+  }
 }

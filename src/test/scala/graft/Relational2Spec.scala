@@ -185,6 +185,29 @@ class Relational2Spec extends GraftSpec {
     assert(got == expected.toMap.filter(_._2 > 0), s"got=$got expected=$expected")
   }
 
+  test("q133: interval RANGE frame — trailing window always contains the current row") {
+    val rows = Relational.q133(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.orders(spark, sf)
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("trailing_90d_orders")
+      val spend = r.getAs[Double]("trailing_90d_spend")
+      assert(n >= 1, "RANGE frame includes CURRENT ROW")
+      assert(spend >= totals(r.getAs[Long]("o_orderkey")) - 0.01,
+        "trailing spend is at least the row's own total")
+    }
+    // brute-force one customer: window sums equal a 90-day filter re-sum
+    val custkey = rows.head.getAs[Long]("o_custkey")
+    val mine = rows.filter(_.getAs[Long]("o_custkey") == custkey)
+      .map(r => (r.getAs[String]("order_date"), r.getAs[Long]("trailing_90d_orders")))
+    val dates = mine.map(_._1).map(java.time.LocalDate.parse)
+    mine.zip(dates).foreach { case ((_, n), d0) =>
+      val want = dates.count(x => !x.isAfter(d0) && !x.isBefore(d0.minusDays(90)))
+      assert(n == want, s"customer $custkey at $d0: got $n want $want")
+    }
+  }
+
   test("q09: HLL approx distinct within 3 sigma of exact (rsd = 2.3%)") {
     import org.apache.spark.sql.functions._
     val exact = Tables.lineitem(spark, sf)
