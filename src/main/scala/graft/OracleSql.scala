@@ -678,6 +678,69 @@ object OracleSql {
       ORDER BY doc_id"""
     },
 
+    // c03: the three signal chains (t02 quality / d14 boilerplate / t19
+    // bigram LM) replayed as CTEs and joined per doc; the composite uses
+    // the already-rounded signal values with the identical left-to-right
+    // IEEE expression tree.
+    "c03_full_curation" -> {
+      def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      raw"""
+      WITH q AS (
+        SELECT doc_id, lang, round(
+          LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+          + LEAST(1.0, (${occ(" the ")} + ${occ(" a ")} + ${occ(" and ")} + ${occ(" of ")}) * 10.0 / len(string_split_regex(trim(text), '\s+'))) * 0.3
+          + CASE WHEN CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 8.0
+                 THEN 0.2 ELSE 0.0 END, 6) AS quality
+        FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) d),
+      wl AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM wl),
+      p0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS pos
+             FROM wl WHERE len(w) >= 5),
+      pos AS (SELECT doc_id, pos,
+                array_to_string(w[pos+1:pos+5], ' ') AS gram FROM p0),
+      freq AS (SELECT gram FROM pos
+               GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3),
+      cov AS (SELECT doc_id, COUNT(DISTINCT i) AS covered_words
+              FROM (SELECT doc_id, pos + unnest(range(0, 5)) AS i
+                    FROM pos JOIN freq USING (gram))
+              GROUP BY doc_id),
+      bp AS (
+        SELECT nw.doc_id,
+          round(CAST(COALESCE(covered_words, 0) AS DOUBLE)
+            / CAST(n_words AS DOUBLE), 4) AS bp_frac
+        FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id),
+      tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM tw, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(ws) AS tok FROM tw)),
+      lm AS (
+        SELECT doc_id,
+          round(CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+        FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+        GROUP BY doc_id),
+      joined AS (
+        SELECT q.doc_id, q.lang, q.quality, bp.bp_frac,
+          COALESCE(lm.avg_logp, -10.0) AS fluency
+        FROM q JOIN bp ON q.doc_id = bp.doc_id
+        LEFT JOIN lm ON q.doc_id = lm.doc_id)
+      SELECT doc_id, lang, quality, bp_frac, fluency,
+        CAST(round(
+          CAST(quality AS DECIMAL(18,6)) * 0.5
+          + (1.0 - CAST(bp_frac AS DECIMAL(18,4))) * 0.3
+          + (1.0 + CAST(GREATEST(CAST(-1.0 AS DECIMAL(18,5)),
+              LEAST(CAST(0.0 AS DECIMAL(18,5)),
+                CAST(fluency AS DECIMAL(18,4)) * 0.1)) AS DECIMAL(18,5))) * 0.2,
+        6) AS DOUBLE) AS composite,
+        quality >= 0.5 AND bp_frac < 0.2 AND fluency >= -4.0 AS keep
+      FROM joined ORDER BY doc_id"""
+    },
+
     "q42_promo_ratio" -> s"""
       SELECT CAST(100.0 *
         ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
@@ -3481,6 +3544,22 @@ object OracleSql {
           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
         AS trailing_90d_orders
       FROM orders ORDER BY o_orderkey""",
+
+    "q134_ignore_nulls_fill" -> """
+      WITH base AS (
+        SELECT user_id, event_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+          round(CASE WHEN event_type IN ('purchase', 'click')
+                     THEN value END, 4) AS raw
+        FROM events)
+      SELECT user_id, event_id, ts_str, raw,
+        last_value(raw IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_str, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+        first_value(raw IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_str, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fill_bwd
+      FROM base ORDER BY user_id, event_id""",
 
     "e14_sliding_distinct" -> """
       WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -103,6 +103,7 @@ object SparkEntry {
     "d06_dedup_clusters" -> (Dedup.minhashClusters _),
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
+    "c03_full_curation" -> (graft.pipeline.Curation.fullCuration _),
     "d07_contamination" -> (Dedup.contamination _),
     "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "d09_minhash_est" -> (Dedup.minhashEstimate _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "q131_tpch_q13" -> (Relational.q131 _),
     "q132_tpch_q21" -> (Relational.q132 _),
     "q133_interval_frame" -> (Relational.q133 _),
+    "q134_ignore_nulls_fill" -> (Relational.q134 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

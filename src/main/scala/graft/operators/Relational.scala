@@ -2086,4 +2086,32 @@ object Relational {
              RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
            AS trailing_90d_orders""")
       .orderBy(col("o_orderkey"))
+
+  // --- q134: IGNORE NULLS navigation — forward/backward gap filling
+  // (Presto's first_value/last_value IGNORE NULLS; the sensor-series
+  // fill every time-series pipeline runs). Only purchase/click carry a
+  // measured value here; the rest are gaps. Pure selection — no
+  // arithmetic can fork cross-engine; tie order pinned by (ts,
+  // event_id); one hash shuffle + per-partition sort, single window
+  // pass each direction.
+  def q134(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val raw = when(col("event_type").isin("purchase", "click"), col("value"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        round(raw, 4).as("raw"))
+      .select(col("user_id"), col("event_id"), col("ts_str"), col("raw"),
+        last(col("raw"), ignoreNulls = true)
+          .over(w.orderBy(col("ts_str"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("fill_fwd"),
+        first(col("raw"), ignoreNulls = true)
+          .over(w.orderBy(col("ts_str"), col("event_id"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("fill_bwd"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -59,4 +59,48 @@ object Curation {
       .select(col("doc_id"), col("lang"), round(col("score_raw"), 6).as("score"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * c03: multi-signal curation decision table — the composition a modern
+   * corpus pipeline actually ships (FineWeb/RefinedWeb shape): document-
+   * local quality (t02 kernel) × cross-document boilerplate coverage
+   * (d14) × corpus-LM fluency (t19), joined per doc into one verdict +
+   * a weighted composite score for threshold tuning.
+   *
+   * Determinism: the composite is computed from the ALREADY-ROUNDED
+   * per-signal outputs (4/6 dp) with a fixed left-to-right expression
+   * tree, so both engines evaluate the identical IEEE chain. Scale: all
+   * three signal frames are doc-keyed reductions of the same corpus;
+   * the joins are co-keyed hash joins on doc_id — no signal ever
+   * re-shuffles document text (each sub-operator's own posture applies).
+   * Docs too short to produce bigrams survive via the left join with a
+   * -10.0 fluency floor.
+   */
+  def fullCuration(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    val bp = graft.dedup.Dedup.boilerplate(s, d)
+      .select(col("doc_id"), col("bp_frac"))
+    val lm = TextAnalysis.bigramLm(s, d)
+      .select(col("doc_id"), col("avg_logp"))
+    q.join(bp, Seq("doc_id")).join(lm, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("quality"), col("bp_frac"),
+        coalesce(col("avg_logp"), lit(-10.0)).as("fluency"))
+      // composite in EXACT DECIMAL arithmetic over the already-rounded
+      // signals (SQL decimal literals like 0.5 parse as DECIMAL in both
+      // engines; decimal × decimal and + are exact, fluency/10 becomes
+      // ×0.1 to stay in decimals) — a double chain here lands on
+      // rounding midpoints (e.g. 0.8615795) where engines fork
+      .selectExpr("doc_id", "lang", "quality", "bp_frac", "fluency",
+        """CAST(round(
+             CAST(quality AS DECIMAL(18,6)) * 0.5
+             + (1.0 - CAST(bp_frac AS DECIMAL(18,4))) * 0.3
+             + (1.0 + CAST(GREATEST(CAST(-1.0 AS DECIMAL(18,5)),
+                 LEAST(CAST(0.0 AS DECIMAL(18,5)),
+                   CAST(fluency AS DECIMAL(18,4)) * 0.1)) AS DECIMAL(18,5))) * 0.2,
+           6) AS DOUBLE) AS composite""",
+        "quality >= 0.5 AND bp_frac < 0.2 AND fluency >= -4.0 AS keep")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -124,6 +124,32 @@ object EventPipelines {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming sliding-window distinct users — the streaming face of the
+    * e14 batch topology ([[graft.operators.Events.slidingDistinct]]):
+    * each event's (user, day) replicates to its ≤7 serviceable
+    * window-end days up front (the bounded ×7 explode), then ONE
+    * deduplication on (user_id, window_end) inside the watermark horizon
+    * subsumes the batch plan's distinct-(day,user) reduction — a
+    * duplicate (user, day) produces identical replicas, removed there —
+    * and the per-window-end count finalizes in append mode when the
+    * watermark passes the window end. State is (user × ≤7 window ends)
+    * inside the horizon; nothing rebuilds a user set per window. */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"))
+      .select(col("user_id"), col("wend").cast("timestamp").as("wend_ts"))
+      // the delay must absorb the 6-day FORWARD replication (the newest
+      // event's furthest window end leads its own day by 6 days) plus
+      // one day of event lateness — 7 days ⇒ watermark trails the
+      // newest observed day by 1 day, so a day-late event's earliest
+      // window end is still accepted
+      .withWatermark("wend_ts", "7 days")
+      .dropDuplicatesWithinWatermark("user_id", "wend_ts")
+      .groupBy(col("wend_ts"))
+      .agg(count(lit(1)).as("active_users"))
+
   /** Streaming mergeable histogram sketch — the streaming face of the
     * q115 quantile sketch ([[graft.operators.QuantileSketch]]): running
     * per-(event_type, bin) counts over a FIXED [lo, hi] domain. Each

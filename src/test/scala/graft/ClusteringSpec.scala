@@ -47,4 +47,17 @@ class ClusteringSpec extends GraftSpec {
     val ids = out.map(_.getAs[Long]("doc_id"))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("c03: verdict matches its own thresholds; composite in [0,1]; one row per doc") {
+    val out = graft.pipeline.Curation.fullCuration(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length == nDocs, "every doc gets a decision row")
+    out.foreach { r =>
+      val (q, b, f) = (r.getAs[Double]("quality"), r.getAs[Double]("bp_frac"),
+        r.getAs[Double]("fluency"))
+      assert(r.getAs[Boolean]("keep") == (q >= 0.5 && b < 0.2 && f >= -4.0))
+      val c = r.getAs[Double]("composite")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"composite $c out of band")
+    }
+  }
 }

@@ -208,6 +208,28 @@ class Relational2Spec extends GraftSpec {
     }
   }
 
+  test("q134: IGNORE NULLS fill — fwd carries the latest value, bwd the next, gaps only at edges") {
+    val rows = Relational.q134(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getAs[String]("ts_str"), r.getAs[Long]("event_id")))
+      var lastSeen: Option[Double] = None
+      ordered.foreach { r =>
+        val raw = Option(r.getAs[java.lang.Double]("raw")).map(_.toDouble)
+        if (raw.isDefined) lastSeen = raw
+        val fwd = Option(r.getAs[java.lang.Double]("fill_fwd")).map(_.toDouble)
+        assert(fwd == lastSeen, s"fill_fwd must equal the latest non-null raw")
+      }
+      var nextSeen: Option[Double] = None
+      ordered.reverse.foreach { r =>
+        val raw = Option(r.getAs[java.lang.Double]("raw")).map(_.toDouble)
+        if (raw.isDefined) nextSeen = raw
+        val bwd = Option(r.getAs[java.lang.Double]("fill_bwd")).map(_.toDouble)
+        assert(bwd == nextSeen, s"fill_bwd must equal the next non-null raw")
+      }
+    }
+  }
+
   test("q09: HLL approx distinct within 3 sigma of exact (rsd = 2.3%)") {
     import org.apache.spark.sql.functions._
     val exact = Tables.lineitem(spark, sf)

@@ -365,6 +365,43 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding distinct finalizes the batch e14 counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.slidingDistinct(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("slide_test").start()
+    val batch1 = Seq(
+      Event(1, ts("2024-01-01 09:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 10:00:00"), 7, "click", 1.0), // same user+day: dedup
+      Event(3, ts("2024-01-02 09:00:00"), 8, "view", 1.0))
+    val batch2 = Seq(
+      Event(4, ts("2024-01-03 09:00:00"), 7, "view", 1.0), // user 7 again, new day
+      Event(5, ts("2024-01-05 09:00:00"), 9, "view", 1.0))
+    // far-future sentinel: advances the watermark past every real window
+    // end so append mode finalizes them (its own windows are discarded)
+    val sentinel = Event(99, ts("2024-03-01 00:00:00"), 999, "view", 1.0)
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT date_format(wend_ts, 'yyyy-MM-dd') AS wend, active_users FROM slide_test")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .filter(_._1 < "2024-02-01") // drop sentinel-derived windows
+      // batch reference over the same events: distinct users per 7-day window
+      val dayUsers = (batch1 ++ batch2).map(e =>
+        (e.ts.toLocalDateTime.toLocalDate, e.user_id)).distinct
+      val allEnds = dayUsers.map(_._1).flatMap(d => (0 to 6).map(d.plusDays(_))).distinct
+      val expected = allEnds.map { e =>
+        e.toString -> dayUsers.filter { case (d, _) =>
+          !d.isAfter(e) && !d.isBefore(e.minusDays(6)) }.map(_._2).distinct.size.toLong
+      }.toMap
+      assert(streamed == expected, s"streamed=$streamed expected=$expected")
+      // the cross-batch window: Jan-05's trailing week sees users 7, 8, 9
+      assert(streamed("2024-01-05") == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
