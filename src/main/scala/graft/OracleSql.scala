@@ -273,6 +273,46 @@ object OracleSql {
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY status, prio""",
 
+    "q135_rollup_distinct" -> s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        COALESCE(l_linestatus, 'ALL') AS status,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY flag, status""",
+
+    // d15: the d02 pair pipeline (minhashCtes → pr) + exact containment
+    // over gram STRINGS (Spark shuffles 8-byte Hash64 values — the
+    // d08/d13 collision-free-replay discipline); flags compare the
+    // ROUNDED containments so the 0.9 boundary can't fork.
+    "d15_containment" -> s"""
+      WITH $minhashCtes,
+      g AS (SELECT DISTINCT doc_id, s FROM sh),
+      nsz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+      inter AS (
+        SELECT pr.a, pr.b, COUNT(*) AS n_common
+        FROM pr JOIN g ga ON ga.doc_id = pr.a
+                JOIN g gb ON gb.doc_id = pr.b AND gb.s = ga.s
+        GROUP BY pr.a, pr.b),
+      base AS (
+        SELECT pr.a AS id_a, pr.b AS id_b, na.n AS n_a, nb.n AS n_b,
+          COALESCE(i.n_common, 0) AS n_common
+        FROM pr JOIN nsz na ON na.doc_id = pr.a
+                JOIN nsz nb ON nb.doc_id = pr.b
+        LEFT JOIN inter i ON i.a = pr.a AND i.b = pr.b),
+      scored AS (
+        SELECT id_a, id_b, n_a, n_b, n_common,
+          round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS cont_a,
+          round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS cont_b,
+          round(CAST(n_common AS DOUBLE)
+            / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+        FROM base)
+      SELECT id_a, id_b, n_a, n_b, n_common, cont_a, cont_b, jaccard,
+        cont_a >= 0.9 OR cont_b >= 0.9 AS near_subset
+      FROM scored ORDER BY id_a, id_b""",
+
     "q15_topn" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

@@ -532,6 +532,56 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /**
+   * d15: shingle-set CONTAINMENT over the LSH candidate pairs — the
+   * asymmetric complement of Jaccard (d04/d09): C(A,B) = |A∩B| / |A|
+   * detects near-SUBSET relations (a doc quoting or embedding another)
+   * that symmetric Jaccard scores low when sizes differ. The standard
+   * quote/superset detector beside near-dup detection.
+   *
+   * Scale: pair generation is the capped LSH pipeline (d02 — banded,
+   * bucketed, MaxBucket-capped, never a cross join); the exact
+   * intersection counts flow as (doc, 8-byte gram hash) rows joined to
+   * the bounded pair frame, never as materialized per-doc sets. Flags
+   * use the ROUNDED containments so the 0.9 boundary can't fork
+   * cross-engine.
+   */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = lshCandidatePairs(minhashBands(minhashSignatures(docs)))
+    // the SAME shingle definition the signatures hash (incl. the short-doc
+    // partial-gram edge case), distinct per doc, 8-byte hashed
+    val gramRows = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .as("g"))
+      .select(col("doc_id"), GraftFunctions.hash64(col("g")).as("h"))
+    val sizes = gramRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(gramRows.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(gramRows.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 6)
+          .as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"), 6)
+          .as("cont_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .withColumn("near_subset",
+        col("cont_a") >= 0.9 || col("cont_b") >= 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val BpK = 5       // boilerplate shingle width (words)
   private val BpMinDocs = 3 // distinct docs for a shingle to count as boilerplate
 

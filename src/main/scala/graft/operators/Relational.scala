@@ -2087,6 +2087,28 @@ object Relational {
            AS trailing_90d_orders""")
       .orderBy(col("o_orderkey"))
 
+  // --- q135: DISTINCT aggregates under ROLLUP — the Expand +
+  // two-phase-distinct plan shape (each distinct column re-expands the
+  // input per grouping set; Spark rewrites to partial distinct-key
+  // aggregation — no grouping set ever collects raw rows). Counting
+  // suppliers/parts per (returnflag, linestatus) cell AND the rollup
+  // margins in one pass, beside an exact decimal sum, exercises the
+  // interplay q14 (plain rollup) and q08 (plain distinct agg) each
+  // cover alone.
+  def q135(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_supps"), col("n_parts"), col("n_rows"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+
   // --- q134: IGNORE NULLS navigation — forward/backward gap filling
   // (Presto's first_value/last_value IGNORE NULLS; the sensor-series
   // fill every time-series pipeline runs). Only purchase/click carry a

@@ -193,6 +193,27 @@ class DedupAnnSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("d15: containment bounds hold and identical docs contain each other fully") {
+    val rows = Dedup.containment(spark, sf).collect()
+    assert(rows.nonEmpty, "LSH must propose candidate pairs on this corpus")
+    rows.foreach { r =>
+      val (na, nb, nc) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_common"))
+      assert(nc <= math.min(na, nb), "intersection bounded by either set")
+      val (ca, cb, j) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"),
+        r.getAs[Double]("jaccard"))
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      assert(j <= math.min(ca, cb) + 1e-9, "jaccard never exceeds either containment")
+      assert(r.getAs[Boolean]("near_subset") == (ca >= 0.9 || cb >= 0.9))
+    }
+    // exact-duplicate pairs (d01 finds them on this corpus) must score
+    // containment 1.0 in both directions when LSH proposes them
+    val full = rows.filter(r => r.getAs[Double]("jaccard") == 1.0)
+    full.foreach { r =>
+      assert(r.getAs[Double]("cont_a") == 1.0 && r.getAs[Double]("cont_b") == 1.0)
+    }
+  }
+
   test("d14: boilerplate coverage counts exactly the union of frequent 5-gram positions") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon" // 5-gram in 3 distinct docs

@@ -208,6 +208,28 @@ class Relational2Spec extends GraftSpec {
     }
   }
 
+  test("q135: distinct-under-rollup margins are consistent with the cells") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = Relational.q135(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("flag") == "ALL").head
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_suppkey")), countDistinct(col("l_partkey"))).head
+    assert(grand.getAs[Long]("n_supps") == exact.getLong(0))
+    assert(grand.getAs[Long]("n_parts") == exact.getLong(1))
+    val cells = rows.filter(r =>
+      r.getAs[String]("flag") != "ALL" && r.getAs[String]("status") != "ALL")
+    // row counts are additive across cells; distinct counts are NOT (a
+    // supplier appears in many cells) but each margin bounds its cells
+    assert(cells.map(_.getAs[Long]("n_rows")).sum == grand.getAs[Long]("n_rows"))
+    rows.filter(r => r.getAs[String]("flag") != "ALL" &&
+        r.getAs[String]("status") == "ALL").foreach { m =>
+      val sub = cells.filter(_.getAs[String]("flag") == m.getAs[String]("flag"))
+      assert(sub.map(_.getAs[Long]("n_rows")).sum == m.getAs[Long]("n_rows"))
+      assert(sub.map(_.getAs[Long]("n_supps")).max <= m.getAs[Long]("n_supps"))
+      assert(m.getAs[Long]("n_supps") <= sub.map(_.getAs[Long]("n_supps")).sum)
+    }
+  }
+
   test("q134: IGNORE NULLS fill — fwd carries the latest value, bwd the next, gaps only at edges") {
     val rows = Relational.q134(spark, sf).collect()
     assert(rows.nonEmpty)
