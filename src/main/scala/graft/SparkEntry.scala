@@ -240,6 +240,7 @@ object SparkEntry {
     "a11_pq" -> (Ann.pqCodes _),
     "a12_nprobe_curve" -> (Ann.nprobeCurve _),
     "a13_ivfpq_recall" -> (Ann.ivfpqRecall _),
+    "a14_filtered_knn" -> (Ann.filteredKnn _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
@@ -275,6 +276,35 @@ object SparkEntry {
       )
       SELECT probe_id, cand_id, cos_sim, rn FROM (
         SELECT probe_id, cand_id,
+          round(dot / (sqrt(pp) * sqrt(cc)), 4) AS cos_sim,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY round(dot / (sqrt(pp) * sqrt(cc)), 4) DESC, cand_id)
+            AS INTEGER) AS rn
+        FROM pairs
+      ) t WHERE rn <= 10 ORDER BY probe_id, rn""",
+    // a14: the a01 replay scoped to the probe's label slice — the join
+    // carries the label equality beside the element index.
+    "a14_filtered_knn" -> """
+      WITH px AS (
+        SELECT vec_id AS probe_id, label AS plabel, i, CAST(e AS DOUBLE) AS pe
+        FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) t
+      ), cx AS (
+        SELECT vec_id AS cand_id, label AS clabel, i, CAST(e AS DOUBLE) AS ce
+        FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+      ), pairs AS (
+        SELECT probe_id, plabel AS label, cand_id,
+          CAST(SUM(CAST(pe * ce AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(pe * pe AS DECIMAL(30,15))) AS DOUBLE) AS pp,
+          CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+        FROM px JOIN cx ON px.i = cx.i AND px.plabel = cx.clabel
+        GROUP BY probe_id, plabel, cand_id
+      )
+      SELECT probe_id, label, cand_id, cos_sim, rn FROM (
+        SELECT probe_id, label, cand_id,
           round(dot / (sqrt(pp) * sqrt(cc)), 4) AS cos_sim,
           CAST(row_number() OVER (PARTITION BY probe_id
             ORDER BY round(dot / (sqrt(pp) * sqrt(cc)), 4) DESC, cand_id)

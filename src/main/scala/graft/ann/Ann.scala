@@ -807,4 +807,36 @@ object Ann {
         round(col("n_common").cast("double") / K, 2).as("recall_at_10"))
       .orderBy(col("probe_id"))
   }
+
+  /**
+   * a14: FILTERED retrieval — top-k restricted to candidates satisfying
+   * a metadata predicate (here: same label as the probe — the
+   * same-language / same-collection retrieval every RAG corpus runs).
+   * Naive post-filtering of an unfiltered top-k breaks recall when the
+   * predicate is selective (the k survivors may all be filtered out);
+   * the correct exact form SCOPES the search to the filtered slice
+   * before ranking, which this entry does via the label equi-join —
+   * at scale the predicate composes orthogonally with a02's IVF cell
+   * probing (intersect each probed cell's candidates with the
+   * predicate), and this brute-force-within-slice is its exact
+   * reference. The probe frame (k rows + labels) broadcasts; the
+   * corpus is scanned once, each row joining only its own label's
+   * probes — narrower than a01's unfiltered cross join.
+   */
+  def filteredKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("probe_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    emb.join(broadcast(probes), col("label") === col("probe_label"))
+      .select(col("probe_id"), col("label"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+      .select(col("probe_id"), col("label"), col("cand_id"), col("cos_sim"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= K)
+      .orderBy(col("probe_id"), col("rn"))
+  }
 }

@@ -193,6 +193,28 @@ class DedupAnnSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("a14 filtered knn: self at rank 1, every candidate wears the probe's label, scoped not post-filtered") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Ann.filteredKnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.head.getAs[Long]("cand_id") == pid, "rank-1 is the probe itself")
+      ordered.foreach { r =>
+        assert(r.getAs[Int]("label") == emb(pid), "candidates scoped to the probe's label")
+        assert(emb(r.getAs[Long]("cand_id")) == emb(pid))
+      }
+      val sims = ordered.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      // scoped search returns a full k whenever the slice has >= k members
+      // (a naive post-filter of an unfiltered top-k cannot guarantee that)
+      val sliceSize = emb.values.count(_ == emb(pid))
+      assert(ordered.length == math.min(10, sliceSize))
+    }
+  }
+
   test("d15: containment bounds hold and identical docs contain each other fully") {
     val rows = Dedup.containment(spark, sf).collect()
     assert(rows.nonEmpty, "LSH must propose candidate pairs on this corpus")
