@@ -364,7 +364,24 @@ object GraftCli {
         UNION ALL
         SELECT 'merged' AS level, o_orderstatus, CAST(NULL AS INT) AS yr,
           hll_sketch_estimate(sk) AS est FROM merged)
-      ORDER BY level, o_orderstatus, yr"""))
+      ORDER BY level, o_orderstatus, yr""")),
+    // s11: canonical TPC-H Q3 text verbatim through the front door — the
+    // reference's core UX is Presto SQL over these tables (README.md:96);
+    // this proves the multi-join + agg + top-n shape arrives as SQL TEXT
+    // and still plans the q129 topology (same oracle BY REFERENCE).
+    "s11_sql_tpch" -> ((s, d) => sql(s, d, """
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS revenue,
+        date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+        o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -437,6 +454,8 @@ object GraftCli {
     // s09 computes exactly the q115 report (same binning text, same CDF
     // pick) through the SQL aggregates, so it shares q115's oracle BY
     // REFERENCE — the two entries can never drift apart.
-    "s09_sql_sketch_agg" -> OracleSql.sql("q115_sketch_quantile")
+    "s09_sql_sketch_agg" -> OracleSql.sql("q115_sketch_quantile"),
+    // s11 is TPC-H Q3 as SQL text — q129's oracle BY REFERENCE.
+    "s11_sql_tpch" -> OracleSql.sql("q129_tpch_q3")
   )
 }

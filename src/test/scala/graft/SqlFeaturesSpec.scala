@@ -61,6 +61,12 @@ class SqlFeaturesSpec extends GraftSpec {
     }
   }
 
+  test("s11 TPC-H Q3 as SQL text equals the q129 DataFrame plan row for row") {
+    val want = graft.operators.Relational.q129(spark, sf).collect().toSeq
+    val got = GraftCli.queries("s11_sql_tpch")(spark, sf).collect().toSeq
+    assert(got == want)
+  }
+
   test("s08 lateral: top-2 nations per region match a direct recomputation") {
     val rows = GraftCli.queries("s08_sql_lateral")(spark, sf).collect()
     val perNation = spark.sql("""
