@@ -3204,6 +3204,74 @@ object OracleSql {
     // no libm beyond one correctly-rounded sqrt). The Spark side's bbox
     // prefilter is result-invariant (intersecting segments always have
     // overlapping bboxes), so the oracle replays the predicate alone.
+    // q136: containment = all-vertices-inside (the q123 ray-cast replay)
+    // AND no edge crossing (the q127 per-pair orientation replay over 3
+    // triangle edges × 5 ring edges, OR-aggregated — grouping order is
+    // irrelevant to OR, the per-pair formula is the bit-exact one).
+    "q136_st_contains" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 120 AS DOUBLE) * 0.9 - 50.0 AS ax,
+          CAST(c_custkey % 70 AS DOUBLE) * 0.8 - 30.0 AS ay,
+          CAST((c_custkey * 7) % 120 AS DOUBLE) * 0.9 - 50.0 AS bx,
+          CAST((c_custkey * 13) % 70 AS DOUBLE) * 0.8 - 30.0 AS by,
+          CAST((c_custkey * 29) % 120 AS DOUBLE) * 0.9 - 50.0 AS cx,
+          CAST((c_custkey * 31) % 70 AS DOUBLE) * 0.8 - 30.0 AS cy,
+          [-50.0, 60.0, 70.0, 0.0, -60.0, -50.0] AS xs,
+          [-30.0, -40.0, 50.0, 10.0, 40.0, -30.0] AS ys
+        FROM customer),
+      inside AS (
+        SELECT c_custkey,
+          (len(list_filter(range(1, 6), i ->
+            ((ys[i] > ay) <> (ys[i+1] > ay)) AND
+            (ax < (xs[i+1] - xs[i]) * (ay - ys[i]) / (ys[i+1] - ys[i]) + xs[i])))
+            % 2 = 1)
+          AND (len(list_filter(range(1, 6), i ->
+            ((ys[i] > by) <> (ys[i+1] > by)) AND
+            (bx < (xs[i+1] - xs[i]) * (by - ys[i]) / (ys[i+1] - ys[i]) + xs[i])))
+            % 2 = 1)
+          AND (len(list_filter(range(1, 6), i ->
+            ((ys[i] > cy) <> (ys[i+1] > cy)) AND
+            (cx < (xs[i+1] - xs[i]) * (cy - ys[i]) / (ys[i+1] - ys[i]) + xs[i])))
+            % 2 = 1) AS all_inside
+        FROM pts),
+      te AS (
+        SELECT c_custkey, ax AS x1, ay AS y1, bx AS x2, by AS y2 FROM pts
+        UNION ALL SELECT c_custkey, bx, by, cx, cy FROM pts
+        UNION ALL SELECT c_custkey, cx, cy, ax, ay FROM pts),
+      ringe(ex1, ey1, ex2, ey2) AS (VALUES
+        (-50.0, -30.0, 60.0, -40.0),
+        (60.0, -40.0, 70.0, 50.0),
+        (70.0, 50.0, 0.0, 10.0),
+        (0.0, 10.0, -60.0, 40.0),
+        (-60.0, 40.0, -50.0, -30.0)),
+      o AS (
+        SELECT c_custkey, x1, y1, x2, y2, ex1, ey1, ex2, ey2,
+          (ex2 - ex1) * (y1 - ey1) - (ey2 - ey1) * (x1 - ex1) AS d1,
+          (ex2 - ex1) * (y2 - ey1) - (ey2 - ey1) * (x2 - ex1) AS d2,
+          (x2 - x1) * (ey1 - y1) - (y2 - y1) * (ex1 - x1) AS d3,
+          (x2 - x1) * (ey2 - y1) - (y2 - y1) * (ex2 - x1) AS d4
+        FROM te CROSS JOIN ringe),
+      v AS (
+        SELECT c_custkey,
+          ((((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+             AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+           OR (d1 = 0 AND LEAST(ex1, ex2) <= x1 AND x1 <= GREATEST(ex1, ex2)
+               AND LEAST(ey1, ey2) <= y1 AND y1 <= GREATEST(ey1, ey2))
+           OR (d2 = 0 AND LEAST(ex1, ex2) <= x2 AND x2 <= GREATEST(ex1, ex2)
+               AND LEAST(ey1, ey2) <= y2 AND y2 <= GREATEST(ey1, ey2))
+           OR (d3 = 0 AND LEAST(x1, x2) <= ex1 AND ex1 <= GREATEST(x1, x2)
+               AND LEAST(y1, y2) <= ey1 AND ey1 <= GREATEST(y1, y2))
+           OR (d4 = 0 AND LEAST(x1, x2) <= ex2 AND ex2 <= GREATEST(x1, x2)
+               AND LEAST(y1, y2) <= ey2 AND ey2 <= GREATEST(y1, y2))) AS hit
+        FROM o),
+      crossed AS (
+        SELECT c_custkey, BOOL_OR(hit) AS any_cross FROM v GROUP BY 1)
+      SELECT i.c_custkey, all_inside, any_cross,
+        all_inside AND NOT any_cross AS contained
+      FROM inside i JOIN crossed c ON i.c_custkey = c.c_custkey
+      ORDER BY i.c_custkey""",
+
     "q127_st_predicates" -> """
       WITH pts AS (
         SELECT c_custkey,

@@ -214,6 +214,7 @@ object SparkEntry {
     "q133_interval_frame" -> (Relational.q133 _),
     "q134_ignore_nulls_fill" -> (Relational.q134 _),
     "q135_rollup_distinct" -> (Relational.q135 _),
+    "q136_st_contains" -> (Relational.q136 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

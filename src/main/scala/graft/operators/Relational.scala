@@ -2087,6 +2087,49 @@ object Relational {
            AS trailing_90d_orders""")
       .orderBy(col("o_orderkey"))
 
+  // --- q136: ST_Contains / ST_Within for SHAPES (Presto's
+  // geometry-geometry containment, composing the verified kernels
+  // rather than adding a new one): ring R contains triangle T iff all
+  // of T's vertices are inside R (q123's ray-cast kernel) AND no edge
+  // of T intersects any edge of R (q127's segment kernel) — for simple
+  // polygons the two conditions are exactly containment. All 15
+  // edge-pair tests + 3 vertex tests fold into ONE projection over
+  // literal ring coordinates: a single narrow scan, zero shuffles
+  // before the presentation sort (at corpus×polygon scale the pruning
+  // key is the q124 tile join; the per-row kernel battery is this).
+  def q136(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{pointInPolygon, stIntersects}
+    val ring = Seq((-50.0, -30.0), (60.0, -40.0), (70.0, 50.0),
+      (0.0, 10.0), (-60.0, 40.0), (-50.0, -30.0))
+    val ringXs = array(ring.map(p => lit(p._1)): _*)
+    val ringYs = array(ring.map(p => lit(p._2)): _*)
+    def crosses(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+      ring.zip(ring.tail).map { case ((e1x, e1y), (e2x, e2y)) =>
+        stIntersects(x1, y1, x2, y2, lit(e1x), lit(e1y), lit(e2x), lit(e2y))
+      }.reduce(_ || _)
+    // triangle scaled into the ring's coordinate band more often than
+    // q128's full-extent triangles (so both verdicts genuinely occur)
+    val ax = (col("c_custkey") % 120).cast("double") * 0.9 - 50.0
+    val ay = (col("c_custkey") % 70).cast("double") * 0.8 - 30.0
+    val bx = ((col("c_custkey") * 7) % 120).cast("double") * 0.9 - 50.0
+    val by = ((col("c_custkey") * 13) % 70).cast("double") * 0.8 - 30.0
+    val cx = ((col("c_custkey") * 29) % 120).cast("double") * 0.9 - 50.0
+    val cy = ((col("c_custkey") * 31) % 70).cast("double") * 0.8 - 30.0
+    Tables.customer(s, d)
+      .select(col("c_custkey"), ax.as("ax"), ay.as("ay"), bx.as("bx"),
+        by.as("by"), cx.as("cx"), cy.as("cy"))
+      .select(col("c_custkey"),
+        (pointInPolygon(col("ax"), col("ay"), ringXs, ringYs) &&
+         pointInPolygon(col("bx"), col("by"), ringXs, ringYs) &&
+         pointInPolygon(col("cx"), col("cy"), ringXs, ringYs)).as("all_inside"),
+        (crosses(col("ax"), col("ay"), col("bx"), col("by")) ||
+         crosses(col("bx"), col("by"), col("cx"), col("cy")) ||
+         crosses(col("cx"), col("cy"), col("ax"), col("ay"))).as("any_cross"))
+      .select(col("c_custkey"), col("all_inside"), col("any_cross"),
+        (col("all_inside") && !col("any_cross")).as("contained"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- q135: DISTINCT aggregates under ROLLUP. The naive form
   // (`rollup(...).agg(countDistinct × 2, ...)`) makes Spark Expand every
   // fact row by (grouping sets × distinct columns) — measured 12× the

@@ -230,6 +230,24 @@ class Relational2Spec extends GraftSpec {
     }
   }
 
+  test("q136: containment composes its two predicates; the non-convex trap case occurs") {
+    val rows = Relational.q136(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("contained") ==
+        (r.getAs[Boolean]("all_inside") && !r.getAs[Boolean]("any_cross")))
+    }
+    val verdicts = rows.map(_.getAs[Boolean]("contained")).distinct
+    assert(verdicts.length == 2, "both contained and not-contained must occur")
+    // the NON-CONVEX ring makes all-vertices-inside insufficient: triangles
+    // whose vertices are all inside but whose edges cross the concavity
+    // exist in this data — the reason the edge-crossing predicate is part
+    // of the definition at all
+    assert(rows.exists(r =>
+      r.getAs[Boolean]("all_inside") && r.getAs[Boolean]("any_cross")),
+      "expected at least one all-inside-but-crossing triangle")
+  }
+
   test("q134: IGNORE NULLS fill — fwd carries the latest value, bwd the next, gaps only at edges") {
     val rows = Relational.q134(spark, sf).collect()
     assert(rows.nonEmpty)
