@@ -2149,6 +2149,9 @@ object Relational {
       .select(coalesce(col("l_returnflag"), all).as("flag"),
         coalesce(col("l_linestatus"), all).as("status"),
         col("n_rows"), col("sum_qty"))
+    // three explicit levels over the REDUCED pairs frame (measured
+    // faster than rollup+countDistinct over the same frame, which pays
+    // an Expand plus a second distinct phase)
     def distinctCounts(key: String, as: String): DataFrame = {
       val pairs = li
         .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
