@@ -3747,6 +3747,28 @@ object OracleSql {
       FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
       ORDER BY nw.doc_id""",
 
+    "t20_keywords" -> raw"""
+      WITH tf AS (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      sc AS (
+        SELECT doc_id, w,
+          round(CAST(cnt AS DOUBLE)
+            * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        FROM tf JOIN dfx USING (w), n),
+      r AS (
+        SELECT doc_id, w, score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, w) AS INTEGER) AS rank
+        FROM sc)
+      SELECT doc_id, rank, w AS keyword, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
     "t19_bigram_lm" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2

@@ -94,6 +94,7 @@ object SparkEntry {
     "t17_readability" -> (TextAnalysis.readability _),
     "t18_normalize_unicode" -> (TextAnalysis.normalizeUnicodeReport _),
     "t19_bigram_lm" -> (TextAnalysis.bigramLm _),
+    "t20_keywords" -> (TextAnalysis.keywords _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),

@@ -231,6 +231,41 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /**
+   * t20: per-DOCUMENT keyword extraction — top-3 TF-IDF terms per doc
+   * (the metadata enrichment step between scoring and indexing; t09's
+   * per-source aggregate can't serve it — keywords are a per-doc
+   * artifact). Score = tf · ln(N/df); within one doc the doc-length
+   * factor is constant, so raw counts rank identically and nothing
+   * divides. Ranking runs over the ROUNDED score with the word as
+   * tiebreak (the t09 discipline — no unrounded libm value ever
+   * decides an order). Two vocabulary-bounded shuffles ((doc, word)
+   * counts and doc frequencies), a broadcast 1-row N, then a per-doc
+   * window bounded by the doc's distinct words — text never shuffles.
+   */
+  def keywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val dfx = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfx, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w"),
+        round(col("cnt").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("score"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("keyword"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** t10: unigram language-model scoring — the cheapest useful
     * perplexity proxy for corpus quality filtering (a doc of globally
     * rare tokens scores low; a doc of common tokens scores high;

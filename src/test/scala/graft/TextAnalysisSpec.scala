@@ -124,6 +124,22 @@ class TextAnalysisSpec extends GraftSpec {
     assert(scores.last > scores(scores.length / 2))
   }
 
+  test("t20 keywords: exactly 3 per doc, scores descending, rarer-at-equal-tf ranks higher") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.keywords(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == 3 * nDocs, "every doc (≥3 distinct words here) gets 3 keywords")
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).sameElements(Array(1, 2, 3)))
+      val scores = ordered.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ >= 0.0), "df <= N so ln(N/df) >= 0")
+      val kws = ordered.map(_.getAs[String]("keyword"))
+      assert(kws.distinct.length == kws.length)
+    }
+  }
+
   test("t19 bigram LM: n_bigrams = tokens-1, scores finite negative, smoothing bounds hold") {
     import org.apache.spark.sql.functions._
     val nToks = graft.sources.Tables.documents(spark, sf)
