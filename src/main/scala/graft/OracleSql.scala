@@ -3680,6 +3680,72 @@ object OracleSql {
       FROM rep, md WHERE wend <= max_day
       GROUP BY wend ORDER BY window_end""",
 
+    // p11: the identical sqrt-weight rate chain (sqrt is IEEE
+    // correctly-rounded; the normalizer sums in DECIMAL; the keep
+    // decision floors onto the 2^20 hash grid).
+    "p11_temperature_mix" -> """
+      WITH counts AS (SELECT source, COUNT(*) AS n_docs
+                      FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                 AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
+               SUM(n_docs) AS n_total FROM counts),
+      rates AS (
+        SELECT source, n_docs,
+          LEAST(1.0, (CAST(n_total // 2 AS DOUBLE)
+            * sqrt(CAST(n_docs AS DOUBLE)) / s_sum)
+            / CAST(n_docs AS DOUBLE)) AS rate
+        FROM counts, tot),
+      thr AS (SELECT source, n_docs, rate,
+                CAST(floor(rate * 1048576) AS BIGINT) AS t FROM rates),
+      kept AS (
+        SELECT d.source, COUNT(*) AS n_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE (d.doc_id * 69621 + 7) % 1048576 < t
+        GROUP BY 1)
+      SELECT thr.source, CAST(n_docs AS BIGINT) AS n_docs,
+        round(rate, 6) AS rate,
+        COALESCE(n_kept, 0) AS n_kept,
+        CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
+      FROM thr LEFT JOIN kept ON thr.source = kept.source
+      ORDER BY thr.source""",
+
+    // g04: same edge derivation; reciprocity via the reversed-pair
+    // semi-join, assortativity in the symmetrized all-integer form with
+    // one final double division.
+    "g04_graph_stats" -> """
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS src,
+          unnest([doc_id * doc_id + 1, doc_id * 7 + 3, doc_id * 13 + 5]) AS d0
+        FROM documents),
+      dir AS (SELECT DISTINCT src, d0 % n AS dst FROM raw, n
+              WHERE src <> d0 % n),
+      recip AS (
+        SELECT COUNT(*) AS n_recip FROM dir a
+        WHERE EXISTS (SELECT 1 FROM dir b
+                      WHERE b.src = a.dst AND b.dst = a.src)),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM dir),
+      deg AS (SELECT x, COUNT(*) AS deg FROM
+                (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+              GROUP BY 1),
+      sums AS (
+        SELECT COUNT(*) AS ne,
+          SUM(d1.deg) AS sx, SUM(d2.deg) AS sy,
+          SUM(d1.deg * d2.deg) AS sxy,
+          SUM(d1.deg * d1.deg) AS sxx, SUM(d2.deg * d2.deg) AS syy
+        FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x),
+      dn AS (SELECT COUNT(*) AS n_dir FROM dir)
+      SELECT n_dir AS n_directed, n_recip AS n_reciprocal,
+        round(CAST(n_recip AS DOUBLE) / CAST(n_dir AS DOUBLE), 6)
+          AS reciprocity,
+        ne AS n_undirected,
+        round(CAST((ne * 2) * (sxy * 2) - (sx + sy) * (sx + sy) AS DOUBLE)
+            / CAST((ne * 2) * (sxx + syy) - (sx + sy) * (sx + sy) AS DOUBLE),
+          6) AS assortativity
+      FROM sums, dn, recip""",
+
     // g03: the identical degree-ordered wedge join — integer counts are
     // engine-independent; the one double (clustering) is a single
     // correctly-rounded IEEE division.

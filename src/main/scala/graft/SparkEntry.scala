@@ -124,6 +124,7 @@ object SparkEntry {
     "p08_split_leakage" -> (graft.pipeline.Splits.splitLeakage _),
     "p09_curriculum" -> (graft.pipeline.Splits.curriculum _),
     "p10_pack_sequences" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.packSequences(s, d)),
+    "p11_temperature_mix" -> (graft.pipeline.Splits.temperatureMixture _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),
     "g03_triangles" -> (graft.graph.LinkGraph.g03 _),
+    "g04_graph_stats" -> (graft.graph.LinkGraph.g04 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

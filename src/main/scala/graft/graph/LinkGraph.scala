@@ -275,4 +275,60 @@ object LinkGraph {
       .distinct()
     triangles(und).orderBy(col("doc_id"))
   }
+
+  /**
+   * g04: graph-shape descriptives — edge reciprocity (share of directed
+   * citations that are mutual — link-exchange rings score high) and
+   * degree assortativity (Pearson correlation of endpoint degrees over
+   * undirected edges — link farms are assortative, organic webs
+   * disassortative; Newman 2002). Exactness: the SYMMETRIZED form
+   * (each edge counted in both orientations) makes Σx = Σy and
+   * Σx² = Σy², so r reduces to (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) over
+   * exact BIGINT sums of integer degrees — the whole statistic is
+   * integer arithmetic plus ONE correctly-rounded double division,
+   * bit-replayable with no sqrt and no libm at all. Scale: degree
+   * table is node-sized, joins to edges on their own keys; reciprocity
+   * is one self-semi-join on the reversed pair; everything shuffled is
+   * 16-byte id pairs, and the final reduce is a 1-row aggregate.
+   */
+  def g04(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    graphStatsOf(derivedEdges(docs, n).filter(col("src") =!= col("dst")).distinct())
+  }
+
+  /** The g04 kernel over any distinct directed (src, dst) frame — the
+    * unit-testable form (the spec pins the closed-form star/path values). */
+  def graphStatsOf(dir: DataFrame): DataFrame = {
+    val recip = dir.join(
+      dir.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val und = dir.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val sums = und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("ne"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+    val nDir = dir.count()
+    val nRecip = recip.count()
+    // symmetrized: n2 = 2·ne, Σx = sx+sy, Σxy = 2·sxy, Σx² = sxx+syy —
+    // numerator and denominator are exact BIGINTs, then one division
+    sums.select(
+      lit(nDir).as("n_directed"), lit(nRecip).as("n_reciprocal"),
+      round(lit(nRecip).cast("double") / lit(nDir).cast("double"), 6)
+        .as("reciprocity"),
+      col("ne").as("n_undirected"),
+      round(
+        ((col("ne") * 2) * (col("sxy") * 2) -
+          (col("sx") + col("sy")) * (col("sx") + col("sy"))).cast("double") /
+        ((col("ne") * 2) * (col("sxx") + col("syy")) -
+          (col("sx") + col("sy")) * (col("sx") + col("sy"))).cast("double"), 6)
+        .as("assortativity"))
+  }
 }

@@ -287,4 +287,45 @@ object Splits {
         sum(col("doc_id")).as("id_checksum"))
       .orderBy(col("lang"))
   }
+
+  /**
+   * p11: temperature-balanced source mixture — weights DERIVED from the
+   * corpus (w_s ∝ n_s^τ, the multilingual-balancing recipe) instead of
+   * p07's fixed rates. τ = 0.5 deliberately: sqrt is the ONE power IEEE
+   * guarantees correctly rounded, so the per-source weight is bit-exact
+   * cross-engine where n^0.7 would hang a keep/drop boundary on a
+   * libm-ulp (the §5 transcendental discipline applied to sampling).
+   * The sqrt-weight normalizer sums in DECIMAL (order-independent); the
+   * keep rate is a fixed left-to-right double tree; the decision
+   * threshold floors onto the 2^20 hash grid, and membership is the
+   * usual hash-of-key test (MINSTD multiplier 69621 — decorrelated
+   * from the split/mixture/curriculum samplers). One narrow corpus
+   * scan + a source-count aggregate; rates broadcast back.
+   */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast(DecimalType(18, 6)))
+        .cast("double").as("s_sum"),
+      sum(col("n_docs")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(lit(1.0),
+          (expr("n_total div 2").cast("double") *
+            sqrt(col("n_docs").cast("double")) / col("s_sum")) /
+            col("n_docs").cast("double")).as("rate"))
+      .select(col("source"), col("n_docs"), col("rate"),
+        floor(col("rate") * 1048576).cast("long").as("thr"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("thr"))), "source")
+      .filter(pmod(col("doc_id") * lit(69621L) + lit(7L), lit(1048576L)) < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_checksum"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+      .orderBy(col("source"))
+  }
 }

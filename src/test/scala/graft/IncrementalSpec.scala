@@ -272,6 +272,30 @@ class IncrementalSpec extends GraftSpec {
       s"web tier keep rate ${webKept / webTotal} should be ~0.1")
   }
 
+  test("p11 temperature mixture: rates follow n^-0.5 ordering and hit the half-corpus target") {
+    val rows = graft.pipeline.Splits.temperatureMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // temperature flattening: a smaller source never gets a LOWER rate
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    byN.map(_.getAs[Double]("rate")).sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0) >= w(1) - 1e-9, "rate must be non-increasing in source size")
+    }
+    // expected total ≈ target (hash threshold is uniform; ±10% slack), and
+    // the expected keep mass Σ n·rate is the half-corpus target by design
+    val expected = rows.map(r => r.getAs[Long]("n_docs") * r.getAs[Double]("rate")).sum
+    assert(math.abs(expected - nTotal / 2) < 0.02 * nTotal,
+      s"Σ n·rate = $expected should be ~${nTotal / 2}")
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum.toDouble
+    assert(kept > 0.4 * nTotal && kept < 0.6 * nTotal)
+  }
+
   test("e08 retention matrix: k=0 reproduces each cohort's size") {
     val rows = graft.operators.Events.retention(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -143,6 +143,27 @@ class LinkGraphSpec extends GraftSpec {
     }
   }
 
+  test("g04 kernel: star graph is perfectly disassortative; reciprocity counts mutual pairs") {
+    import spark.implicits._
+    // directed star: 1,2,3 all cite 0, and 0 cites 1 back (one mutual pair)
+    val dir = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val r = LinkGraph.graphStatsOf(dir).collect().head
+    assert(r.getAs[Long]("n_directed") == 4 && r.getAs[Long]("n_reciprocal") == 2)
+    assert(r.getAs[Double]("reciprocity") == 0.5)
+    assert(r.getAs[Long]("n_undirected") == 3)
+    // undirected star: every edge joins the deg-3 hub to a deg-1 leaf — r = −1
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("g04 entry: bounds hold on the citation graph") {
+    val r = LinkGraph.g04(spark, sf).collect().head
+    assert(r.getAs[Long]("n_reciprocal") <= r.getAs[Long]("n_directed"))
+    val rec = r.getAs[Double]("reciprocity")
+    assert(rec >= 0.0 && rec <= 1.0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a out of [-1,1]")
+  }
+
   test("g01 entry: top-k is a bounded TakeOrderedAndProject, never a global sort") {
     val plan = LinkGraph.g01(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
