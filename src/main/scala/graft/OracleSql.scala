@@ -3204,6 +3204,16 @@ object OracleSql {
     // no libm beyond one correctly-rounded sqrt). The Spark side's bbox
     // prefilter is result-invariant (intersecting segments always have
     // overlapping bboxes), so the oracle replays the predicate alone.
+    // q137: DuckDB's quantile_disc IS ANSI PERCENTILE_DISC — no
+    // interpolation, both engines pick the identical element.
+    "q137_percentile_disc" -> """
+      SELECT l_returnflag,
+        round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5), 2)
+          AS median_price,
+        round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.95), 2)
+          AS p95_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // q136: containment = all-vertices-inside (the q123 ray-cast replay)
     // AND no edge crossing (the q127 per-pair orientation replay over 3
     // triangle edges × 5 ring edges, OR-aggregated — grouping order is

@@ -217,6 +217,7 @@ object SparkEntry {
     "q134_ignore_nulls_fill" -> (Relational.q134 _),
     "q135_rollup_distinct" -> (Relational.q135 _),
     "q136_st_contains" -> (Relational.q136 _),
+    "q137_percentile_disc" -> (Relational.q137 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

@@ -52,14 +52,17 @@ object ExactSelection {
     * (memory/selectivity trade), never a function of row count. */
   private[graft] val Bins = 256
 
+  /** Pass 1: per-group bounds + count (O(groups) rows, map-side combined). */
+  private def groupStats(base: DataFrame): DataFrame =
+    base.groupBy(col("g"))
+      .agg(count(col("x")).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+
   /** Exact order statistic per (group, 1-indexed rank) for all ranks
     * needed by `ps`, via the three passes above. Returns (g, p, v_lo,
     * v_hi, pos) — the two bracketing order statistics and the fractional
     * position, ready for interpolation. */
   private def bracketValues(base: DataFrame, ps: Seq[Double]): DataFrame = {
-    // pass 1: per-group bounds + count (O(groups) rows, map-side combined)
-    val stats = base.groupBy(col("g"))
-      .agg(count(col("x")).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val stats = groupStats(base)
 
     // target ranks: for each percentile p, the 1-indexed ranks
     // floor(pos)+1 and ceil(pos)+1 bracketing pos = p*(n-1)
@@ -72,6 +75,17 @@ object ExactSelection {
           (floor(col("pos")) + 1).cast("bigint"),
           (ceil(col("pos")) + 1).cast("bigint")))).as("k"))
 
+    val kth = kthValues(base, stats, ranks)
+
+    // bracket the two order statistics back onto one (g, p) row
+    kth.groupBy(col("g"), col("p"), col("pos"))
+      .agg(min_by(col("v"), col("k")).as("v_lo"), max_by(col("v"), col("k")).as("v_hi"))
+  }
+
+  /** Passes 2–3 for an arbitrary rank frame (g, p, pos, k): histogram
+    * narrowing then exact in-bin selection. Returns (g, p, pos, k, v). */
+  private def kthValues(base: DataFrame, stats: DataFrame,
+                        ranks: DataFrame): DataFrame = {
     // shared bin decision: equi-width over the per-group [lo, hi] span.
     // Pure Spark-internal arithmetic — the oracle only sees final VALUES,
     // so no cross-engine libm discipline is needed here (unlike the
@@ -114,14 +128,10 @@ object ExactSelection {
       .withColumn("vcum", sum(col("vcnt"))
         .over(Window.partitionBy(col("g"), col("bin")).orderBy(col("x"))))
 
-    val kth = candidates.join(inBin, Seq("g", "bin"))
+    candidates.join(inBin, Seq("g", "bin"))
       .filter(col("before") + col("vcum") >= col("k"))
       .groupBy(col("g"), col("p"), col("pos"), col("k"))
       .agg(min(col("x")).as("v"))
-
-    // bracket the two order statistics back onto one (g, p) row
-    kth.groupBy(col("g"), col("p"), col("pos"))
-      .agg(min_by(col("v"), col("k")).as("v_lo"), max_by(col("v"), col("k")).as("v_hi"))
   }
 
   /** Exact continuous percentiles of `base` (columns g, x) at `ps`,
@@ -141,6 +151,29 @@ object ExactSelection {
     brackets.groupBy(col("g"))
       .pivot("p", ps)
       .agg(first(col("value")))
+      .select(col("g") +: ps.map(p => col(s"`$p`").as(name(p))): _*)
+  }
+
+  /** Exact DISCRETE percentiles (ANSI PERCENTILE_DISC: the smallest
+    * actual value whose cumulative distribution ≥ p, i.e. the order
+    * statistic at rank max(1, ceil(p·n))) — same three bounded passes,
+    * no interpolation, the result is always a value present in the
+    * group. Columns named pd<100p> (pd50, pd95, ...). */
+  def percentilesDisc(base: DataFrame, ps: Seq[Double]): DataFrame = {
+    def name(p: Double): String = {
+      val v = p * 100
+      if (v == math.rint(v)) s"pd${v.toLong}" else s"pd$v"
+    }
+    val stats = groupStats(base)
+    val pArr = array(ps.map(lit): _*)
+    val ranks = stats
+      .select(col("g"), col("n"), explode(pArr).as("p"))
+      .select(col("g"), col("p"), lit(0.0).as("pos"),
+        greatest(lit(1L), ceil(col("p") * col("n")).cast("bigint")).as("k"))
+    kthValues(base, stats, ranks)
+      .groupBy(col("g"))
+      .pivot("p", ps)
+      .agg(first(col("v")))
       .select(col("g") +: ps.map(p => col(s"`$p`").as(name(p))): _*)
   }
 }

@@ -2087,6 +2087,23 @@ object Relational {
            AS trailing_90d_orders""")
       .orderBy(col("o_orderkey"))
 
+  // --- q137: ANSI PERCENTILE_DISC (discrete percentiles — the smallest
+  // actual value with cume_dist ≥ p, always a real data value) via the
+  // same three-bounded-pass selection kernel as q10's continuous form
+  // (operators/ExactSelection): no interpolation, so the result is
+  // engine-arithmetic-free — both engines pick the identical element.
+  // Median and p95 of price per returnflag; rounding only at emission.
+  def q137(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactSelection.percentilesDisc(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("x")),
+      Seq(0.5, 0.95))
+      .select(col("g").as("l_returnflag"),
+        round(col("pd50"), 2).as("median_price"),
+        round(col("pd95"), 2).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
   // --- q136: ST_Contains / ST_Within for SHAPES (Presto's
   // geometry-geometry containment, composing the verified kernels
   // rather than adding a new one): ring R contains triangle T iff all

@@ -73,6 +73,29 @@ class ExactSelectionSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("percentilesDisc matches brute-force rank selection incl. ties and the p=1 edge") {
+    import spark.implicits._
+    val data = Seq(
+      "a" -> Seq(5.0, 1.0, 3.0, 3.0, 2.0),           // ties at 3.0
+      "b" -> Seq(10.0),                              // single element
+      "c" -> (1 to 100).map(_.toDouble)              // smooth run
+    )
+    val df = data.flatMap { case (g, xs) => xs.map(g -> _) }.toDF("g", "x")
+    val ps = Seq(0.01, 0.5, 0.95, 1.0)
+    val want = data.map { case (g, xs) =>
+      val sorted = xs.sorted
+      g -> ps.map(p => sorted(math.max(1, math.ceil(p * xs.length).toLong).toInt - 1))
+    }.toMap
+    val got = ExactSelection.percentilesDisc(df, ps)
+      .collect().map(r => r.getString(0) -> (1 to ps.length).map(r.getDouble)).toMap
+    assert(got == want)
+    // disc results are always actual data values
+    got.foreach { case (g, vs) =>
+      val xs = data.toMap.apply(g).toSet
+      vs.foreach(v => assert(xs.contains(v)))
+    }
+  }
+
   test("q10's plan carries no unbounded-buffer percentile aggregate") {
     val plan = Relational.q10(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("percentile"),
