@@ -20,6 +20,14 @@ object Dedup {
   /** Word tokens of the lower-cased text. */
   private def words(c: Column): Column = split(lower(c), "\\s+")
 
+  /** The canonical 3-word shingle array over a word-array column `w` —
+    * ONE definition shared by the minhash signatures, the estimator
+    * eval, winnowing, and d15 containment (whose correctness argument
+    * depends on matching the signatures' shingles exactly, including
+    * the short-doc partial-gram edge case). */
+  private def shingles3: Column = expr(
+    "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+
   /** d01: exact dedup — group by content hash, keep the min doc_id. */
   def exact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -38,8 +46,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("shingles"))
+      .select(col("doc_id"), shingles3.as("shingles"))
       .select(col("doc_id"), GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"))
 
   /** Band rows: (doc_id, band, band_key) — Bands rows per doc. The bucket
@@ -107,8 +114,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val withSets = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("shingles"))
+      .select(col("doc_id"), shingles3.as("shingles"))
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"),
         array_distinct(col("shingles")).as("ss"))
@@ -446,9 +452,7 @@ object Dedup {
   def winnowingOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
-        .as("shingles"))
+      .select(col("doc_id"), shingles3.as("shingles"))
       // hash + window minima + dedup in ONE codegen kernel call per row
       // (the per-element lambda form pays interpreted HOF eval per
       // shingle AND per window — measured 8.6s vs 0.6s at sf0.1)
@@ -553,9 +557,7 @@ object Dedup {
     // partial-gram edge case), distinct per doc, 8-byte hashed
     val gramRows = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-        .as("g"))
+      .select(col("doc_id"), explode(array_distinct(shingles3)).as("g"))
       .select(col("doc_id"), GraftFunctions.hash64(col("g")).as("h"))
     val sizes = gramRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs

@@ -158,18 +158,28 @@ object ExactSelection {
     * actual value whose cumulative distribution ≥ p, i.e. the order
     * statistic at rank max(1, ceil(p·n))) — same three bounded passes,
     * no interpolation, the result is always a value present in the
-    * group. Columns named pd<100p> (pd50, pd95, ...). */
+    * group. Columns named pd<100p> (pd50, pd95, ...).
+    *
+    * The rank is computed in EXACT integer arithmetic: p is snapped to
+    * the rational round(p·1e6)/1e6 and k = ceil(p_num·n / 1e6) via
+    * integer ceiling division — a double `ceil(p * n)` is off by one
+    * whenever p·n is an integer the product rounds just past (e.g.
+    * 0.07 × 100 = 7.000000000000001 → rank 8, where ANSI and DuckDB's
+    * exact-decimal quantile_disc say 7). Sound for percentiles with ≤ 6
+    * decimals and groups up to ~9e12 rows (p_num·n < 2^63). */
   def percentilesDisc(base: DataFrame, ps: Seq[Double]): DataFrame = {
     def name(p: Double): String = {
       val v = p * 100
       if (v == math.rint(v)) s"pd${v.toLong}" else s"pd$v"
     }
     val stats = groupStats(base)
-    val pArr = array(ps.map(lit): _*)
+    val pStructs = array(ps.map(p =>
+      struct(lit(p).as("p"), lit(math.round(p * 1000000L)).as("pn"))): _*)
     val ranks = stats
-      .select(col("g"), col("n"), explode(pArr).as("p"))
-      .select(col("g"), col("p"), lit(0.0).as("pos"),
-        greatest(lit(1L), ceil(col("p") * col("n")).cast("bigint")).as("k"))
+      .select(col("g"), col("n"), explode(pStructs).as("ps"))
+      .select(col("g"), col("ps.p").as("p"), lit(0.0).as("pos"),
+        greatest(lit(1L),
+          expr("(ps.pn * n + 999999L) div 1000000L")).as("k"))
     kthValues(base, stats, ranks)
       .groupBy(col("g"))
       .pivot("p", ps)

@@ -2203,8 +2203,10 @@ object Relational {
   // pass each direction.
   def q134(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ordered by the FORMATTED timestamp (chronological for this fixed
+    // format) because the projection below drops the raw ts column
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts_str"), col("event_id"))
     val raw = when(col("event_type").isin("purchase", "click"), col("value"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
@@ -2212,12 +2214,10 @@ object Relational {
         round(raw, 4).as("raw"))
       .select(col("user_id"), col("event_id"), col("ts_str"), col("raw"),
         last(col("raw"), ignoreNulls = true)
-          .over(w.orderBy(col("ts_str"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("fill_fwd"),
         first(col("raw"), ignoreNulls = true)
-          .over(w.orderBy(col("ts_str"), col("event_id"))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
           .as("fill_bwd"))
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -81,10 +81,20 @@ class ExactSelectionSpec extends GraftSpec {
       "c" -> (1 to 100).map(_.toDouble)              // smooth run
     )
     val df = data.flatMap { case (g, xs) => xs.map(g -> _) }.toDF("g", "x")
-    val ps = Seq(0.01, 0.5, 0.95, 1.0)
+    // 0.07 is the adversarial rank case: 0.07*100 = 7.000000000000001 in
+    // double, so a double-ceil rank is 8 while the ANSI/exact answer is 7
+    val ps = Seq(0.01, 0.07, 0.5, 0.95, 1.0)
+    // expected ranks from EXACT rational arithmetic, independent of the
+    // kernel's implementation: k = ceil(round(p*1e6) * n / 1e6)
+    def rank(p: Double, n: Int): Int = {
+      val pn = math.round(p * 1000000L)
+      math.max(1L, (pn * n + 999999L) / 1000000L).toInt
+    }
+    assert(rank(0.07, 100) == 7 && math.ceil(0.07 * 100).toInt == 8,
+      "the adversarial case must actually separate exact from double ranks")
     val want = data.map { case (g, xs) =>
       val sorted = xs.sorted
-      g -> ps.map(p => sorted(math.max(1, math.ceil(p * xs.length).toLong).toInt - 1))
+      g -> ps.map(p => sorted(rank(p, xs.length) - 1))
     }.toMap
     val got = ExactSelection.percentilesDisc(df, ps)
       .collect().map(r => r.getString(0) -> (1 to ps.length).map(r.getDouble)).toMap
