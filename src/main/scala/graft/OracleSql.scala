@@ -3913,6 +3913,75 @@ object OracleSql {
       HAVING COUNT(*) >= 2
       ORDER BY id_a, id_b""",
 
+    // d16: the d09 exact-jaccard chain + pr membership + the identical
+    // explicit-squaring power trees on the rounded J.
+    "d16_lsh_curve" -> s"""
+      WITH $minhashCtes,
+      sets AS (SELECT doc_id, list_distinct(list(s)) AS ss FROM sh GROUP BY doc_id),
+      adj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1),
+      wsh AS (
+        SELECT doc_id,
+          unnest(range(0, greatest(len(w) - 2, 1))) AS idx,
+          unnest(list_transform(range(0, greatest(len(w) - 2, 1)),
+            i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS s
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+              FROM documents) wd),
+      wh0 AS (SELECT doc_id, idx, ${fnvReduce(fnvSeq("s", 0L))} AS h0 FROM wsh),
+      wh1 AS (SELECT doc_id, idx, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM wh0),
+      wh2 AS (SELECT doc_id, idx, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM wh1),
+      whv AS (SELECT doc_id, idx, ${u2s("xor(z2, z2 >> 31)")} AS h FROM wh2),
+      wn AS (SELECT doc_id, COUNT(*) AS ns FROM whv GROUP BY doc_id),
+      wwins AS (
+        SELECT whv.doc_id, whv.idx, wn.ns,
+          MIN(h) OVER (PARTITION BY whv.doc_id ORDER BY whv.idx
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM whv JOIN wn USING (doc_id)),
+      wfps AS (
+        SELECT DISTINCT doc_id, fp FROM wwins
+        WHERE ns >= 4 AND idx <= ns - 4),
+      wbuckets AS (
+        SELECT fp FROM wfps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000),
+      wpairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM wfps a
+          JOIN wbuckets bk ON bk.fp = a.fp
+          JOIN wfps b ON b.fp = a.fp AND b.doc_id > a.doc_id)
+        GROUP BY id_a, id_b HAVING COUNT(*) >= 2),
+      probes AS (SELECT id_a, id_b FROM adj
+                 UNION SELECT id_a, id_b FROM wpairs),
+      ex AS (
+        SELECT p.id_a, p.id_b,
+          round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS j
+        FROM probes p JOIN sets a ON a.doc_id = p.id_a
+                      JOIN sets b ON b.doc_id = p.id_b),
+      flagged AS (
+        SELECT ex.id_a, ex.id_b, j,
+          EXISTS (SELECT 1 FROM pr
+                  WHERE pr.a = ex.id_a AND pr.b = ex.id_b) AS is_cand
+        FROM ex),
+      powed AS (
+        SELECT j_bin, is_cand,
+          round(1.0 - q8 * q8, 6) AS p_pred
+        FROM (
+          SELECT j_bin, is_cand, q4 * q4 AS q8 FROM (
+            SELECT j_bin, is_cand, q2 * q2 AS q4 FROM (
+              SELECT j_bin, is_cand, q * q AS q2 FROM (
+                SELECT CAST(floor(j * 20) AS INTEGER) AS j_bin, is_cand,
+                  1.0 - j8 AS q FROM (
+                  SELECT j, is_cand, j4 * j4 AS j8 FROM (
+                    SELECT j, is_cand, j2 * j2 AS j4 FROM (
+                      SELECT j, is_cand, j * j AS j2 FROM flagged))))))))
+      SELECT j_bin, COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+        round(CAST(SUM(CAST(p_pred AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_predicted,
+        round(CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate
+      FROM powed GROUP BY j_bin ORDER BY j_bin""",
+
     "d09_minhash_est" -> s"""
       WITH $minhashCtes,
       est AS (

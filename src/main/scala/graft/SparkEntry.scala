@@ -114,6 +114,7 @@ object SparkEntry {
     "d13_span_dedup" -> (Dedup.spanDedup _),
     "d14_boilerplate" -> (Dedup.boilerplate _),
     "d15_containment" -> (Dedup.containment _),
+    "d16_lsh_curve" -> (Dedup.lshCurve _),
     "p01_split" -> (graft.pipeline.Splits.splitReport _),
     "p02_stratified_cap" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.stratifiedCap(s, d)),
     "p03_upsert" -> (graft.pipeline.Incremental.upsertReport _),

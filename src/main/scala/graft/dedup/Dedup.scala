@@ -603,6 +603,67 @@ object Dedup {
    * ints per hit, then per-doc distinct-count; no window sort needed.
    * Per-group state is O(1); nothing corpus-sized broadcasts.
    */
+  /**
+   * d16: LSH S-curve calibration — predicted vs OBSERVED collision
+   * probability by exact-Jaccard bin, the eval that justifies a (bands,
+   * rows) = (16, 8) configuration before trusting it on a corpus: for
+   * each adjacent-doc probe pair, the theoretical candidate probability
+   * p = 1 − (1 − J^8)^16 against whether the pair actually collided in
+   * the production LSH pipeline. Deviation between the columns flags a
+   * broken hash family or a corpus whose duplicate structure the
+   * threshold misses.
+   *
+   * Exactness: the power chain is explicit squaring (j²→j⁴→j⁸, then the
+   * complement q²→q⁴→q⁸→q¹⁶) on the ROUNDED Jaccard — fixed IEEE
+   * multiply trees, no libm pow, bit-identical cross-engine; per-bin
+   * means accumulate in DECIMAL. Scale: probe pairs are the bounded
+   * adjacent-key join (d09), observed collisions one hash join against
+   * the capped LSH pair frame; nothing quadratic anywhere.
+   */
+  def lshCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val withSets = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(shingles3).as("ss"))
+    // probe pairs from BOTH ends of the curve, neither sourced from the
+    // pipeline under test: adjacent ids (random-ish, low J) + pairs the
+    // INDEPENDENT winnowing fingerprint pipeline (d10 — rolling-hash
+    // window minima, no minhash anywhere) flags as sharing runs — the
+    // high-J probes whose LSH collision rate is the non-circular check
+    val adj = withSets.select(col("doc_id").as("id_a"))
+      .join(withSets.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b")), Seq("id_a"))
+    val dupPairs = winnowingOf(docs).select(col("id_a"), col("id_b"))
+    val pairsJ = adj.unionByName(dupPairs).distinct()
+      .join(withSets.select(col("doc_id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(withSets.select(col("doc_id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))), 6).as("j"))
+    val lsh = lshCandidatePairs(minhashBands(minhashSignatures(docs)))
+      .withColumn("is_cand", lit(true))
+    pairsJ.join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .withColumn("j2", col("j") * col("j"))
+      .withColumn("j4", col("j2") * col("j2"))
+      .withColumn("j8", col("j4") * col("j4"))
+      .withColumn("q", lit(1.0) - col("j8"))
+      .withColumn("q2", col("q") * col("q"))
+      .withColumn("q4", col("q2") * col("q2"))
+      .withColumn("q8", col("q4") * col("q4"))
+      .withColumn("q16", col("q8") * col("q8"))
+      .withColumn("p_pred", round(lit(1.0) - col("q16"), 6))
+      .groupBy(floor(col("j") * 20).cast("int").as("j_bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_lsh"),
+        round(sum(col("p_pred").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_predicted"))
+      .select(col("j_bin"), col("n_pairs"), col("n_lsh"), col("avg_predicted"),
+        round(col("n_lsh").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("observed_rate"))
+      .orderBy(col("j_bin"))
+  }
+
   def boilerplate(s: SparkSession, d: String): DataFrame =
     boilerplateOf(Tables.documents(s, d))
 

@@ -215,6 +215,34 @@ class DedupAnnSpec extends GraftSpec {
     }
   }
 
+  test("d16: the S-curve calibrates — both ends populated, observed tracks predicted") {
+    val rows = Dedup.lshCurve(spark, sf).collect()
+      .map(r => r.getAs[Int]("j_bin") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_lsh"),
+          r.getAs[Double]("avg_predicted"), r.getAs[Double]("observed_rate"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, (n, lsh, pred, obs)) =>
+      assert(bin >= 0 && bin <= 20)
+      assert(lsh <= n)
+      assert(pred >= 0.0 && pred <= 1.0 && obs >= 0.0 && obs <= 1.0)
+    }
+    // both ends of the curve must be exercised (low-J adjacent probes,
+    // high-J winnowing-sourced probes)
+    assert(rows.keys.min <= 2 && rows.keys.max >= 18,
+      s"curve ends missing: bins ${rows.keys.toSeq.sorted}")
+    // at J >= 0.9 the (16,8) S-curve predicts ~certain collision and the
+    // LSH pipeline must actually deliver it (non-circular: probes come
+    // from the independent winnowing fingerprints)
+    rows.filter(_._1 >= 18).foreach { case (bin, (_, _, pred, obs)) =>
+      assert(pred > 0.99, s"bin $bin predicted $pred")
+      assert(obs == 1.0, s"bin $bin observed $obs — LSH missed a near-certain pair")
+    }
+    // the low-J adjacent mass predicts ~zero and observes ~zero
+    rows.filter(_._1 <= 2).foreach { case (bin, (_, _, pred, obs)) =>
+      assert(pred < 0.01 && obs < 0.01, s"bin $bin pred=$pred obs=$obs")
+    }
+  }
+
   test("d15: containment bounds hold and identical docs contain each other fully") {
     val rows = Dedup.containment(spark, sf).collect()
     assert(rows.nonEmpty, "LSH must propose candidate pairs on this corpus")
