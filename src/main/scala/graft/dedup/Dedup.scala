@@ -588,22 +588,6 @@ object Dedup {
   private val BpMinDocs = 3 // distinct docs for a shingle to count as boilerplate
 
   /**
-   * d14: boilerplate-coverage filter — the cross-document complement of
-   * d13 (which flags spans duplicated ANYWHERE, including within one
-   * doc): a shingle is boilerplate only when it appears in ≥ BpMinDocs
-   * DISTINCT documents (headers, nav text, license blurbs — the CCNet /
-   * RefinedWeb removal class), and each doc is scored by the fraction of
-   * its word positions covered by the union of its boilerplate shingles.
-   *
-   * Scale: the corpus explodes ONCE to (doc, pos, 8-byte ShingleHash64)
-   * — gram strings never leave the scan task (the d13 kernel); the
-   * distinct-doc count shuffles hashes only and map-side partial
-   * distinct applies per (h, doc) run. The coverage union re-explodes
-   * only the HITS (boilerplate-matched positions — the small frame), 5
-   * ints per hit, then per-doc distinct-count; no window sort needed.
-   * Per-group state is O(1); nothing corpus-sized broadcasts.
-   */
-  /**
    * d16: LSH S-curve calibration — predicted vs OBSERVED collision
    * probability by exact-Jaccard bin, the eval that justifies a (bands,
    * rows) = (16, 8) configuration before trusting it on a corpus: for
@@ -664,6 +648,22 @@ object Dedup {
       .orderBy(col("j_bin"))
   }
 
+  /**
+   * d14: boilerplate-coverage filter — the cross-document complement of
+   * d13 (which flags spans duplicated ANYWHERE, including within one
+   * doc): a shingle is boilerplate only when it appears in ≥ BpMinDocs
+   * DISTINCT documents (headers, nav text, license blurbs — the CCNet /
+   * RefinedWeb removal class), and each doc is scored by the fraction of
+   * its word positions covered by the union of its boilerplate shingles.
+   *
+   * Scale: the corpus explodes ONCE to (doc, pos, 8-byte ShingleHash64)
+   * — gram strings never leave the scan task (the d13 kernel); the
+   * distinct-doc count shuffles hashes only and map-side partial
+   * distinct applies per (h, doc) run. The coverage union re-explodes
+   * only the HITS (boilerplate-matched positions — the small frame), 5
+   * ints per hit, then per-doc distinct-count; no window sort needed.
+   * Per-group state is O(1); nothing corpus-sized broadcasts.
+   */
   def boilerplate(s: SparkSession, d: String): DataFrame =
     boilerplateOf(Tables.documents(s, d))
 

@@ -371,7 +371,11 @@ object Events {
    * to the ≤7 window-end days it can serve — a bounded ×7 explode of
    * the already-reduced frame, NOT of raw events — and per-end-day
    * distinct-count. Window ends past the last observed day are
-   * suppressed (partial futures), via a 1-row max-day broadcast. The
+   * suppressed (partial futures), via a 1-row max-day broadcast;
+   * leading partial windows (the first six ends, whose trailing-7-day
+   * span predates the data) are intentionally KEPT — the standard
+   * trailing-metric convention, where early windows simply see fewer
+   * days — so the suppression is deliberately asymmetric. The
    * approximate path at larger windows is s10's mergeable HLL per day +
    * 7-sketch union; this entry is the exact reference beside it (the
    * q10/q115 pairing discipline).

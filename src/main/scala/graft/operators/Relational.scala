@@ -2108,8 +2108,12 @@ object Relational {
   // geometry-geometry containment, composing the verified kernels
   // rather than adding a new one): ring R contains triangle T iff all
   // of T's vertices are inside R (q123's ray-cast kernel) AND no edge
-  // of T intersects any edge of R (q127's segment kernel) — for simple
-  // polygons the two conditions are exactly containment. All 15
+  // of T intersects any edge of R (q127's segment kernel). For simple
+  // polygons this computes INTERIOR containment: a triangle touching
+  // R's boundary (vertex or edge on the ring) is classified
+  // not-contained, diverging from OGC/Presto ST_Contains, which
+  // permits boundary contact (measure-zero on this double-valued
+  // synthetic data, but the semantics are the stricter ones). All 15
   // edge-pair tests + 3 vertex tests fold into ONE projection over
   // literal ring coordinates: a single narrow scan, zero shuffles
   // before the presentation sort (at corpus×polygon scale the pruning
