@@ -3378,6 +3378,52 @@ object OracleSql {
         GREATEST(ay, by, cy) AS max_y
       FROM m ORDER BY c_custkey""",
 
+    // q138: WKT front-door replay — the oracle recomputes the geometry
+    // NUMERICALLY from the keys (q128's measures + q123's ray cast), so
+    // the Spark side's key→WKT-text→parse→kernel chain must round-trip
+    // doubles exactly to match; gtype/n_pts/rt_ok/bad_is_null are the
+    // parser-contract constants every row must satisfy.
+    "q138_wkt_front_door" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS ax,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS ay,
+          CAST((c_custkey * 7) % 341 AS DOUBLE) * 1.05 - 178.5 AS bx,
+          CAST((c_custkey * 13) % 171 AS DOUBLE) * 0.9 - 76.5 AS by,
+          CAST((c_custkey * 29) % 341 AS DOUBLE) * 1.05 - 178.5 AS cx,
+          CAST((c_custkey * 31) % 171 AS DOUBLE) * 0.9 - 76.5 AS cy,
+          [-50.0, 60.0, 70.0, 0.0, -60.0, -50.0] AS rxs,
+          [-30.0, -40.0, 50.0, 10.0, 40.0, -30.0] AS rys
+        FROM customer),
+      cr AS (
+        SELECT *, ax * by - bx * ay AS cr1,
+          bx * cy - cx * by AS cr2,
+          cx * ay - ax * cy AS cr3
+        FROM pts),
+      m AS (
+        SELECT *, cr1 + cr2 + cr3 AS a2,
+          (ax + bx) * cr1 + (bx + cx) * cr2 + (cx + ax) * cr3 AS numx,
+          (ay + by) * cr1 + (by + cy) * cr2 + (cy + ay) * cr3 AS numy
+        FROM cr)
+      SELECT c_custkey,
+        'POLYGON' AS gtype,
+        CAST(4 AS INTEGER) AS n_pts,
+        round(0.5 * abs(a2), 4) AS area,
+        round(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+            + sqrt((cx - bx) * (cx - bx) + (cy - by) * (cy - by))
+            + sqrt((ax - cx) * (ax - cx) + (ay - cy) * (ay - cy)), 4) AS perim,
+        round(CASE WHEN a2 = 0 THEN (ax + bx + cx) / 3
+                   ELSE numx / (3.0 * a2) END, 4) + 0.0 AS cent_x,
+        round(CASE WHEN a2 = 0 THEN (ay + by + cy) / 3
+                   ELSE numy / (3.0 * a2) END, 4) + 0.0 AS cent_y,
+        len(list_filter(range(1, 6), i ->
+          ((rys[i] > ay) <> (rys[i+1] > ay)) AND
+          (ax < (rxs[i+1] - rxs[i]) * (ay - rys[i]) / (rys[i+1] - rys[i]) + rxs[i])))
+          % 2 = 1 AS inside,
+        TRUE AS rt_ok,
+        TRUE AS bad_is_null
+      FROM m ORDER BY c_custkey""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,

@@ -219,6 +219,7 @@ object SparkEntry {
     "q135_rollup_distinct" -> (Relational.q135 _),
     "q136_st_contains" -> (Relational.q136 _),
     "q137_percentile_disc" -> (Relational.q137 _),
+    "q138_wkt_front_door" -> (Relational.q138 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

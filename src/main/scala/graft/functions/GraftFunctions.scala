@@ -143,6 +143,18 @@ object GraftFunctions {
   /** Y coordinate of the area-weighted polygon centroid. */
   def stCentroidY(xs: Column, ys: Column): Column = c(RingCentroid(e(xs), e(ys), 1))
 
+  /** Parse WKT text (Presto ST_GeometryFromText; POINT / LINESTRING /
+    * single-ring POLYGON subset) into struct(gtype, xs, ys) — the
+    * coordinate-array form every ST_* kernel here consumes. Null on
+    * malformed input (total-function contract; see
+    * [[graft.functions.Kernels.wktParse]]). */
+  def stGeometryFromText(wkt: Column): Column = c(WktParse(e(wkt)))
+
+  /** Format (gtype, xs, ys) back to WKT (Presto ST_AsText) — the exact
+    * inverse of [[stGeometryFromText]]. */
+  def stAsText(gtype: Column, xs: Column, ys: Column): Column =
+    c(WktText(e(gtype), e(xs), e(ys)))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -204,7 +216,9 @@ object GraftFunctions {
     "st_area" -> (args => RingArea(args(0), args(1))),
     "st_length" -> (args => RingLength(args(0), args(1))),
     "st_centroid_x" -> (args => RingCentroid(args(0), args(1), 0)),
-    "st_centroid_y" -> (args => RingCentroid(args(0), args(1), 1)))
+    "st_centroid_y" -> (args => RingCentroid(args(0), args(1), 1)),
+    "st_geometry_from_text" -> (args => WktParse(args.head)),
+    "st_as_text" -> (args => WktText(args(0), args(1), args(2))))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

@@ -491,6 +491,128 @@ object Kernels {
     }
     1
   }
+
+  /**
+   * Parse a WKT literal (Presto `ST_GeometryFromText`, the POINT /
+   * LINESTRING / POLYGON-single-ring subset — the front door of the
+   * 0.248 geospatial family, which is WKT-first on real data lakes)
+   * into the (gtype, xs, ys) coordinate-array representation every
+   * ring/segment kernel above already consumes.
+   *
+   * Returns null on ANY malformed input — the total, try_-style
+   * contract (Presto throws; a 100 TB ingest wants the bad row
+   * quarantined by a null filter, not the job killed). Accepted
+   * grammar (case-insensitive tag, whitespace-tolerant, exponent
+   * doubles):
+   *   POINT (x y)                    | POINT EMPTY
+   *   LINESTRING (x y, x y [, ...])  | LINESTRING EMPTY   -- >= 2 pts
+   *   POLYGON ((x y, ..., x y))      | POLYGON EMPTY      -- one
+   *     CLOSED ring, >= 4 points, first == last
+   * Multi-ring polygons (holes), MULTI*, GEOMETRYCOLLECTION, Z/M
+   * coordinates, unclosed rings, and trailing garbage are all rejected
+   * (null) — out of the subset, never silently truncated.
+   */
+  def wktParse(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var bad = false
+    def skipWs(): Unit = { while (i < n && Character.isWhitespace(str.charAt(i))) i += 1 }
+    def eat(c: Char): Boolean = {
+      skipWs()
+      if (i < n && str.charAt(i) == c) { i += 1; true } else { bad = true; false }
+    }
+    def peekIs(c: Char): Boolean = { skipWs(); i < n && str.charAt(i) == c }
+    def readNum(): Double = {
+      skipWs()
+      val st = i
+      while (i < n && (str.charAt(i) match {
+        case '+' | '-' | '.' | 'e' | 'E' => true
+        case ch => ch >= '0' && ch <= '9'
+      })) i += 1
+      if (i == st) { bad = true; 0.0 }
+      else try java.lang.Double.parseDouble(str.substring(st, i))
+      catch { case _: NumberFormatException => bad = true; 0.0 }
+    }
+    skipWs()
+    val tagStart = i
+    while (i < n && Character.isLetter(str.charAt(i))) i += 1
+    val tag = str.substring(tagStart, i).toUpperCase(java.util.Locale.ROOT)
+    val xs = new scala.collection.mutable.ArrayBuffer[Double]()
+    val ys = new scala.collection.mutable.ArrayBuffer[Double]()
+    // one x-y coordinate list between parens, comma-separated
+    def readCoords(): Unit = {
+      if (eat('(')) {
+        var more = true
+        while (more && !bad) {
+          xs += readNum(); ys += readNum()
+          skipWs()
+          if (i < n && str.charAt(i) == ',') { i += 1 }
+          else { more = false; eat(')') }
+        }
+      }
+    }
+    skipWs()
+    val empty = i + 5 <= n && str.regionMatches(true, i, "EMPTY", 0, 5)
+    if (empty) i += 5
+    tag match {
+      case "POINT" =>
+        if (!empty) { if (eat('(')) { xs += readNum(); ys += readNum(); eat(')') } }
+      case "LINESTRING" =>
+        if (!empty) { readCoords(); if (xs.length < 2) bad = true }
+      case "POLYGON" =>
+        if (!empty) {
+          if (eat('(')) {
+            readCoords()
+            // a ',' here would start a hole ring — outside the subset
+            if (!bad && peekIs(',')) bad = true
+            eat(')')
+          }
+          if (xs.length < 4 ||
+            xs.head != xs.last || ys.head != ys.last) bad = true
+        }
+      case _ => bad = true
+    }
+    skipWs()
+    if (bad || i != n) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(tag),
+      new GenericArrayData(xs.toArray),
+      new GenericArrayData(ys.toArray)))
+  }
+
+  /** Format (gtype, xs, ys) back to WKT text (Presto `ST_AsText`) using
+    * Java's shortest-round-trip double representation — the exact
+    * inverse of [[wktParse]] (spec-pinned: parse(text(g)) == g, and
+    * text(parse(w)) == w for canonically-spaced w). Unknown tags,
+    * length-mismatched arrays, and subset violations (POINT with != 1
+    * point, LINESTRING < 2, POLYGON unclosed or < 4) return null. */
+  def wktText(gtype: UTF8String, xs: ArrayData, ys: ArrayData): UTF8String = {
+    val tag = gtype.toString.toUpperCase(java.util.Locale.ROOT)
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    val ok = tag match {
+      case "POINT" => n <= 1
+      case "LINESTRING" => n == 0 || n >= 2
+      case "POLYGON" => n == 0 || (n >= 4 &&
+        xs.getDouble(0) == xs.getDouble(n - 1) &&
+        ys.getDouble(0) == ys.getDouble(n - 1))
+      case _ => false
+    }
+    if (!ok) return null
+    if (n == 0) return UTF8String.fromString(tag + " EMPTY")
+    val sb = new java.lang.StringBuilder(tag)
+    sb.append(if (tag == "POLYGON") " ((" else " (")
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(", ")
+      sb.append(java.lang.Double.toString(xs.getDouble(i))).append(' ')
+        .append(java.lang.Double.toString(ys.getDouble(i)))
+      i += 1
+    }
+    sb.append(if (tag == "POLYGON") "))" else ")")
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -1207,4 +1329,64 @@ case class RingCentroid(left: Expression, right: Expression, axis: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RingCentroid =
     copy(left = l, right = r)
+}
+
+/** st_geometry_from_text(wkt) -> struct(gtype, xs, ys), null on
+  * malformed input — Presto ST_GeometryFromText's POINT / LINESTRING /
+  * single-ring POLYGON subset, parsed straight into the coordinate-array
+  * representation the ring/segment kernels consume (see
+  * [[Kernels.wktParse]] for the grammar and the total-function null
+  * contract). One codegen-native call per row, inside whole-stage
+  * codegen — a 100 TB WKT column parses in the scan projection. */
+case class WktParse(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = WktParse.geometryType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.wktParse(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.wktParse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): WktParse =
+    copy(child = c)
+}
+
+object WktParse {
+  /** The parsed-geometry struct: the same (xs, ys) closed-ring /
+    * vertex-list convention as st_area / st_length / point_in_polygon. */
+  val geometryType: StructType = StructType(Seq(
+    StructField("gtype", StringType, nullable = false),
+    StructField("xs", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("ys", ArrayType(DoubleType, containsNull = false), nullable = false)))
+}
+
+/** st_as_text(gtype, xs, ys) -> string — Presto ST_AsText; the exact
+  * inverse of [[WktParse]] (shortest-round-trip double text). Null on
+  * tags/shapes outside the subset. */
+case class WktText(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(t: Any, xs: Any, ys: Any): Any =
+    Kernels.wktText(t.asInstanceOf[UTF8String],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      ${ev.value} = graft.functions.Kernels.wktText($a, $b, $c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WktText =
+    copy(first = f, second = s, third = t)
 }

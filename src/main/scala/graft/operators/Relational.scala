@@ -2225,4 +2225,60 @@ object Relational {
           .as("fill_bwd"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** q138: the WKT front door — Presto's geospatial family is WKT-first
+    * (every real deployment's geometry arrives as `ST_GeometryFromText`
+    * over lake strings; the ~40-function 0.248 family starts there), so
+    * this entry drives the ALREADY-VERIFIED q128 measures and q123
+    * containment through parsed WKT text instead of pre-built coordinate
+    * arrays. Each customer FORMATS its q128 triangle and its q123 probe
+    * point as WKT strings (Spark's double→string cast = Java's shortest
+    * round-trip representation), parses both back through the codegen
+    * [[graft.functions.WktParse]] kernel, and computes area / perimeter
+    * / centroid / point-in-ring on the PARSED arrays. The oracle replays
+    * the geometry NUMERICALLY from the keys — so any parser or formatter
+    * defect (lossy double text, vertex-order slip, bad ring closure)
+    * forks the hash; `rt_ok` additionally pins the st_as_text∘parse
+    * round trip per row, and `bad_is_null` pins the malformed-input null
+    * contract on every row. Scale shape: parse and format are narrow
+    * per-row codegen calls inside the scan projection — zero shuffles
+    * before the presentation sort (at corpus scale the parsed envelope
+    * feeds the q124 tile join key). */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{pointInPolygon, stArea, stAsText, stCentroidX, stCentroidY, stGeometryFromText, stLength}
+    val ax = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val ay = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val bx = ((col("c_custkey") * 7) % 341).cast("double") * 1.05 - 178.5
+    val by = ((col("c_custkey") * 13) % 171).cast("double") * 0.9 - 76.5
+    val cx = ((col("c_custkey") * 29) % 341).cast("double") * 1.05 - 178.5
+    val cy = ((col("c_custkey") * 31) % 171).cast("double") * 0.9 - 76.5
+    def t(v: Column): Column = v.cast("string")
+    val ringXs = expr("array(-50.0D, 60.0D, 70.0D, 0.0D, -60.0D, -50.0D)")
+    val ringYs = expr("array(-30.0D, -40.0D, 50.0D, 10.0D, 40.0D, -30.0D)")
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("POLYGON (("),
+          t(ax), lit(" "), t(ay), lit(", "),
+          t(bx), lit(" "), t(by), lit(", "),
+          t(cx), lit(" "), t(cy), lit(", "),
+          t(ax), lit(" "), t(ay), lit("))")).as("poly_wkt"),
+        concat(lit("POINT ("), t(ax), lit(" "), t(ay), lit(")")).as("pt_wkt"))
+      .select(col("c_custkey"), col("poly_wkt"),
+        stGeometryFromText(col("poly_wkt")).as("g"),
+        stGeometryFromText(col("pt_wkt")).as("p"),
+        stGeometryFromText(lit("POLYGON ((0 0, 1 1)")).isNull.as("bad_is_null"))
+      .select(col("c_custkey"),
+        col("g.gtype").as("gtype"),
+        size(col("g.xs")).as("n_pts"),
+        round(stArea(col("g.xs"), col("g.ys")), 4).as("area"),
+        round(stLength(col("g.xs"), col("g.ys")), 4).as("perim"),
+        round(stCentroidX(col("g.xs"), col("g.ys")), 4).as("cent_x"),
+        round(stCentroidY(col("g.xs"), col("g.ys")), 4).as("cent_y"),
+        pointInPolygon(element_at(col("p.xs"), 1), element_at(col("p.ys"), 1),
+          ringXs, ringYs).as("inside"),
+        (stAsText(col("g.gtype"), col("g.xs"), col("g.ys")) === col("poly_wkt"))
+          .as("rt_ok"),
+        col("bad_is_null"))
+      .orderBy(col("c_custkey"))
+  }
 }

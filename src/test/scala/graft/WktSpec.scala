@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** The WKT front door (q138): parse grammar, the malformed-input null
+  * contract, the st_as_text round trip, and the double-text exactness
+  * the q138 oracle replay depends on. */
+class WktSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def parse(wkt: String): Row =
+    Seq(wkt).toDF("w").select(stGeometryFromText($"w").as("g"))
+      .head().getAs[Row]("g")
+
+  test("POINT / LINESTRING / POLYGON parse into (gtype, xs, ys)") {
+    val p = parse("POINT (3.5 -2.25)")
+    assert(p.getString(0) == "POINT")
+    assert(p.getSeq[Double](1) == Seq(3.5) && p.getSeq[Double](2) == Seq(-2.25))
+
+    val l = parse("  linestring( 0 0 ,1.5 2 , -3e2 4.25 ) ")
+    assert(l.getString(0) == "LINESTRING")
+    assert(l.getSeq[Double](1) == Seq(0.0, 1.5, -300.0))
+    assert(l.getSeq[Double](2) == Seq(0.0, 2.0, 4.25))
+
+    val g = parse("POLYGON ((0 0, 4 0, 4 3, 0 0))")
+    assert(g.getString(0) == "POLYGON")
+    assert(g.getSeq[Double](1) == Seq(0.0, 4.0, 4.0, 0.0))
+    assert(g.getSeq[Double](2) == Seq(0.0, 0.0, 3.0, 0.0))
+
+    val e = parse("POINT EMPTY")
+    assert(e.getString(0) == "POINT" && e.getSeq[Double](1).isEmpty)
+  }
+
+  test("malformed WKT -> null, case by case") {
+    val bad = Seq(
+      "POLYGON ((0 0, 1 1)",          // truncated
+      "POLYGON ((0 0, 4 0, 4 3))",    // 3 points, unclosed
+      "POLYGON ((0 0, 4 0, 4 3, 0 1))", // 4 points but first != last
+      "POLYGON ((0 0, 4 0, 4 3, 0 0), (1 1, 2 1, 2 2, 1 1))", // hole ring
+      "POINT (1 2 3)",                // Z coordinate
+      "POINT (a b)",                  // non-numeric
+      "LINESTRING (1 2)",             // one point
+      "MULTIPOINT ((1 2))",           // outside the subset
+      "POINT (1 2) x",                // trailing garbage
+      "",                             // empty string
+      "POINT")                        // tag only
+    val got = bad.toDF("w")
+      .select(sum(when(stGeometryFromText($"w").isNull, 1).otherwise(0)))
+      .head().getLong(0)
+    assert(got == bad.length, s"expected all ${bad.length} malformed inputs to parse to null")
+    // and the well-formed neighbors of those cases do NOT null out
+    assert(parse("POLYGON ((0 0, 4 0, 4 3, 0 0))") != null)
+    assert(parse("LINESTRING (1 2, 3 4)") != null)
+  }
+
+  test("st_as_text is the exact inverse of st_geometry_from_text") {
+    val canonical = Seq(
+      "POINT (3.5 -2.25)",
+      "LINESTRING (0.0 0.0, 1.5 2.0, -300.0 4.25)",
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, 0.0 0.0))",
+      "POINT EMPTY")
+    val rt = canonical.toDF("w")
+      .select($"w", stGeometryFromText($"w").as("g"))
+      .select($"w", stAsText($"g.gtype", $"g.xs", $"g.ys").as("t"))
+      .collect()
+    rt.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"round trip changed '${r.getString(0)}' -> '${r.getString(1)}'"))
+    // st_as_text rejects shapes outside the subset
+    val badText = Seq(Tuple3("POLYGON", Seq(0.0, 1.0), Seq(0.0, 1.0)))
+      .toDF("t", "xs", "ys")
+      .select(stAsText($"t", $"xs", $"ys").isNull).head().getBoolean(0)
+    assert(badText)
+  }
+
+  test("double text round trip is exact (the q138 oracle contract)") {
+    // awkward doubles: accumulated float noise, negative zero, exponents
+    val vals = Seq(-177.45000000000002, 0.1 + 0.2, -0.0, 1.0e-7, 178.49999999999997)
+    val df = vals.toDF("x")
+      .select($"x",
+        stGeometryFromText(concat(lit("POINT ("), $"x".cast("string"),
+          lit(" 0)"))).as("g"))
+      .select($"x", element_at($"g.xs", 1).as("back"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"cast->parse not bit-exact for ${r.getDouble(0)}")
+    }
+  }
+
+  test("SQL front door serves st_geometry_from_text / st_as_text") {
+    graft.functions.GraftFunctions.install(spark)
+    val row = spark.sql("""
+      SELECT g.gtype AS t, st_area(g.xs, g.ys) AS a,
+             st_as_text(g.gtype, g.xs, g.ys) AS w,
+             st_geometry_from_text('POINT(oops') IS NULL AS bad
+      FROM (SELECT st_geometry_from_text('POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, 0.0 0.0))') AS g)
+    """).head()
+    assert(row.getString(0) == "POLYGON")
+    assert(row.getDouble(1) == 6.0)
+    assert(row.getString(2) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, 0.0 0.0))")
+    assert(row.getBoolean(3))
+  }
+
+  test("q138 runs on testdata: parser constants hold on every row") {
+    val rows = graft.operators.Relational.q138(spark, sf)
+    val agg = rows.agg(
+      count(lit(1)),
+      sum(when($"gtype" === "POLYGON" && $"n_pts" === 4 && $"rt_ok" && $"bad_is_null", 1)
+        .otherwise(0)),
+      min($"area")).head()
+    assert(agg.getLong(0) > 0 && agg.getLong(0) == agg.getLong(1),
+      "every row must parse as a closed 4-point POLYGON with exact text round trip")
+    assert(agg.getDouble(2) >= 0.0)
+  }
+}
