@@ -173,22 +173,97 @@ object GraftCli {
   }
 
   private val ExplainAnalyze = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
+  // Presto-CLI prepared statements (PREPARE / EXECUTE ... USING /
+  // DEALLOCATE PREPARE — Presto docs, SQL statement reference). Spark's
+  // SQL dialect has no PREPARE statement, so the CLI routes these.
+  private val Prepare = "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s+FROM\\s+(.+)$".r
+  private val Execute = "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*(?:USING\\s+(.+?))?\\s*$".r
+  private val Deallocate = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
 
-  /** Run one ;-stripped statement: route EXPLAIN ANALYZE, render
-    * everything else, and report wall time to `err` (stderr, so
-    * csv/json stdout stays machine-clean — the reference CLI reports
-    * elapsed per query the same way). EXPLAIN ANALYZE's plan report is
-    * free text, so under csv/json it ALSO goes to stderr — stdout
-    * carries machine-readable rows only, in every mode. The timing line
-    * prints even when the statement throws (finally), so a csv/json
-    * consumer can rely on exactly one timing line per statement. */
+  /** Split a USING argument list on top-level commas (commas inside
+    * single-quoted literals or parens — e.g. a DATE '...' or a nested
+    * call — stay put). */
+  private[graft] def splitArgs(in: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    var depth = 0
+    in.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Bind EXECUTE arguments into a prepared template: each `?` OUTSIDE
+    * single-quoted literals is replaced positionally by the
+    * corresponding USING expression text (Presto binds values; for the
+    * literal/expression arguments the CLI grammar allows, textual
+    * splice into the parse position is equivalent). Arity mismatches in
+    * either direction fail with a clear message BEFORE any SQL runs. */
+  private[graft] def bindParameters(template: String, args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var idx = 0
+    template.foreach { c =>
+      if (inStr) { sb += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '?' =>
+          if (idx >= args.length) throw new IllegalArgumentException(
+            s"EXECUTE: statement has more parameters (?) than USING arguments (${args.length})")
+          sb ++= args(idx); idx += 1
+        case other => sb += other
+      }
+    }
+    if (idx != args.length) throw new IllegalArgumentException(
+      s"EXECUTE: ${args.length} USING arguments for $idx parameter(s) in the prepared statement")
+    sb.toString
+  }
+
+  /** Run one ;-stripped statement: route EXPLAIN ANALYZE and the
+    * prepared-statement verbs, render everything else (including
+    * CREATE/DROP VIEW, which Spark SQL serves natively through the
+    * session catalog — the Presto views surface), and report wall time
+    * to `err` (stderr, so csv/json stdout stays machine-clean — the
+    * reference CLI reports elapsed per query the same way). EXPLAIN
+    * ANALYZE's plan report is free text, so under csv/json it ALSO goes
+    * to stderr — stdout carries machine-readable rows only, in every
+    * mode. The timing line prints even when the statement throws
+    * (finally), so a csv/json consumer can rely on exactly one timing
+    * line per statement. `prepared` is the session's named-statement
+    * store (the CLI main owns one per run, like a Presto session). */
   private[graft] def runStatement(spark: SparkSession, stmt: String,
                                   format: String, out: java.io.PrintStream,
-                                  err: java.io.PrintStream): Unit = {
+                                  err: java.io.PrintStream,
+                                  prepared: scala.collection.mutable.Map[String, String] =
+                                    scala.collection.mutable.Map.empty): Unit = {
     val t0 = System.nanoTime()
     try stmt.stripSuffix(";") match {
       case ExplainAnalyze(query) =>
         (if (format == "table") out else err).println(explainAnalyze(spark, query))
+      case Prepare(name, query) =>
+        prepared(name.toLowerCase(java.util.Locale.ROOT)) = query
+        err.println(s"[graft-cli] PREPARE ${name.toLowerCase(java.util.Locale.ROOT)}")
+      case Deallocate(name) =>
+        val key = name.toLowerCase(java.util.Locale.ROOT)
+        if (prepared.remove(key).isEmpty) throw new IllegalArgumentException(
+          s"DEALLOCATE PREPARE: no prepared statement named $key")
+        err.println(s"[graft-cli] DEALLOCATE $key")
+      case Execute(name, usingArgs) =>
+        val key = name.toLowerCase(java.util.Locale.ROOT)
+        val template = prepared.getOrElse(key, throw new IllegalArgumentException(
+          s"EXECUTE: no prepared statement named $key (PREPARE it first)"))
+        val bound = bindParameters(template,
+          Option(usingArgs).map(splitArgs).getOrElse(Nil))
+        render(spark.sql(bound), format, out)
       case bare => render(spark.sql(bare), format, out)
     } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
@@ -214,13 +289,40 @@ object GraftCli {
       extraConfs = sys.env.get("SPARK_GRAFT_WAREHOUSE")
         .map("spark.sql.warehouse.dir" -> _).toMap)
     open(spark, sfDir)
+    // session-scoped prepared-statement store (Presto session semantics:
+    // names live for the connection, statement-scoped errors don't drop it)
+    val prepared = scala.collection.mutable.Map[String, String]()
     statements.foreach { stmt =>
-      try runStatement(spark, stmt, format, System.out, System.err)
+      try runStatement(spark, stmt, format, System.out, System.err, prepared)
       catch { case e: Exception =>
         System.err.println(s"[graft-cli] error: ${e.getMessage}")
       }
     }
     if (!preexisting) spark.stop()
+  }
+
+  /** s12's front door: run a PREPARE and an EXECUTE through the REAL
+    * statement router's regexes and parameter binder, returning the
+    * bound query's frame (the driver needs a DataFrame; main's render
+    * path wraps this same plumbing). */
+  private[graft] def prepareExecute(spark: SparkSession, sfDir: String,
+      prepareStmt: String, executeStmt: String): DataFrame = {
+    open(spark, sfDir)
+    val store = scala.collection.mutable.Map[String, String]()
+    prepareStmt.stripSuffix(";") match {
+      case Prepare(name, query) =>
+        store(name.toLowerCase(java.util.Locale.ROOT)) = query
+      case other => throw new IllegalArgumentException(
+        s"not a PREPARE statement: $other")
+    }
+    executeStmt.stripSuffix(";") match {
+      case Execute(name, usingArgs) =>
+        val template = store(name.toLowerCase(java.util.Locale.ROOT))
+        spark.sql(bindParameters(template,
+          Option(usingArgs).map(splitArgs).getOrElse(Nil)))
+      case other => throw new IllegalArgumentException(
+        s"not an EXECUTE statement: $other")
+    }
   }
 
   /** Inventory entries exercised THROUGH the SQL-text path (same driver
@@ -381,7 +483,38 @@ object GraftCli {
         AND o_orderdate < TIMESTAMP '1998-06-01'
         AND l_shipdate > TIMESTAMP '1998-06-01'
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10"""))
+      ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""")),
+    // s12: Presto-CLI prepared statements (PREPARE q FROM ... ? ... /
+    // EXECUTE q USING ...) — the parameterized-dashboard UX every BI
+    // tool drives through the reference's CLI. The ?s bind through the
+    // CLI's real regex + splice path, so this entry breaks if the
+    // binder mis-handles quoting, arity, or placement.
+    "s12_sql_prepared" -> ((s, d) => prepareExecute(s, d,
+      """PREPARE revenue_q FROM
+         SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+         FROM lineitem
+         WHERE l_discount BETWEEN ? AND ? AND l_quantity < ?
+           AND 'quoted?' <> 'never'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "EXECUTE revenue_q USING 0.05, 0.07, 24.0")),
+    // s13: views through the front door (Presto CREATE VIEW; the
+    // reference UX is arbitrary DDL over `presto-mgr.py connect`).
+    // The view is DEFINED in one statement and CONSUMED in a later one
+    // — catalog round trip, not mere inlining.
+    "s13_sql_view" -> ((s, d) => {
+      val sess = open(s, d)
+      sess.sql("""CREATE OR REPLACE TEMPORARY VIEW s13_nation_spend AS
+        SELECT n_name, o_custkey, o_totalprice
+        FROM orders JOIN customer ON c_custkey = o_custkey
+                    JOIN nation ON n_nationkey = c_nationkey""")
+      sess.sql("""SELECT n_name,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM s13_nation_spend GROUP BY n_name ORDER BY n_name""")
+    })
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -456,6 +589,27 @@ object GraftCli {
     // REFERENCE — the two entries can never drift apart.
     "s09_sql_sketch_agg" -> OracleSql.sql("q115_sketch_quantile"),
     // s11 is TPC-H Q3 as SQL text — q129's oracle BY REFERENCE.
-    "s11_sql_tpch" -> OracleSql.sql("q129_tpch_q3")
+    "s11_sql_tpch" -> OracleSql.sql("q129_tpch_q3"),
+    // s12's oracle IS the bound statement: the same text with the USING
+    // values spliced where the ?s were (and the quoted '?' untouched) —
+    // exactly what the binder must produce.
+    "s12_sql_prepared" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+          AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+        AND 'quoted?' <> 'never'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s13_sql_view" -> """
+      WITH s13_nation_spend AS (
+        SELECT n_name, o_custkey, o_totalprice
+        FROM orders JOIN customer ON c_custkey = o_custkey
+                    JOIN nation ON n_nationkey = c_nationkey)
+      SELECT n_name,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM s13_nation_spend GROUP BY n_name ORDER BY n_name"""
   )
 }

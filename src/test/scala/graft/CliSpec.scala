@@ -245,4 +245,81 @@ class CliSpec extends GraftSpec {
     assert(x == 1, "failed CTAS must leave the existing table untouched")
     GraftCli.sql(spark, sf, "DROP TABLE graft_dml_dup")
   }
+
+  test("PREPARE / EXECUTE USING round-trips through the real main") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "PREPARE regions FROM SELECT r_regionkey, r_name FROM region WHERE r_regionkey < ? ORDER BY r_regionkey",
+      "EXECUTE regions USING 2",
+      "EXECUTE regions USING 4"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    // two executions of the same prepared statement, different bindings:
+    // header + 2 rows, then header + 4 rows
+    assert(lines.count(_ == "r_regionkey,r_name") == 2, lines.mkString("\n"))
+    val (first, second) = lines.splitAt(3)
+    assert(first.tail.map(_.takeWhile(_ != ',')) == Seq("0", "1"), lines.mkString("\n"))
+    assert(second.tail.map(_.takeWhile(_ != ',')) == Seq("0", "1", "2", "3"), lines.mkString("\n"))
+  }
+
+  test("prepared-statement misuse: unknown name, arity mismatch, deallocate") {
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val saved = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf,
+      "EXECUTE nosuch USING 1",                               // never prepared
+      "PREPARE p1 FROM SELECT r_regionkey FROM region WHERE r_regionkey = ?",
+      "EXECUTE p1 USING 1, 2",                                // too many args
+      "EXECUTE p1",                                           // too few args
+      "DEALLOCATE PREPARE p1",
+      "EXECUTE p1 USING 1",                                   // deallocated
+      "DEALLOCATE PREPARE p1"))                               // already gone
+    finally { System.setErr(saved); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 5, s"expected exactly 5 clean errors:\n$err")
+    assert(errors.count(_.contains("no prepared statement named")) == 3, err)
+    assert(errors.exists(_.contains("USING arguments")), err)
+    assert(errors.exists(_.contains("more parameters")), err)
+  }
+
+  test("parameter binding splices positionally, skips quoted '?', splits top-level commas") {
+    assert(GraftCli.bindParameters(
+      "SELECT * FROM t WHERE a = ? AND b = '?' AND c IN (?)",
+      Seq("1", "(2, 3)")) ==
+      "SELECT * FROM t WHERE a = 1 AND b = '?' AND c IN ((2, 3))")
+    assert(GraftCli.splitArgs("1, 'a,b', (2, 3), DATE '2020-01-01'") ==
+      Seq("1", "'a,b'", "(2, 3)", "DATE '2020-01-01'"))
+    intercept[IllegalArgumentException](GraftCli.bindParameters("SELECT ?", Nil))
+    intercept[IllegalArgumentException](GraftCli.bindParameters("SELECT 1", Seq("1")))
+  }
+
+  test("CREATE VIEW round-trips through the real main and a later statement consumes it") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "CREATE OR REPLACE TEMPORARY VIEW cli_region_v AS SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3",
+      "SELECT COUNT(*) AS n FROM cli_region_v",
+      "DROP VIEW cli_region_v"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    assert(lines.containsSlice(Seq("n", "3")), lines.mkString("\n"))
+    // view misuse is statement-scoped like any other error
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val savedE = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf, "SELECT * FROM cli_region_v")) // dropped above
+    finally { System.setErr(savedE); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
+  }
 }
