@@ -23,6 +23,54 @@ object OracleSql {
       .mkString(", ")
   }
 
+  /** t21's replay: the K BPE iterations unrolled as CTE passes. Each
+    * pass recomputes pair counts from the previous vocabulary state,
+    * picks the (max count, lexicographically-smallest) pair, and applies
+    * the merge as a list_reduce left-fold — provably equivalent to the
+    * Spark kernel's greedy scan (see Kernels.bpeMerge: the fold could
+    * only diverge if a merged token re-matched as a left symbol, which
+    * needs a+b == a). The fold merges into the accumulator string's last
+    * token only on EXACT token equality (acc == a, or acc ends with
+    * ' '||a — the space guard keeps 'xa' from matching 'a'). */
+  private def bpeTrainOracle(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""e$i AS (SELECT n, string_split(syms, ' ') AS s FROM $prev),
+      p$i AS (
+        SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM e$i)
+        GROUP BY 1),
+      b$i AS (
+        SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+               replace(pair, ' ', '') AS m, cnt
+        FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+      v$i AS (
+        SELECT list_reduce(string_split(syms, ' '), (acc, x) -> CASE
+            WHEN x = mg.b AND (acc = mg.a OR ends_with(acc, ' ' || mg.a))
+            THEN left(acc, CAST(len(acc) - len(mg.a) AS INTEGER)) || mg.m
+            ELSE acc || ' ' || x END) AS syms, n
+        FROM $prev CROSS JOIN b$i mg),
+      t$i AS (SELECT CAST(SUM(n * len(string_split(syms, ' '))) AS BIGINT)
+              AS corpus_tokens FROM v$i)"""
+    }.mkString(",\n      ")
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS step, a AS lhs, b AS rhs, m AS merged,
+          cnt AS pair_count,
+          (SELECT corpus_tokens FROM t$i) AS corpus_tokens FROM b$i"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH vocab AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w),
+      v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, n FROM vocab),
+      $iters
+      SELECT * FROM (
+        $rows
+      ) ORDER BY step"""
+  }
+
   /** Shared by x01/x02: salting must not change the join result, so the
     * plain and salted entries replay the identical hot-key join. */
   private val skewOracle: String = """
@@ -3565,6 +3613,8 @@ object OracleSql {
       FROM pairs GROUP BY pair
       ORDER BY pair_count DESC, pair
       LIMIT 50""",
+
+    "t21_bpe_train" -> bpeTrainOracle(8),
 
     // t17: the same three surface counts (whitespace words, [.!?]+
     // sentence runs, [aeiouy]+ vowel-group syllables), same IEEE formula.

@@ -95,6 +95,7 @@ object SparkEntry {
     "t18_normalize_unicode" -> (TextAnalysis.normalizeUnicodeReport _),
     "t19_bigram_lm" -> (TextAnalysis.bigramLm _),
     "t20_keywords" -> (TextAnalysis.keywords _),
+    "t21_bpe_train" -> (TextAnalysis.bpeTrain _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),

@@ -155,6 +155,11 @@ object GraftFunctions {
   def stAsText(gtype: Column, xs: Column, ys: Column): Column =
     c(WktText(e(gtype), e(xs), e(ys)))
 
+  /** One greedy BPE merge pass over a space-joined symbol string (the
+    * t21 trainer's per-iteration kernel). */
+  def bpeMerge(syms: Column, a: Column, b: Column): Column =
+    c(BpeMerge(e(syms), e(a), e(b)))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -218,7 +223,8 @@ object GraftFunctions {
     "st_centroid_x" -> (args => RingCentroid(args(0), args(1), 0)),
     "st_centroid_y" -> (args => RingCentroid(args(0), args(1), 1)),
     "st_geometry_from_text" -> (args => WktParse(args.head)),
-    "st_as_text" -> (args => WktText(args(0), args(1), args(2))))
+    "st_as_text" -> (args => WktText(args(0), args(1), args(2))),
+    "bpe_merge" -> (args => BpeMerge(args(0), args(1), args(2))))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

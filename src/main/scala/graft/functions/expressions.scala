@@ -493,6 +493,34 @@ object Kernels {
   }
 
   /**
+   * One BPE merge pass over a space-joined symbol string: greedy
+   * left-to-right scan replacing each adjacent (a, b) symbol pair with
+   * the concatenated symbol, consuming both (so an overlapping
+   * occurrence — "a a a" under merge (a,a) — yields "aa a", the
+   * standard BPE semantics). Equivalent to the left-fold formulation
+   * the DuckDB oracle replays via list_reduce (merge into the
+   * accumulator's last token when it equals `a` exactly and the current
+   * symbol equals `b`): the fold can only diverge from the scan if the
+   * merged token re-matched as a left symbol, which needs a+b == a —
+   * impossible for non-empty b. Symbols never contain spaces, so the
+   * split is unambiguous.
+   */
+  def bpeMerge(syms: UTF8String, a: UTF8String, b: UTF8String): UTF8String = {
+    val toks = syms.toString.split(" ", -1)
+    val as = a.toString
+    val bs = b.toString
+    val sb = new java.lang.StringBuilder(syms.numBytes + 1)
+    var i = 0
+    while (i < toks.length) {
+      if (sb.length > 0) sb.append(' ')
+      if (i + 1 < toks.length && toks(i) == as && toks(i + 1) == bs) {
+        sb.append(as).append(bs); i += 2
+      } else { sb.append(toks(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /**
    * Parse a WKT literal (Presto `ST_GeometryFromText`, the POINT /
    * LINESTRING / POLYGON-single-ring subset — the front door of the
    * 0.248 geospatial family, which is WKT-first on real data lakes)
@@ -1329,6 +1357,29 @@ case class RingCentroid(left: Expression, right: Expression, axis: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RingCentroid =
     copy(left = l, right = r)
+}
+
+/** bpe_merge(syms, a, b) -> string — one greedy BPE merge pass over a
+  * space-joined symbol string (see [[Kernels.bpeMerge]]); the t21
+  * trainer's per-iteration hot path, codegen-native so the
+  * vocabulary-sized merge application stays inside whole-stage codegen
+  * (the lambda-HOF fold form pays interpreted eval per symbol). */
+case class BpeMerge(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    Kernels.bpeMerge(s.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) => s"graft.functions.Kernels.bpeMerge($s, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BpeMerge =
+    copy(first = f, second = s, third = t)
 }
 
 /** st_geometry_from_text(wkt) -> struct(gtype, xs, ys), null on

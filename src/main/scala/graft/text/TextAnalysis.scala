@@ -611,4 +611,75 @@ object TextAnalysis {
           .cast("double") / count(lit(1)), 4).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * t21: the FULL multi-iteration BPE trainer (t15 is one iteration of
+   * pair statistics; this is the loop that ships a tokenizer): K rounds
+   * of select-top-pair → apply-merge over the word-FREQUENCY table,
+   * emitting the merge list — the artifact a tokenizer training
+   * pipeline actually produces — plus the corpus token count after each
+   * merge (the compression curve that tells you when to stop).
+   *
+   * Exactness: pair selection is (max summed count, then
+   * lexicographically smallest pair) — a total tiebreak both engines
+   * replay; counts accumulate in BIGINT; the merge application is the
+   * codegen [[graft.functions.Kernels.bpeMerge]] greedy scan, whose
+   * fold-equivalence argument (doc there) is what lets DuckDB replay it
+   * as a list_reduce. Scale shape: the corpus explodes ONCE to the
+   * (word, n) vocabulary (the only corpus-sized shuffle, count-carrying,
+   * map-side combined); each of the K iterations is two
+   * vocabulary-bounded jobs (pair argmax + token recount) over a
+   * localCheckpoint-staged frame (the k-means loop discipline — no
+   * lineage growth), and the per-iteration driver decision is ONE row
+   * (the argmax pair), the same bounded-collect contract as a09's
+   * centroids. This is exactly why production BPE trainers (GPT-2,
+   * SentencePiece) train on frequency tables, not raw text: K more
+   * iterations cost vocabulary work, not corpus work.
+   */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOf(s, Tables.documents(s, d), 8)
+
+  /** The t21 kernel over any (text) frame — unit-testable form (the
+    * spec compares the merge list against an independent driver-side
+    * reference trainer on hand-built docs). */
+  private[graft] def bpeTrainOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val vocab0 = docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"), col("n"))
+      .transform(graft.plans.Checkpoints.stage)
+    // guard the fully-merged single-symbol case: Spark's sequence(1, 0)
+    // steps BACKWARDS ([1, 0]) rather than returning empty
+    val pairsOf = expr(
+      """CASE WHEN size(sy) < 2 THEN array()
+         ELSE transform(sequence(1, size(sy) - 1),
+           i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1))) END""")
+    var cur = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
+    for (step <- 1 to k) {
+      val best = cur
+        .select(col("n"), split(col("syms"), " ").as("sy"))
+        .select(col("n"), explode(pairsOf).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect() // ONE row: the argmax merge decision
+      if (best.nonEmpty) {
+        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        val cnt = best(0).getLong(1)
+        cur = cur
+          .select(GraftFunctions.bpeMerge(col("syms"), lit(a), lit(b)).as("syms"),
+            col("n"))
+          .transform(graft.plans.Checkpoints.stage)
+        val corpusTokens = cur
+          .select(sum(col("n") * size(split(col("syms"), " "))).as("t"))
+          .head().getLong(0)
+        merges += ((step, a, b, a + b, cnt, corpusTokens))
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count", "corpus_tokens")
+      .orderBy(col("step"))
+  }
 }

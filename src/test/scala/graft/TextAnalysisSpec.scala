@@ -156,4 +156,74 @@ class TextAnalysisSpec extends GraftSpec {
       // bigram has P >= 2/(c1+V) — avg_logp can never reach -inf
     }
   }
+
+  test("bpe_merge kernel: greedy non-overlapping scan, exact-token boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def m(s: String, a: String, b: String): String =
+      graft.functions.Kernels.bpeMerge(UTF8String.fromString(s),
+        UTF8String.fromString(a), UTF8String.fromString(b)).toString
+    assert(m("l o w e r", "o", "w") == "l ow e r")
+    assert(m("a a a", "a", "a") == "aa a")         // overlap consumes both
+    assert(m("a a a a", "a", "a") == "aa aa")
+    assert(m("a b a b", "a", "b") == "ab ab")      // adjacent repeats both merge
+    assert(m("x a b y a b", "a", "b") == "x ab y ab")
+    assert(m("xa a", "a", "a") == "xa a")          // 'xa' must not suffix-match 'a'
+    assert(m("ab b", "b", "b") == "ab b")
+    assert(m("a ab", "a", "ab") == "aab")          // multi-char right symbol
+    assert(m("q", "a", "b") == "q")                // single-symbol word untouched
+  }
+
+  test("t21 BPE trainer matches an independent driver-side reference trainer") {
+    import spark.implicits._
+    // reference implementation: plain Scala over a word-frequency map,
+    // written independently of the Spark/kernel code path
+    def greedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long, Long)] = {
+      var vocab = words.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      (1 to k).flatMap { step =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, n) =>
+          syms.indices.dropRight(1).foreach { i =>
+            counts((syms(i), syms(i + 1))) += n
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), c) = counts.toSeq
+            .sortBy { case ((x, y), n) => (-n, x + " " + y) }.head
+          vocab = vocab.map { case (syms, n) => (greedy(syms, a, b), n) }
+          val toks = vocab.map { case (syms, n) => syms.length * n }.sum
+          Some((step, a, b, c, toks))
+        }
+      }
+    }
+    // hand-built docs exercising overlap runs, repeats, and ties
+    val docs = Seq(
+      "aaa aaa abab the the the cat",
+      "banana bandana the cat sat",
+      "aaa abab banana the").toDF("text")
+    val words = docs
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expected = refBpe(words, 5)
+    val got = graft.text.TextAnalysis.bpeTrainOf(spark, docs, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // merged column is lhs+rhs by construction
+    graft.text.TextAnalysis.bpeTrainOf(spark, docs, 3).collect().foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
 }
