@@ -249,6 +249,7 @@ object SparkEntry {
     "a12_nprobe_curve" -> (Ann.nprobeCurve _),
     "a13_ivfpq_recall" -> (Ann.ivfpqRecall _),
     "a14_filtered_knn" -> (Ann.filteredKnn _),
+    "a15_ann_persist" -> (Ann.annIndexPersist _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
@@ -263,6 +264,11 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →
     * driver records rows-only checks for those). */
   def oracleSql: Map[String, String] = OracleSql.sql ++ GraftCli.oracles ++ Map(
+    // a15 persists the a09-trained index and serves a10's search from
+    // the RELOADED artifact — identical report by construction, so the
+    // oracle is a10's replay by reference (persistence lossiness would
+    // fork the hash).
+    "a15_ann_persist" -> OracleSql.sql("a10_ivf_trained_recall"),
     "a01_knn_brute" -> """
       WITH px AS (
         SELECT vec_id AS probe_id, i, CAST(e AS DOUBLE) AS pe

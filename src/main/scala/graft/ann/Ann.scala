@@ -472,6 +472,14 @@ object Ann {
    */
   def ivfTrainedRecall(s: SparkSession, d: String): DataFrame = {
     val (_, cents, _) = lloydRounds(s, d)
+    ivfRecallWith(s, d, cents)
+  }
+
+  /** The a10 serve half — IVF search + recall eval against a given
+    * centroid matrix (trained in-process for a10, LOADED FROM THE
+    * PERSISTED INDEX for a15). */
+  private def ivfRecallWith(s: SparkSession, d: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     def sims(v: Column) = array(cents.sortBy(_._1).map { case (id, ce) =>
@@ -838,5 +846,40 @@ object Ann {
         row_number().over(w).as("rn"))
       .filter(col("rn") <= K)
       .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /**
+   * a15: INDEX PERSISTENCE — the train/serve separation every production
+   * ANN deployment runs (train once offline, serve from the saved
+   * artifact): a09's Lloyd rounds train the coarse quantizer, the
+   * centroid matrix AND the a11 PQ codebook persist as parquet index
+   * tables (k·dim and PqKw·dim rows — the index metadata is tiny even
+   * when the indexed corpus is 100 TB; the big artifact, per-vector
+   * codes, stays columnar beside the vectors), and the search half
+   * RELOADS the centroids from disk and runs a10's probe topology with
+   * no retraining anywhere downstream of the load. The report is
+   * identical to a10's by construction, so the oracle is a10's replay BY
+   * REFERENCE — any persistence lossiness (double truncation, row-order
+   * dependence, schema drift) forks the hash. SPARK_GRAFT_INDEX_DIR
+   * overrides the index location (a shared filesystem path in a real
+   * deployment; java.io.tmpdir here).
+   */
+  def annIndexPersist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_ann_index")
+    // train + persist (the offline half)
+    val (_, cents, _) = lloydRounds(s, d)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < PqKw)
+      .select(col("vec_id").as("code"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("codeword"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    // reload + serve (k·dim rows — the bounded-collect contract)
+    val loaded = s.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    ivfRecallWith(s, d, loaded)
   }
 }

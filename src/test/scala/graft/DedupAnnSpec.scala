@@ -291,4 +291,35 @@ class DedupAnnSpec extends GraftSpec {
       if (frac > 0.2001) assert(!r.getAs[Boolean]("keep"))
     }
   }
+
+  test("a15: persisted index round-trips losslessly; served search equals in-process a10") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    val direct = Ann.ivfTrainedRecall(spark, sf).collect().toSeq
+    val served = withIndexDir(dir)(Ann.annIndexPersist(spark, sf).collect().toSeq)
+    assert(served == direct,
+      s"persisted-index search diverged from in-process search:\n$served\nvs\n$direct")
+    // the persisted artifacts exist and reload bitwise: centroids are
+    // k rows of exact doubles, codebook is the PqKw raw vectors
+    val cents = spark.read.parquet(s"$dir/graft_ann_index/centroids").collect()
+    assert(cents.length == 8 && cents.forall(_.getSeq[Double](1).nonEmpty))
+    val book = spark.read.parquet(s"$dir/graft_ann_index/codebook")
+      .orderBy(col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val bookDirect = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(book.toSeq == bookDirect.toSeq, "codebook parquet round trip must be bitwise")
+  }
+
+  /** Run `body` with SPARK_GRAFT_INDEX_DIR unavailable (env is immutable
+    * in-JVM), pointing a15 at `dir` via the tmpdir property it falls
+    * back to. */
+  private def withIndexDir[T](dir: String)(body: => T): T = {
+    val prev = System.getProperty("java.io.tmpdir")
+    // a15 writes to <tmpdir>/graft_ann_index; give it a scoped tmpdir
+    System.setProperty("java.io.tmpdir", dir)
+    try body finally System.setProperty("java.io.tmpdir", prev)
+  }
 }
