@@ -2,7 +2,7 @@
 """Local replica of the driver's correctness gate: read Verify output
 parquet per query, run oracle_sql.json in DuckDB over the same sf dir,
 compare row count / schema / value hash (columns sorted by name)."""
-import sys, json, glob, hashlib
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
@@ -12,7 +12,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = f.split("/")[-1].replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # driver testdata ships single files; GenData (sf1 scale runs) writes
+    # standard Spark parquet DIRECTORIES — glob inside those
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
