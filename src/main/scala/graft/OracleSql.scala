@@ -32,7 +32,18 @@ object OracleSql {
     * needs a+b == a). The fold merges into the accumulator string's last
     * token only on EXACT token equality (acc == a, or acc ends with
     * ' '||a — the space guard keeps 'xa' from matching 'a'). */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The one greedy-merge fold, as DuckDB list_reduce text — shared by
+    * the t21 training replay and t22's per-word encode replay so the
+    * two can never drift. `mg` must alias a 1-row (a, b, m) frame. */
+  private val bpeFold: String =
+    """list_reduce(string_split(syms, ' '), (acc, x) -> CASE
+            WHEN x = mg.b AND (acc = mg.a OR ends_with(acc, ' ' || mg.a))
+            THEN left(acc, CAST(len(acc) - len(mg.a) AS INTEGER)) || mg.m
+            ELSE acc || ' ' || x END)"""
+
+  /** The K training iterations (vocab → v0 → e/p/b/v/t per step) as a
+    * WITH-clause body, shared by the t21 and t22 oracles. */
+  private def bpeCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""e$i AS (SELECT n, string_split(syms, ' ') AS s FROM $prev),
@@ -45,30 +56,57 @@ object OracleSql {
                replace(pair, ' ', '') AS m, cnt
         FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
       v$i AS (
-        SELECT list_reduce(string_split(syms, ' '), (acc, x) -> CASE
-            WHEN x = mg.b AND (acc = mg.a OR ends_with(acc, ' ' || mg.a))
-            THEN left(acc, CAST(len(acc) - len(mg.a) AS INTEGER)) || mg.m
-            ELSE acc || ' ' || x END) AS syms, n
+        SELECT $bpeFold AS syms, n
         FROM $prev CROSS JOIN b$i mg),
       t$i AS (SELECT CAST(SUM(n * len(string_split(syms, ' '))) AS BIGINT)
               AS corpus_tokens FROM v$i)"""
     }.mkString(",\n      ")
+    s"""vocab AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w),
+      v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, n FROM vocab),
+      $iters"""
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val rows = (1 to k).map { i =>
       s"""SELECT CAST($i AS INTEGER) AS step, a AS lhs, b AS rhs, m AS merged,
           cnt AS pair_count,
           (SELECT corpus_tokens FROM t$i) AS corpus_tokens FROM b$i"""
     }.mkString("\n        UNION ALL\n        ")
     s"""
-      WITH vocab AS (
-        SELECT w, COUNT(*) AS n
-        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-              FROM documents) t
-        WHERE length(w) >= 2 GROUP BY w),
-      v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, n FROM vocab),
-      $iters
+      WITH ${bpeCtes(k)}
       SELECT * FROM (
         $rows
       ) ORDER BY step"""
+  }
+
+  /** t22: encode every document with the t21-trained merges — the
+    * DISTINCT word list (no length filter: 1-char words tokenize too)
+    * folds through the K merges in training order, then token counts
+    * join back to word instances and aggregate per doc. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val encodes = (1 to k).map { i =>
+      s"""dw$i AS (SELECT w, $bpeFold AS syms FROM dw${i - 1} CROSS JOIN b$i mg)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${bpeCtes(k)},
+      allw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents),
+      dw0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+              FROM (SELECT DISTINCT w FROM allw) t),
+      $encodes,
+      enc AS (SELECT w, len(string_split(syms, ' ')) AS n_toks,
+                     length(w) AS n_chars_w FROM dw$k)
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 4)
+          AS chars_per_token
+      FROM allw JOIN enc USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Shared by x01/x02: salting must not change the join result, so the
@@ -1974,6 +2012,15 @@ object OracleSql {
       FROM batch b LEFT JOIN existing e ON b.h = e.h
       ORDER BY b.doc_id""",
 
+    // p12's oracle is the FROM-SCRATCH recompute over all events — the
+    // defining invariant of incremental view maintenance (merge ≡
+    // rebuild) is exactly what the hash compare pins.
+    "p12_incremental_rollup" -> """
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
     // Replays Ann.quantize: identical scale (max|x|/127) and the pinned
     // floor(x/scale + 0.5) tie semantics; error sum in exact decimal.
     "a04_quantize" -> """
@@ -3615,6 +3662,7 @@ object OracleSql {
       LIMIT 50""",
 
     "t21_bpe_train" -> bpeTrainOracle(8),
+    "t22_bpe_encode" -> bpeEncodeOracle(8),
 
     // t17: the same three surface counts (whitespace words, [.!?]+
     // sentence runs, [aeiouy]+ vowel-group syllables), same IEEE formula.

@@ -96,6 +96,7 @@ object SparkEntry {
     "t19_bigram_lm" -> (TextAnalysis.bigramLm _),
     "t20_keywords" -> (TextAnalysis.keywords _),
     "t21_bpe_train" -> (TextAnalysis.bpeTrain _),
+    "t22_bpe_encode" -> (TextAnalysis.bpeEncode _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "p09_curriculum" -> (graft.pipeline.Splits.curriculum _),
     "p10_pack_sequences" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.packSequences(s, d)),
     "p11_temperature_mix" -> (graft.pipeline.Splits.temperatureMixture _),
+    "p12_incremental_rollup" -> (graft.pipeline.Incremental.incrementalRollup _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),

@@ -95,4 +95,53 @@ object Incremental {
           .otherwise("new").as("decision"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * p12: incremental AGGREGATE maintenance — the materialized-view
+   * delta-merge every continuously-loaded warehouse runs: a persisted
+   * daily rollup (day × event_type → count + exact decimal sum) is
+   * brought current by aggregating ONLY the new batch and merging it
+   * with the stored state by key — history is never re-scanned. The
+   * entry makes the persistence real (state written to and RELOADED
+   * from parquet, the a15 discipline), and its oracle is the
+   * FROM-SCRATCH recompute over all events — the defining invariant of
+   * incremental view maintenance (merge ≡ rebuild) is exactly what the
+   * hash compare pins.
+   *
+   * Exactness across the merge: per-batch sums accumulate in
+   * DECIMAL(18,2) (the value column carries 2dp, so partial sums are
+   * exact ⇒ re-summing partials is associative and order-free — the
+   * property that makes count/sum/min/max maintainable and avg
+   * derivable, while a double sum would fork on merge order). Scale
+   * shape: the delta aggregation shuffles only the batch (map-side
+   * combined into ≤ days×types rows); the merge unions two tiny rollup
+   * frames and re-reduces — O(state), corpus-independent.
+   */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STATE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_rollup_state")
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val cutoff = lit("2024-01-24").cast("date")
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_val"))
+    // the "already materialized" state: built once from history, then
+    // genuinely persisted and reloaded (nothing downstream may touch
+    // the history scan again)
+    rollup(ev.filter(col("day") < cutoff))
+      .write.mode("overwrite").parquet(dir)
+    val state = s.read.parquet(dir)
+    val delta = rollup(ev.filter(col("day") >= cutoff))
+    state.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_val")).as("sum_val"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"),
+        col("sum_val").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
 }

@@ -682,4 +682,45 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count", "corpus_tokens")
       .orderBy(col("step"))
   }
+
+  /**
+   * t22: ENCODE the corpus with the t21-trained merges — the serve half
+   * of the tokenizer (train once, tokenize everything): per-document
+   * token counts and the chars-per-token compression ratio under the
+   * learned vocabulary, the number a data pipeline budgets context
+   * windows and storage with.
+   *
+   * Scale shape: training is t21 (vocabulary-bounded); encoding folds
+   * the K merges over the DISTINCT word list only (tiny — the encode
+   * work is vocabulary-sized, each merge a codegen bpe_merge pass),
+   * then one corpus-sized (doc, word) shuffle joins token counts back
+   * to word instances and aggregates per doc — at 100 TB the encoded
+   * vocabulary broadcasts and the corpus never shuffles at all (AQE
+   * already picks the broadcast here). Unlike training, encoding has NO
+   * length filter: 1-char words tokenize to themselves.
+   */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOf(s, Tables.documents(s, d), 8)
+
+  private[graft] def bpeEncodeOf(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val merges = bpeTrainOf(s, docs, k).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+    val distinctW = words.select(col("w")).distinct()
+      .select(col("w"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"))
+    val encoded = merges.foldLeft(distinctW) { case (df, (a, b)) =>
+      df.select(col("w"), GraftFunctions.bpeMerge(col("syms"), lit(a), lit(b)).as("syms"))
+    }.select(col("w"), size(split(col("syms"), " ")).as("n_toks"),
+      length(col("w")).as("n_chars_w"))
+    words.join(encoded, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars_w")).as("n_chars_az"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_chars_az").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
 }

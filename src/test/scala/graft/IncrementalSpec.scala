@@ -310,4 +310,24 @@ class IncrementalSpec extends GraftSpec {
       assert(r.getAs[Int]("week_k") >= 0)
     }
   }
+
+  test("p12: delta-merged rollup equals the from-scratch recompute; state is real parquet") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val merged = graft.pipeline.Incremental.incrementalRollup(spark, sf).collect().toSeq
+    val rebuilt = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("event_type")).collect().toSeq
+    assert(merged == rebuilt, "incremental maintenance must equal a full rebuild")
+    // the persisted state exists, is parquet, and covers only pre-cutoff days
+    val state = spark.read.parquet(
+      System.getProperty("java.io.tmpdir") + "/graft_rollup_state")
+    val maxDay = state.agg(max(col("day"))).head().getDate(0).toString
+    assert(maxDay < "2024-01-24", s"state leaked post-cutoff days: $maxDay")
+    assert(state.count() > 0)
+  }
 }

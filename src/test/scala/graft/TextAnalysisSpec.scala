@@ -226,4 +226,42 @@ class TextAnalysisSpec extends GraftSpec {
       assert(r.getString(3) == r.getString(1) + r.getString(2))
     }
   }
+
+  test("t22 BPE encode matches a driver-side reference encode with the trained merges") {
+    import spark.implicits._
+    def greedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val docTexts = Seq(
+      "aaa a aaa abab the cat a",     // includes 1-char words (excluded from
+      "banana bandana the cat sat",   // TRAINING but encoded at serve time)
+      "aaa abab banana a the")
+    val docs = docTexts.toDF("text")
+    val merges = graft.text.TextAnalysis.bpeTrainOf(spark, docs, 4)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (sy, (a, b)) => greedy(sy, a, b) }
+    val expected = docTexts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      val toks = ws.map(w => encode(w).length).sum
+      val chars = ws.map(_.length).sum
+      (i.toLong, ws.length.toLong, toks.toLong,
+        math.round(chars.toDouble / toks * 1e4) / 1e4)
+    }
+    val withIds = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bpeEncodeOf(spark, withIds, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // encoding never increases token count beyond character count, and
+    // merges only ever reduce it
+    got.foreach { case (_, _, toks, cpt) => assert(toks > 0 && cpt >= 1.0) }
+  }
 }
