@@ -804,6 +804,54 @@ object OracleSql {
       ORDER BY doc_id"""
     },
 
+    // c04: each check replayed as one aggregate; the FK checks probe the
+    // distinct-key frame, the temporal check rides the orderkey join.
+    "c04_data_quality" -> """
+      WITH checks AS (
+        SELECT 'lineitem' AS tbl, 'fk_orderkey_orphan' AS chk,
+          COUNT(*) AS n_checked,
+          CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violations
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders', 'fk_custkey_orphan', COUNT(*),
+          CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'orders', 'pk_orderkey_duplicate', COUNT(*),
+          CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1) t
+        UNION ALL
+        SELECT 'customer', 'null_name', COUNT(*),
+          CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem', 'range_discount', COUNT(*),
+          CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', 'range_value_negative', COUNT(*),
+          CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents', 'duplicate_text', COUNT(*),
+          CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1) t
+        UNION ALL
+        SELECT 'lineitem', 'shipped_before_order', COUNT(*),
+          CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'events', 'ts_outside_window', COUNT(*),
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+            OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events)
+      SELECT tbl, chk, n_checked, n_violations, n_violations = 0 AS pass
+      FROM checks ORDER BY tbl, chk""",
+
     // c03: the three signal chains (t02 quality / d14 boilerplate / t19
     // bigram LM) replayed as CTEs and joined per doc; the composite uses
     // the already-rounded signal values with the identical left-to-right

@@ -107,6 +107,7 @@ object SparkEntry {
     "c01_curation" -> (graft.pipeline.Curation.curate _),
     "c02_corpus_stats" -> (graft.pipeline.Curation.corpusStats _),
     "c03_full_curation" -> (graft.pipeline.Curation.fullCuration _),
+    "c04_data_quality" -> (graft.pipeline.Curation.dataQuality _),
     "d07_contamination" -> (Dedup.contamination _),
     "d08_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "d09_minhash_est" -> (Dedup.minhashEstimate _),

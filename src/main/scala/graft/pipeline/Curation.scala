@@ -103,4 +103,75 @@ object Curation {
         "quality >= 0.5 AND bp_frac < 0.2 AND fluency >= -4.0 AS keep")
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * c04: data-quality audit — the dbt-test / Great-Expectations class of
+   * checks a production pipeline gates every load on, as ONE declarative
+   * report: referential integrity (FK orphans), key uniqueness, null
+   * scans, domain ranges, cross-table temporal consistency (lines
+   * shipped before their order — the check that actually trips on this
+   * synthetic data, since ship and order dates are independent), content
+   * duplication, and freshness windows. Output one row per check:
+   * (tbl, chk, n_checked, n_violations, pass).
+   *
+   * Scale shape: every check is ONE aggregate over a pruned scan
+   * (map-side combined to a single row); the FK checks reduce the dim
+   * side to a distinct-key frame first (an index probe, never a
+   * corpus-× join — and broadcast when small); the temporal check rides
+   * the orderkey join lineitem⋈orders both already need. The union is
+   * nine 1-row frames — plan cost is the scans, not the report.
+   */
+  def dataQuality(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val ev = Tables.events(s, d)
+    val docs = Tables.documents(s, d)
+
+    def report(tbl: String, chk: String, df: DataFrame,
+               violation: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(tbl).as("tbl"), lit(chk).as("chk"),
+          col("n_checked"), col("n_violations"))
+
+    val fkLiOrders = report("lineitem", "fk_orderkey_orphan",
+      li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left_outer"),
+      col("o_orderkey").isNull)
+    val fkOrdCust = report("orders", "fk_custkey_orphan",
+      ord.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")).distinct(),
+          col("o_custkey") === col("c_custkey"), "left_outer"),
+      col("c_custkey").isNull)
+    val pkOrders = report("orders", "pk_orderkey_duplicate",
+      ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")),
+      col("n") > 1)
+    val nullName = report("customer", "null_name",
+      cust.select(col("c_name")), col("c_name").isNull)
+    val rangeDisc = report("lineitem", "range_discount",
+      li.select(col("l_discount")),
+      col("l_discount") < 0.0 || col("l_discount") > 0.1)
+    val rangeValue = report("events", "range_value_negative",
+      ev.select(col("value")), col("value") < 0.0)
+    val dupText = report("documents", "duplicate_text",
+      docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n")),
+      col("n") > 1)
+    val shipBefore = report("lineitem", "shipped_before_order",
+      li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey")),
+      col("l_shipdate") < col("o_orderdate"))
+    val fresh = report("events", "ts_outside_window",
+      ev.select(col("ts")),
+      col("ts") < lit("2024-01-01").cast("timestamp") ||
+        col("ts") >= lit("2024-02-01").cast("timestamp"))
+
+    Seq(fkOrdCust, pkOrders, nullName, rangeDisc, rangeValue, dupText,
+      shipBefore, fresh)
+      .foldLeft(fkLiOrders)(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("tbl"), col("chk"))
+  }
 }

@@ -60,4 +60,40 @@ class ClusteringSpec extends GraftSpec {
       assert(c >= 0.0 && c <= 1.0 + 1e-9, s"composite $c out of band")
     }
   }
+
+  test("c04: quality audit — integrity checks pass, known-bad checks trip, counts honest") {
+    val rows = graft.pipeline.Curation.dataQuality(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows.size == 9)
+    // structurally-sound facts: FKs resolve, keys unique, no nulls,
+    // domains hold, freshness window holds
+    Seq(("lineitem", "fk_orderkey_orphan"), ("orders", "fk_custkey_orphan"),
+      ("orders", "pk_orderkey_duplicate"), ("customer", "null_name"),
+      ("lineitem", "range_discount"), ("events", "range_value_negative"),
+      ("events", "ts_outside_window")).foreach { k =>
+      val (checked, viol, pass) = rows(k)
+      assert(pass && viol == 0L && checked > 0L, s"$k: $checked/$viol")
+    }
+    // the check that genuinely trips on this data (independent ship/order
+    // dates => many lines "ship" before their order), violation count
+    // cross-checked against an independent join
+    val (shipChecked, shipViol, shipPass) = rows(("lineitem", "shipped_before_order"))
+    assert(!shipPass && shipViol > 0L && shipViol < shipChecked)
+    import org.apache.spark.sql.functions.col
+    val shipExpected = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(shipViol == shipExpected, s"$shipViol vs independent $shipExpected")
+    // duplicate_text violations = hash groups of size > 1, independently
+    // recomputed (sf0.001 happens to carry none; larger SFs do)
+    val (_, dupViol, dupPass) = rows(("documents", "duplicate_text"))
+    val dupExpected = graft.sources.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupViol == dupExpected && dupPass == (dupExpected == 0L))
+    // pass is derived, never asserted independently of the count
+    rows.values.foreach { case (_, viol, pass) => assert(pass == (viol == 0L)) }
+  }
 }
