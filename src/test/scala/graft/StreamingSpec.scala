@@ -195,6 +195,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance: versioned state equals a from-scratch rebuild (p12 parity)") {
+    import org.apache.spark.sql.types.DecimalType
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-rollup-stream").toString
+    val q = EventPipelines.startRollupMaintenance(input.toDF(), stateDir)
+    val all = scala.collection.mutable.ArrayBuffer[Event]()
+    def feed(evs: Event*): Unit = { all ++= evs; input.addData(evs: _*); q.processAllAvailable() }
+    try {
+      feed(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.25),
+        Event(2, ts("2024-01-01 11:00:00"), 1, "view", 5.50),
+        Event(3, ts("2024-01-02 09:00:00"), 2, "click", 1.75))
+      feed( // second batch touches an EXISTING key and a new one
+        Event(4, ts("2024-01-01 12:00:00"), 2, "click", 2.25),
+        Event(5, ts("2024-01-03 08:00:00"), 3, "purchase", 99.99))
+      feed(Event(6, ts("2024-01-02 10:00:00"), 1, "click", 0.01))
+      // latest state version vs a from-scratch aggregate of all fed rows
+      val versions = new java.io.File(stateDir).list().filter(_.startsWith("v"))
+        .map(_.drop(1).toLong)
+      assert(versions.length >= 2, "expected one state version per non-empty batch")
+      val state = spark.read.parquet(s"$stateDir/v${versions.max}")
+        .orderBy("day", "event_type").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue()))
+      val rebuilt = all.toSeq.toDF()
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value".cast(DecimalType(18, 2))).as("s"))
+        .orderBy("day", "event_type").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+          r.getDecimal(3).doubleValue()))
+      assert(state.toSeq == rebuilt.toSeq,
+        s"\nstate   ${state.toSeq}\nrebuilt ${rebuilt.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands each micro-batch as parquet (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
