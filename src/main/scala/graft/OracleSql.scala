@@ -1697,6 +1697,52 @@ object OracleSql {
         true AS decode_ok
       FROM documents ORDER BY doc_id""",
 
+    // m09: replays the IJG quality scaling (scale = q<50 ? 5000/q :
+    // 200-2q; coef = clamp((base*scale+50)/100, 1, 255)) from the same
+    // public Annex-K luminance constants, then inverts it the way the
+    // estimator does (smallest q whose scaled table matches — the L1
+    // minimum is 0 at the true q by construction, so MIN(matching q)
+    // replays the estimator's tiebreak). The Spark side must recover the
+    // table from the actual DQT bytes (marker walk + de-zigzag) for the
+    // stats and the estimate to line up.
+    "m09_jpeg_quality" -> {
+      val base = Seq(
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99)
+      val baseValues = base.zipWithIndex
+        .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      s"""
+      WITH base(i, v) AS (VALUES $baseValues),
+      tabs AS (
+        SELECT qs.q AS q,
+          list(GREATEST(1, LEAST(255,
+            (b.v * (CASE WHEN qs.q < 50 THEN 5000 // qs.q
+                         ELSE 200 - 2 * qs.q END) + 50) // 100))
+            ORDER BY b.i) AS tbl
+        FROM (SELECT CAST(range AS INTEGER) AS q FROM range(1, 101)) qs
+        CROSS JOIN base b GROUP BY qs.q),
+      docs AS (
+        SELECT doc_id, CAST((doc_id * 37) % 96 + 3 AS INTEGER) AS qtrue
+        FROM documents WHERE doc_id % 3 = 1),
+      est AS (
+        SELECT d.doc_id, t1.tbl,
+          (SELECT MIN(t2.q) FROM tabs t2 WHERE t2.tbl = t1.tbl) AS q_est
+        FROM docs d JOIN tabs t1 ON t1.q = d.qtrue)
+      SELECT doc_id, CAST(q_est AS INTEGER) AS quality_est,
+        round(CAST(list_aggregate(tbl, 'sum') AS DOUBLE) / 64.0, 4) AS dqt_mean,
+        CAST(list_aggregate(tbl, 'min') AS INTEGER) AS dqt_min,
+        CAST(list_aggregate(tbl, 'max') AS INTEGER) AS dqt_max,
+        CAST(8 AS INTEGER) AS dqt_precision,
+        TRUE AS decode_ok
+      FROM est ORDER BY doc_id"""
+    },
+
     "m01_multimodal_meta" -> """
       WITH n AS (
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -261,7 +261,8 @@ object SparkEntry {
     "m05_audio_meta" -> (Multimodal.audioMeta _),
     "m06_video_meta" -> (Multimodal.videoMeta _),
     "m07_image_dup_clusters" -> (Multimodal.imageDupClusters _),
-    "m08_audio_energy" -> (Multimodal.audioEnergy _)
+    "m08_audio_energy" -> (Multimodal.audioEnergy _),
+    "m09_jpeg_quality" -> (Multimodal.jpegQuality _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

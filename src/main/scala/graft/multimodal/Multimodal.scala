@@ -294,6 +294,48 @@ object Multimodal {
         })
   }
 
+  /** m09: JPEG quality estimation from the DQT — the compression-quality
+    * gate an image-curation pipeline thresholds on (drop thumbnails
+    * re-encoded below q~60, keep originals). Each payload carries a REAL
+    * quality-scaled DQT segment (built by [[ImageHeaders.jpegWithDqt]]
+    * with quality derived from doc_id); the decoder walks the marker
+    * segments to the DQT, de-zigzags the 64 coefficients to natural
+    * order, and inverts the public IJG scaling formula (smallest q in
+    * 1..100 minimizing L1 distance — ImageMagick's estimator). The oracle
+    * replays the formula from the same Annex-K constants, so a defect in
+    * the builder, the zigzag permutation, the marker walk, or the
+    * estimator forks the hash. Narrow mapPartitions; only the 7-column
+    * stats row leaves the scan — the 100 TB shape. */
+  def jpegQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._1 % 3 == 1)
+      .map { case (id, text) =>
+        val w = (id % 64 + 1).toInt
+        val h = (id % 48 + 1).toInt
+        val q = ((id * 37) % 96 + 3).toInt
+        (id, ImageHeaders.jpegWithDqt(w, h, q) ++ text.getBytes("UTF-8"))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          ImageHeaders.parseDqt(bytes) match {
+            case Some(tbl) =>
+              (id, ImageHeaders.estimateJpegQuality(tbl),
+                tbl.map(_.toLong).sum.toDouble / 64.0, tbl.min, tbl.max, 8, true)
+            case None => (id, 0, 0.0, 0, 0, 0, false)
+          }
+        }
+      }
+      .toDF("doc_id", "quality_est", "dqt_mean", "dqt_min", "dqt_max",
+        "dqt_precision", "decode_ok")
+      .select(col("doc_id"), col("quality_est"),
+        round(col("dqt_mean"), 4).as("dqt_mean"),
+        col("dqt_min"), col("dqt_max"), col("dqt_precision"), col("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The m08 kernel over any (id, wav-payload) Dataset — the
     * unit-testable form (the spec feeds hand-built PCM and checks the
     * decoded stats against hand-computed values). */

@@ -190,4 +190,59 @@ class MultimodalSpec extends GraftSpec {
         r.getAs[Long]("n_samples") * 1000000L / r.getAs[Int]("sample_rate"))
     }
   }
+
+  test("DQT codec round-trips the IJG quality scaling through real bytes") {
+    import graft.multimodal.ImageHeaders
+    // zigzag is a permutation of 0..63 (a bad constant would silently
+    // reorder coefficients and the estimator below would still pass on
+    // symmetric tables — pin the permutation property itself)
+    assert(ImageHeaders.JpegZigZag.sorted.sameElements(0 until 64))
+    for (q <- Seq(1, 3, 10, 50, 75, 90, 98, 100)) {
+      val payload = ImageHeaders.jpegWithDqt(20, 10, q) ++ "body".getBytes("UTF-8")
+      val tbl = ImageHeaders.parseDqt(payload)
+      assert(tbl.isDefined, s"q=$q DQT did not parse")
+      assert(tbl.get.sameElements(ImageHeaders.jpegQuantTable(q)),
+        s"q=$q table did not round-trip through zigzag wire order")
+      assert(ImageHeaders.estimateJpegQuality(tbl.get) <= q,
+        s"q=$q estimate overshot") // min-q tiebreak can only go down
+      assert(ImageHeaders.jpegQuantTable(
+        ImageHeaders.estimateJpegQuality(tbl.get)).sameElements(tbl.get),
+        s"q=$q estimate is not an exact-table match")
+      // the SOF walk still recovers dims past the inserted DQT segment
+      val p = ImageHeaders.parse(payload)
+      assert(p.exists(x => x.width == 20 && x.height == 10), s"q=$q dims lost")
+    }
+    // quality-50 scale factor is 100 => the table IS the Annex-K base
+    assert(ImageHeaders.jpegQuantTable(50).sameElements(ImageHeaders.JpegStdLuminance))
+    // malformed: DQT-less JPEG, truncated DQT, 16-bit (Pq=1) table
+    assert(ImageHeaders.parseDqt(ImageHeaders.jpeg(4, 4)).isEmpty)
+    assert(ImageHeaders.parseDqt(ImageHeaders.jpegWithDqt(4, 4, 80).take(30)).isEmpty)
+    val pq1 = ImageHeaders.jpegWithDqt(4, 4, 80)
+    val dqtAt = {
+      var i = 2
+      while (!((pq1(i) & 0xff) == 0xff && (pq1(i + 1) & 0xff) == 0xdb)) i += 1
+      i
+    }
+    pq1(dqtAt + 4) = 0x10.toByte // Pq=1
+    assert(ImageHeaders.parseDqt(pq1).isEmpty)
+  }
+
+  test("m09 estimates encoder quality from parsed DQT bytes") {
+    val rows = Multimodal.jpegQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 3 == 1)
+      assert(r.getAs[Boolean]("decode_ok"))
+      val qTrue = ((id * 37) % 96 + 3).toInt
+      // the estimate must reproduce a table identical to the true one
+      // (min-q tiebreak means est <= qTrue, equal except where adjacent
+      // qualities scale to the same saturated table)
+      val est = r.getAs[Int]("quality_est")
+      assert(est <= qTrue && est >= 1)
+      assert(graft.multimodal.ImageHeaders.jpegQuantTable(est)
+        .sameElements(graft.multimodal.ImageHeaders.jpegQuantTable(qTrue)))
+      assert(r.getAs[Int]("dqt_min") >= 1 && r.getAs[Int]("dqt_max") <= 255)
+    }
+  }
 }
