@@ -179,6 +179,83 @@ object GraftCli {
   private val Prepare = "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s+FROM\\s+(.+)$".r
   private val Execute = "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*(?:USING\\s+(.+?))?\\s*$".r
   private val Deallocate = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  // Presto `SHOW STATS FOR table` (Presto docs, SHOW STATS) — the
+  // planner-statistics surface the CLI exposes; Spark SQL has no
+  // SHOW STATS statement, so the CLI routes it.
+  private val ShowStats = "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+
+  /** Presto's SHOW STATS row layout over any registered table: one row
+    * per column (exact NDV, nulls fraction, low/high rendered as text,
+    * data size for varchar columns) + the table row carrying row_count.
+    * ONE aggregate pass computes every column's stats together (the
+    * multi-distinct Expand is the standard ANALYZE shape — column-count
+    * fan-out, never row-count); the single-row result explodes into the
+    * report rows declaratively, no driver collect. low/high rendering is
+    * pinned cross-engine: timestamps format to 'yyyy-MM-dd HH:mm:ss',
+    * doubles snap to DECIMAL(18,2) text, everything else casts straight
+    * to string. */
+  private[graft] def showStats(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.table(table)
+    val fields = df.schema.fields
+    def asText(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast(StringType)
+      case _ => c.cast(StringType)
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        countDistinct(c).as(s"ndv_${f.name}"),
+        count(c).as(s"nn_${f.name}"),
+        asText(min(c), f.dataType).as(s"lo_${f.name}"),
+        asText(max(c), f.dataType).as(s"hi_${f.name}")) ++
+        (f.dataType match {
+          case StringType => Seq(sum(length(col(f.name)).cast(LongType))
+            .cast(DoubleType).as(s"sz_${f.name}"))
+          case _ => Nil
+        })
+    } :+ count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast(DoubleType)
+    val colRows = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        (f.dataType match {
+          case StringType => col(s"sz_${f.name}")
+          case _ => nullD
+        }).as("data_size"),
+        col(s"ndv_${f.name}").cast(DoubleType).as("distinct_values_count"),
+        ((col("n_rows") - col(s"nn_${f.name}")).cast(DoubleType) /
+          col("n_rows")).as("nulls_fraction"),
+        nullD.as("row_count"),
+        col(s"lo_${f.name}").as("low_value"),
+        col(s"hi_${f.name}").as("high_value"))
+    } :+ struct(
+      lit(null).cast(StringType).as("column_name"), nullD.as("data_size"),
+      nullD.as("distinct_values_count"), nullD.as("nulls_fraction"),
+      col("n_rows").cast(DoubleType).as("row_count"),
+      lit(null).cast(StringType).as("low_value"),
+      lit(null).cast(StringType).as("high_value"))
+    one.select(explode(array(colRows.toIndexedSeq: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("column_name").asc_nulls_first)
+  }
+
+  /** s14's front door: route a SHOW STATS statement through the REAL
+    * router regex (the driver needs a DataFrame; main's render path
+    * wraps this same plumbing). */
+  private[graft] def showStatsStatement(spark: SparkSession, sfDir: String,
+      stmt: String): DataFrame = {
+    open(spark, sfDir)
+    stmt.stripSuffix(";") match {
+      case ShowStats(table) => showStats(spark, table)
+      case other => throw new IllegalArgumentException(
+        s"not a SHOW STATS statement: $other")
+    }
+  }
 
   /** Split a USING argument list on top-level commas (commas inside
     * single-quoted literals or parens — e.g. a DATE '...' or a nested
@@ -264,6 +341,8 @@ object GraftCli {
         val bound = bindParameters(template,
           Option(usingArgs).map(splitArgs).getOrElse(Nil))
         render(spark.sql(bound), format, out)
+      case ShowStats(table) =>
+        render(showStats(spark, table), format, out)
       case bare => render(spark.sql(bare), format, out)
     } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
@@ -514,7 +593,14 @@ object GraftCli {
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM s13_nation_spend GROUP BY n_name ORDER BY n_name""")
-    })
+    }),
+    // s14: Presto SHOW STATS FOR table — the planner-statistics surface
+    // (exact NDV / nulls fraction / low-high / varchar data size per
+    // column + the table row_count). Routed through the CLI's real
+    // statement regex; ONE aggregate pass over the table, column-count
+    // fan-out only.
+    "s14_sql_show_stats" -> ((s, d) =>
+      showStatsStatement(s, d, "SHOW STATS FOR orders"))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -610,6 +696,43 @@ object GraftCli {
       SELECT n_name,
         COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM s13_nation_spend GROUP BY n_name ORDER BY n_name"""
+      FROM s13_nation_spend GROUP BY n_name ORDER BY n_name""",
+    // s14: per-column branch replay of the SHOW STATS layout — exact
+    // NDV / nulls / low-high with the same cross-engine text rendering
+    // (timestamps strftime'd, doubles snapped to DECIMAL(18,2) text).
+    "s14_sql_show_stats" -> {
+      def branch(c: String, lo: String, hi: String, size: String) = s"""
+      SELECT '$c' AS column_name, $size AS data_size,
+        CAST(COUNT(DISTINCT $c) AS DOUBLE) AS distinct_values_count,
+        CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*) AS nulls_fraction,
+        CAST(NULL AS DOUBLE) AS row_count,
+        $lo AS low_value, $hi AS high_value
+      FROM orders"""
+      def plain(c: String) = branch(c,
+        s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)",
+        "CAST(NULL AS DOUBLE)")
+      def str(c: String) = branch(c,
+        s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)",
+        s"CAST(SUM(length($c)) AS DOUBLE)")
+      def ts(c: String) = branch(c,
+        s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')", "CAST(NULL AS DOUBLE)")
+      def dbl(c: String) = branch(c,
+        s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR)",
+        s"CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(NULL AS DOUBLE)")
+      Seq(plain("o_custkey"), ts("o_orderdate"), plain("o_orderkey"),
+        str("o_orderpriority"), str("o_orderstatus"), dbl("o_totalprice"),
+        """
+      SELECT CAST(NULL AS VARCHAR) AS column_name,
+        CAST(NULL AS DOUBLE) AS data_size,
+        CAST(NULL AS DOUBLE) AS distinct_values_count,
+        CAST(NULL AS DOUBLE) AS nulls_fraction,
+        CAST(COUNT(*) AS DOUBLE) AS row_count,
+        CAST(NULL AS VARCHAR) AS low_value,
+        CAST(NULL AS VARCHAR) AS high_value
+      FROM orders""").mkString("", " UNION ALL", "") +
+        " ORDER BY column_name NULLS FIRST"
+    }
   )
 }

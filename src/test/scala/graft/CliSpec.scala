@@ -322,4 +322,34 @@ class CliSpec extends GraftSpec {
     val err = new String(errB.toByteArray, "UTF-8")
     assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
   }
+
+  test("SHOW STATS FOR table round-trips through the real main") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv", "SHOW STATS FOR region"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    assert(lines.head.startsWith("column_name,"), lines.mkString("\n"))
+    // table row (null column_name sorts first) carries row_count = 5
+    assert(lines(1).split(",", -1)(4) == "5.0", lines.mkString("\n"))
+    // r_name: 5 distinct strings, zero nulls, alphabetic low/high
+    val rName = lines.find(_.startsWith("r_name,")).get.split(",", -1)
+    assert(rName(2) == "5.0" && rName(3) == "0.0", lines.mkString("\n"))
+    assert(rName(5).nonEmpty && rName(6).nonEmpty, lines.mkString("\n"))
+    // r_regionkey: integer low/high render as plain digits
+    val rKey = lines.find(_.startsWith("r_regionkey,")).get.split(",", -1)
+    assert(rKey(5) == "0" && rKey(6) == "4", lines.mkString("\n"))
+    // misuse: unknown table is a statement-scoped error
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val savedE = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf, "SHOW STATS FOR nosuchtable"))
+    finally { System.setErr(savedE); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
+  }
 }
