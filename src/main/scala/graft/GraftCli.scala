@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.functions.GraftFunctions
 import graft.sources.Tables
@@ -183,6 +184,119 @@ object GraftCli {
   // planner-statistics surface the CLI exposes; Spark SQL has no
   // SHOW STATS statement, so the CLI routes it.
   private val ShowStats = "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  // Presto session-property statements (Presto docs, SET SESSION /
+  // RESET SESSION / SHOW SESSION — the per-session tuning surface every
+  // Presto client drives). Spark's SET statement exists but exposes raw
+  // conf keys; the CLI serves the Presto-named property catalog below,
+  // each mapped to the Spark conf that honestly implements it.
+  private val SetSession = "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*=\\s*(.+?)\\s*$".r
+  private val ResetSession = "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  private val ShowSession = "(?is)^\\s*SHOW\\s+SESSION\\s*$".r
+
+  /** One session property: Presto-style name/type/default plus the
+    * mapping into (`toConf`) and out of (`fromConf`) the Spark conf
+    * that implements it. `fromConf` reads the LIVE conf, so SHOW
+    * SESSION reports what the engine will actually do, never a shadow
+    * copy that could drift. */
+  private[graft] final case class SessionProp(
+      name: String, typ: String, default: String, description: String,
+      toConf: String => (String, String), fromConf: SparkSession => String)
+
+  /** The property catalog (names follow Presto 0.248's session-property
+    * vocabulary; the catalog is engine-specific in Presto too, so the
+    * honest-Spark subset is the right parity). Every property is
+    * runtime-settable SQLConf — no silent no-ops. */
+  private[graft] val sessionProps: Seq[SessionProp] = Seq(
+    SessionProp("adaptive_execution", "boolean", "true",
+      "Re-plan queries at runtime from observed partition sizes",
+      v => ("spark.sql.adaptive.enabled", parseBool("adaptive_execution", v)),
+      s => s.conf.get("spark.sql.adaptive.enabled", "true")),
+    SessionProp("hash_partition_count", "integer", "32",
+      "Number of partitions for distributed joins and aggregations",
+      v => ("spark.sql.shuffle.partitions", parsePosInt("hash_partition_count", v)),
+      s => s.conf.get("spark.sql.shuffle.partitions")),
+    SessionProp("join_distribution_type", "varchar", "AUTOMATIC",
+      "AUTOMATIC, PARTITIONED (never broadcast) or BROADCAST (favor broadcast joins)",
+      v => ("spark.sql.autoBroadcastJoinThreshold",
+        parseEnum("join_distribution_type", v,
+          Set("AUTOMATIC", "PARTITIONED", "BROADCAST")) match {
+          case "PARTITIONED" => "-1"
+          case "BROADCAST"   => "104857600b"
+          case _             => "10485760b"
+        }),
+      s => s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b") match {
+        case "-1" | "-1b"  => "PARTITIONED"
+        case "104857600b" => "BROADCAST"
+        case _            => "AUTOMATIC"
+      }),
+    SessionProp("time_zone_id", "varchar", "UTC",
+      "Session time zone for timestamp rendering and date arithmetic",
+      v => ("spark.sql.session.timeZone", parseZone(unquote(v))),
+      s => s.conf.get("spark.sql.session.timeZone")))
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  private def parseBool(name: String, v: String): String =
+    unquote(v).toLowerCase(java.util.Locale.ROOT) match {
+      case b @ ("true" | "false") => b
+      case other => throw new IllegalArgumentException(
+        s"SET SESSION $name: expected true or false, got '$other'")
+    }
+
+  private def parsePosInt(name: String, v: String): String = {
+    val t = unquote(v)
+    if (t.matches("[0-9]+") && t.toLong > 0) t
+    else throw new IllegalArgumentException(
+      s"SET SESSION $name: expected a positive integer, got '$t'")
+  }
+
+  private def parseEnum(name: String, v: String, allowed: Set[String]): String = {
+    val t = unquote(v).toUpperCase(java.util.Locale.ROOT)
+    if (allowed(t)) t
+    else throw new IllegalArgumentException(
+      s"SET SESSION $name: expected one of ${allowed.toSeq.sorted.mkString(", ")}, got '$t'")
+  }
+
+  private def parseZone(v: String): String =
+    try { java.time.ZoneId.of(v); v }
+    catch { case _: Exception => throw new IllegalArgumentException(
+      s"SET SESSION time_zone_id: unknown zone '$v'") }
+
+  private def sessionProp(name: String): SessionProp = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    sessionProps.find(_.name == key).getOrElse(throw new IllegalArgumentException(
+      s"session property $key does not exist (SHOW SESSION lists the catalog)"))
+  }
+
+  /** SET SESSION name = value: validate against the catalog, then set
+    * the mapped Spark conf. Validation happens before any conf write. */
+  private[graft] def setSession(spark: SparkSession, name: String, value: String): Unit = {
+    val (k, v) = sessionProp(name).toConf(value)
+    spark.conf.set(k, v)
+  }
+
+  /** RESET SESSION name: restore the catalog default. */
+  private[graft] def resetSession(spark: SparkSession, name: String): Unit = {
+    val p = sessionProp(name)
+    val (k, v) = p.toConf(p.default)
+    spark.conf.set(k, v)
+  }
+
+  /** SHOW SESSION as Presto renders it: name | value | default | type |
+    * description, values read back from the LIVE Spark conf (a SET that
+    * failed to land would be visible here). Conf reads are driver-side
+    * session metadata — the frame is a literal local relation. */
+  private[graft] def showSession(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sessionProps.map(p => (p.name, p.fromConf(spark), p.default, p.typ, p.description))
+      .toDF("name", "value", "default", "type", "description")
+      .orderBy(col("name"))
+  }
 
   /** Presto's SHOW STATS row layout over any registered table: one row
     * per column (exact NDV, nulls fraction, low/high rendered as text,
@@ -254,6 +368,33 @@ object GraftCli {
       case ShowStats(table) => showStats(spark, table)
       case other => throw new IllegalArgumentException(
         s"not a SHOW STATS statement: $other")
+    }
+  }
+
+  /** s15's front door: run SET SESSION statements through the REAL
+    * router regexes, snapshot SHOW SESSION (values read back from the
+    * live conf — the snapshot IS the evidence the SETs landed), then
+    * restore the pre-entry confs so the entry never poisons the
+    * session for whatever runs next (Verify runs 250+ entries in one
+    * session). */
+  private[graft] def sessionEntry(spark: SparkSession, sfDir: String,
+      statements: Seq[String]): DataFrame = {
+    val sess = open(spark, sfDir)
+    val touched = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.session.timeZone",
+      "spark.sql.adaptive.enabled")
+    val saved = touched.map(k => k -> sess.conf.getOption(k))
+    try {
+      statements.foreach {
+        case SetSession(n, v) => setSession(sess, n, v)
+        case ResetSession(n)  => resetSession(sess, n)
+        case other => throw new IllegalArgumentException(
+          s"not a session statement: $other")
+      }
+      showSession(sess) // materializes conf reads into a literal relation
+    } finally saved.foreach {
+      case (k, Some(v)) => sess.conf.set(k, v)
+      case (k, None)    => sess.conf.unset(k)
     }
   }
 
@@ -343,6 +484,14 @@ object GraftCli {
         render(spark.sql(bound), format, out)
       case ShowStats(table) =>
         render(showStats(spark, table), format, out)
+      case SetSession(name, value) =>
+        setSession(spark, name, value)
+        err.println(s"[graft-cli] SET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")
+      case ResetSession(name) =>
+        resetSession(spark, name)
+        err.println(s"[graft-cli] RESET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")
+      case ShowSession() =>
+        render(showSession(spark), format, out)
       case bare => render(spark.sql(bare), format, out)
     } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
@@ -600,7 +749,20 @@ object GraftCli {
     // statement regex; ONE aggregate pass over the table, column-count
     // fan-out only.
     "s14_sql_show_stats" -> ((s, d) =>
-      showStatsStatement(s, d, "SHOW STATS FOR orders"))
+      showStatsStatement(s, d, "SHOW STATS FOR orders")),
+    // s15: Presto session properties (SET SESSION / SHOW SESSION /
+    // RESET SESSION — the per-session tuning surface; Presto docs).
+    // Two SETs route through the real regex + validation + conf-write
+    // path; the SHOW SESSION snapshot reads values back from the LIVE
+    // Spark conf, so a SET that silently failed to land forks the hash.
+    // RESET SESSION adaptive_execution exercises the default-restore
+    // path in the same script.
+    "s15_sql_session" -> ((s, d) => sessionEntry(s, d, Seq(
+      "SET SESSION hash_partition_count = 8",
+      "SET SESSION join_distribution_type = 'PARTITIONED'",
+      "SET SESSION time_zone_id = 'UTC'",
+      "SET SESSION adaptive_execution = false",
+      "RESET SESSION adaptive_execution")))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
@@ -733,6 +895,23 @@ object GraftCli {
         CAST(NULL AS VARCHAR) AS high_value
       FROM orders""").mkString("", " UNION ALL", "") +
         " ORDER BY column_name NULLS FIRST"
-    }
+    },
+    // s15: the SHOW SESSION report after the script's SETs, replayed as
+    // a literal — the Spark side reads every value back from the live
+    // conf, so agreement here pins that each SET landed (8 shuffle
+    // partitions, broadcast disabled, UTC) and that the RESET restored
+    // adaptive_execution's default.
+    "s15_sql_session" -> """
+      SELECT * FROM (VALUES
+        ('adaptive_execution', 'true', 'true', 'boolean',
+         'Re-plan queries at runtime from observed partition sizes'),
+        ('hash_partition_count', '8', '32', 'integer',
+         'Number of partitions for distributed joins and aggregations'),
+        ('join_distribution_type', 'PARTITIONED', 'AUTOMATIC', 'varchar',
+         'AUTOMATIC, PARTITIONED (never broadcast) or BROADCAST (favor broadcast joins)'),
+        ('time_zone_id', 'UTC', 'UTC', 'varchar',
+         'Session time zone for timestamp rendering and date arithmetic')
+      ) AS t("name", "value", "default", "type", "description")
+      ORDER BY "name""""
   )
 }

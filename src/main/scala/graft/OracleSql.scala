@@ -3613,6 +3613,40 @@ object OracleSql {
         TRUE AS bad_is_null
       FROM m ORDER BY c_custkey""",
 
+    // q139: accessor-family replay — the oracle recomputes each branch's
+    // geometry numerically from the keys (never parsing WKT), so the
+    // Spark side's WKT format→parse chain must reproduce every
+    // coordinate exactly for the envelope/vertex/closure answers to
+    // match. is_closed replays the COMPARISON (ax=cx AND ay=cy), not a
+    // constant, so the rare custkey where an "open" line closes by
+    // modular coincidence stays bit-identical at any SF.
+    "q139_st_accessors" -> """
+      WITH pts AS (
+        SELECT c_custkey, c_custkey % 4 AS kind,
+          CAST(c_custkey % 341 AS DOUBLE) * 1.05 - 178.5 AS ax,
+          CAST(c_custkey % 171 AS DOUBLE) * 0.9 - 76.5 AS ay,
+          CAST((c_custkey * 7) % 341 AS DOUBLE) * 1.05 - 178.5 AS bx,
+          CAST((c_custkey * 13) % 171 AS DOUBLE) * 0.9 - 76.5 AS by,
+          CAST((c_custkey * 29) % 341 AS DOUBLE) * 1.05 - 178.5 AS cx,
+          CAST((c_custkey * 31) % 171 AS DOUBLE) * 0.9 - 76.5 AS cy
+        FROM customer)
+      SELECT c_custkey,
+        CASE WHEN kind = 0 THEN 'ST_Point'
+             WHEN kind IN (1, 2) THEN 'ST_LineString'
+             ELSE 'ST_Polygon' END AS geometry_type,
+        CASE WHEN kind = 0 THEN round(ax, 4) END AS st_x,
+        CASE WHEN kind = 0 THEN round(ay, 4) END AS st_y,
+        CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER)
+          AS n_points,
+        round(CASE WHEN kind = 0 THEN ax ELSE least(ax, bx, cx) END, 4) AS xmin,
+        round(CASE WHEN kind = 0 THEN ax ELSE greatest(ax, bx, cx) END, 4) AS xmax,
+        round(CASE WHEN kind = 0 THEN ay ELSE least(ay, by, cy) END, 4) AS ymin,
+        round(CASE WHEN kind = 0 THEN ay ELSE greatest(ay, by, cy) END, 4) AS ymax,
+        CASE WHEN kind = 1 THEN (ax = cx AND ay = cy)
+             WHEN kind = 2 THEN TRUE END AS is_closed,
+        CASE WHEN kind = 1 THEN FALSE WHEN kind = 2 THEN TRUE END AS is_ring
+      FROM pts ORDER BY c_custkey""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
@@ -3757,6 +3791,39 @@ object OracleSql {
 
     "t21_bpe_train" -> bpeTrainOracle(8),
     "t22_bpe_encode" -> bpeEncodeOracle(8),
+
+    // t23: hashed-linear scoring replay — unigram/bigram features under
+    // "u "/"b " markers, the full Kernels.hash64 chain (FNV-1a fold +
+    // splitmix finalizer, staged like the minhash replay), bucket = low
+    // 16 bits (power-of-two pmod == unsigned mod — no sign fix needed),
+    // Knuth-mix weight in [-1000, 1000], all-integer sum per doc.
+    "t23_quality_lr" -> {
+      val seed = 1181783497276652981L
+      raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents),
+      feats AS (
+        SELECT doc_id, 'u ' || f AS f
+        FROM (SELECT doc_id, unnest(w) AS f FROM wt)
+        UNION ALL
+        SELECT doc_id, f FROM (
+          SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+            i -> 'b ' || w[i+1] || ' ' || w[i+2])) AS f FROM wt)),
+      h0 AS (SELECT doc_id, ${fnvReduce(fnvSeq("f", seed))} AS h0 FROM feats),
+      h1 AS (SELECT doc_id, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM h0),
+      h2 AS (SELECT doc_id, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM h1),
+      wg AS (SELECT doc_id,
+          CAST(((xor(z2, z2 >> 31) % 65536) * 2654435761) % 4294967296 % 2001
+            AS BIGINT) - 1000 AS wt
+        FROM h2),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feat,
+          CAST(SUM(wt) AS BIGINT) AS score_sum
+        FROM wg GROUP BY doc_id)
+      SELECT doc_id, n_feat, score_sum,
+        round(CAST(score_sum AS DOUBLE) / (n_feat * 1000.0), 6) AS quality,
+        score_sum > 0 AS keep
+      FROM agg ORDER BY doc_id"""
+    },
 
     // t17: the same three surface counts (whitespace words, [.!?]+
     // sentence runs, [aeiouy]+ vowel-group syllables), same IEEE formula.
@@ -3931,6 +3998,45 @@ object OracleSql {
     // p11: the identical sqrt-weight rate chain (sqrt is IEEE
     // correctly-rounded; the normalizer sums in DECIMAL; the keep
     // decision floors onto the 2^20 hash grid).
+    // p13: epoch-upsampling replay — sqrt share (p11's DECIMAL-sum
+    // discipline), then EXACT integer epoch arithmetic from target
+    // onward; the expansion replays as range(1, n_copies+1) unnest and
+    // the checksum covers every emitted (doc_id, epoch) copy.
+    "p13_epoch_mix" -> """
+      WITH counts AS (SELECT source, COUNT(*) AS n_docs
+                      FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                 AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
+               SUM(n_docs) AS n_total FROM counts),
+      plan1 AS (SELECT source, n_docs,
+          CAST(floor(CAST(n_total * 2 AS DOUBLE)
+            * sqrt(CAST(n_docs AS DOUBLE)) / s_sum) AS BIGINT) AS target
+        FROM counts, tot),
+      plan2 AS (SELECT source, n_docs, target,
+          target // n_docs AS full_epochs,
+          ((target % n_docs) * 1048576) // n_docs AS thr FROM plan1),
+      cop AS (SELECT d.doc_id, d.source,
+          full_epochs + CASE WHEN (d.doc_id * 48271 + 11) % 1048576 < thr
+                             THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN plan2 p ON d.source = p.source),
+      expd AS (SELECT doc_id, source,
+          unnest(range(1, n_copies + 1)) AS epoch
+        FROM cop WHERE n_copies > 0),
+      rep AS (SELECT source, COUNT(*) AS n_emitted,
+          COUNT(DISTINCT doc_id) AS n_docs_used,
+          MAX(epoch) AS max_epoch,
+          CAST(SUM(doc_id * epoch) AS BIGINT) AS checksum
+        FROM expd GROUP BY 1)
+      SELECT p.source, CAST(n_docs AS BIGINT) AS n_docs, target, full_epochs,
+        COALESCE(n_emitted, 0) AS n_emitted,
+        COALESCE(n_docs_used, 0) AS n_docs_used,
+        COALESCE(max_epoch, 0) AS max_epoch,
+        CAST(COALESCE(checksum, 0) AS BIGINT) AS checksum,
+        round(CAST(COALESCE(n_emitted, 0) AS DOUBLE)
+          / CAST(n_docs AS DOUBLE), 4) AS realized_epochs
+      FROM plan2 p LEFT JOIN rep ON p.source = rep.source
+      ORDER BY p.source""",
+
     "p11_temperature_mix" -> """
       WITH counts AS (SELECT source, COUNT(*) AS n_docs
                       FROM documents GROUP BY 1),

@@ -97,6 +97,7 @@ object SparkEntry {
     "t20_keywords" -> (TextAnalysis.keywords _),
     "t21_bpe_train" -> (TextAnalysis.bpeTrain _),
     "t22_bpe_encode" -> (TextAnalysis.bpeEncode _),
+    "t23_quality_lr" -> (TextAnalysis.qualityLr _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "p10_pack_sequences" -> ((s: SparkSession, d: String) => graft.pipeline.Splits.packSequences(s, d)),
     "p11_temperature_mix" -> (graft.pipeline.Splits.temperatureMixture _),
     "p12_incremental_rollup" -> (graft.pipeline.Incremental.incrementalRollup _),
+    "p13_epoch_mix" -> (graft.pipeline.Splits.epochMixture _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -224,6 +226,7 @@ object SparkEntry {
     "q136_st_contains" -> (Relational.q136 _),
     "q137_percentile_disc" -> (Relational.q137 _),
     "q138_wkt_front_door" -> (Relational.q138 _),
+    "q139_st_accessors" -> (Relational.q139 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

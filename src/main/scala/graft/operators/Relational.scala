@@ -2281,4 +2281,63 @@ object Relational {
         col("bad_is_null"))
       .orderBy(col("c_custkey"))
   }
+
+  /** q139: the Presto geospatial accessor family over WKT input —
+    * ST_GeometryType / ST_X / ST_Y / ST_NPoints / ST_XMin / ST_XMax /
+    * ST_YMin / ST_YMax / ST_IsClosed / ST_IsRing (Presto geospatial
+    * docs; the read-side half of the family q138's constructors feed).
+    * Each customer formats ONE geometry whose kind varies by key —
+    * POINT, open LINESTRING, closed LINESTRING (ring), or POLYGON — so
+    * every accessor exercises its type-dependent contract: ST_X/ST_Y
+    * answer only for points (null otherwise, Presto's contract),
+    * ST_IsClosed/ST_IsRing only for linestrings, the envelope bounds
+    * and vertex count for everything. All accessors run on the PARSED
+    * (gtype, xs, ys) struct, so the WKT chain stays in the loop; the
+    * oracle replays the geometry numerically from the keys, never
+    * seeing WKT — a parse defect on any branch forks the hash.
+    * Accessors are Spark built-ins over the coordinate arrays
+    * (element_at / size / array_min / array_max) — narrow per-row
+    * projection work inside the scan, zero shuffles before the
+    * presentation sort. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.stGeometryFromText
+    val ax = (col("c_custkey") % 341).cast("double") * 1.05 - 178.5
+    val ay = (col("c_custkey") % 171).cast("double") * 0.9 - 76.5
+    val bx = ((col("c_custkey") * 7) % 341).cast("double") * 1.05 - 178.5
+    val by = ((col("c_custkey") * 13) % 171).cast("double") * 0.9 - 76.5
+    val cx = ((col("c_custkey") * 29) % 341).cast("double") * 1.05 - 178.5
+    val cy = ((col("c_custkey") * 31) % 171).cast("double") * 0.9 - 76.5
+    def t(v: Column): Column = v.cast("string")
+    val kind = col("c_custkey") % 4
+    val wkt = when(kind === 0, concat(lit("POINT ("), t(ax), lit(" "), t(ay), lit(")")))
+      .when(kind === 1, concat(lit("LINESTRING ("),
+        t(ax), lit(" "), t(ay), lit(", "), t(bx), lit(" "), t(by), lit(", "),
+        t(cx), lit(" "), t(cy), lit(")")))
+      .when(kind === 2, concat(lit("LINESTRING ("),
+        t(ax), lit(" "), t(ay), lit(", "), t(bx), lit(" "), t(by), lit(", "),
+        t(cx), lit(" "), t(cy), lit(", "), t(ax), lit(" "), t(ay), lit(")")))
+      .otherwise(concat(lit("POLYGON (("),
+        t(ax), lit(" "), t(ay), lit(", "), t(bx), lit(" "), t(by), lit(", "),
+        t(cx), lit(" "), t(cy), lit(", "), t(ax), lit(" "), t(ay), lit("))")))
+    val isLine = col("g.gtype") === "LINESTRING"
+    val isPoint = col("g.gtype") === "POINT"
+    val closed = element_at(col("g.xs"), 1) === element_at(col("g.xs"), -1) &&
+      element_at(col("g.ys"), 1) === element_at(col("g.ys"), -1)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), stGeometryFromText(wkt).as("g"))
+      .select(col("c_custkey"),
+        when(col("g.gtype") === "POINT", "ST_Point")
+          .when(isLine, "ST_LineString")
+          .otherwise("ST_Polygon").as("geometry_type"),
+        round(when(isPoint, element_at(col("g.xs"), 1)), 4).as("st_x"),
+        round(when(isPoint, element_at(col("g.ys"), 1)), 4).as("st_y"),
+        size(col("g.xs")).as("n_points"),
+        round(array_min(col("g.xs")), 4).as("xmin"),
+        round(array_max(col("g.xs")), 4).as("xmax"),
+        round(array_min(col("g.ys")), 4).as("ymin"),
+        round(array_max(col("g.ys")), 4).as("ymax"),
+        when(isLine, closed).as("is_closed"),
+        when(isLine, closed && size(col("g.xs")) >= 4).as("is_ring"))
+      .orderBy(col("c_custkey"))
+  }
 }

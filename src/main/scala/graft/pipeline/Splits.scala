@@ -328,4 +328,67 @@ object Splits {
         coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
       .orderBy(col("source"))
   }
+
+  /**
+   * p13: epoch-based mixture WITH replacement — the upsampling half of
+   * data mixing (Llama/PaLM recipes: low-resource sources repeat for
+   * multiple epochs while high-resource sources see less than one pass;
+   * p07/p11 cover the downsampling half). Per-source token budget
+   * t_s = B·p_s with B = 2·|corpus| and the p11 sqrt-share
+   * p_s ∝ √n_s (τ = 0.5 — the one power IEEE rounds correctly, so the
+   * share can't fork cross-engine); a source's docs then replicate
+   * full = ⌊t_s/n_s⌋ times each, and the fractional remainder epoch
+   * takes the docs whose hash clears t_s mod n_s scaled onto the 2^20
+   * grid — EXACT integer arithmetic from t_s onward (the only double is
+   * the sqrt share itself). MINSTD multiplier 48271 — decorrelated from
+   * the 69621-family split/mixture/curriculum samplers.
+   *
+   * Scale: the per-source plan frame is source-count-sized and
+   * broadcast; the expansion is one narrow scan + explode whose output
+   * is exactly the requested budget (~2× input here) — the op IS the
+   * volume, there is no avoidable shuffle; the per-source report
+   * aggregates with map-side partials. The checksum sums doc_id·epoch
+   * over every EMITTED copy, so dropped or duplicated replicas fork
+   * the hash, not just the counts.
+   */
+  def epochMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast(DecimalType(18, 6)))
+        .cast("double").as("s_sum"),
+      sum(col("n_docs")).as("n_total"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor((col("n_total") * 2).cast("double") *
+          sqrt(col("n_docs").cast("double")) / col("s_sum")).cast("long")
+          .as("target"))
+      .select(col("source"), col("n_docs"), col("target"),
+        expr("target DIV n_docs").as("full_epochs"),
+        expr("((target % n_docs) * 1048576) DIV n_docs").as("thr"))
+    val expanded = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .select(col("doc_id"), col("source"),
+        (col("full_epochs") +
+          when(pmod(col("doc_id") * 48271L + 11L, lit(1048576L)) < col("thr"), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+    val report = expanded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_emitted"),
+      countDistinct(col("doc_id")).as("n_docs_used"),
+      max(col("epoch")).as("max_epoch"),
+      sum(col("doc_id") * col("epoch")).as("checksum"))
+    plan.join(report, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("target"), col("full_epochs"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+        coalesce(col("n_docs_used"), lit(0L)).as("n_docs_used"),
+        coalesce(col("max_epoch"), lit(0L)).as("max_epoch"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        round(coalesce(col("n_emitted"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 4).as("realized_epochs"))
+      .orderBy(col("source"))
+  }
 }

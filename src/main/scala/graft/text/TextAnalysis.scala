@@ -723,4 +723,53 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * t23: hashed-linear quality scoring — the fastText/CCNet-style
+   * classifier-filter shape (Joulin et al. 2016; Wenzek et al. CCNet
+   * 2020): features are hashed unigrams + bigrams (the hashing trick,
+   * 2^16 buckets), each bucket carries a weight from a fixed table, and
+   * a document's score is the mean feature weight. The weight table
+   * here is procedurally generated from the bucket id (Knuth
+   * multiplicative mix into [-1000, 1000]) — deterministic integer
+   * arithmetic both engines replay bit-for-bit, standing in for a
+   * learned table; a deployment swaps in trained weights via the same
+   * broadcast-lookup shape without touching the plan.
+   *
+   * Scale: the entire score is computed per-row with array lambdas
+   * over the token array — ZERO shuffles before the presentation sort;
+   * at 100 TB this is a pure map over the corpus scan, the cheapest
+   * possible plan for model-based filtering. Feature hashes never
+   * materialize as rows; the weight sum accumulates in a Long fold.
+   * Unigram and bigram features share one hash under distinct "u "/"b "
+   * markers, so the two families cannot collide by construction.
+   */
+  def qualityLr(s: SparkSession, d: String): DataFrame = {
+    val Seed = 1181783497276652981L // positive splitmix-style constant, t23-only
+    def wgt(f: Column): Column = {
+      val b = pmod(GraftFunctions.hash64(f, Seed), lit(65536L))
+      val mixed = pmod(b * lit(2654435761L), lit(4294967296L))
+      pmod(mixed, lit(2001L)) - lit(1000L)
+    }
+    val w = split(lower(col("text")), "\\s+")
+    val uniW = transform(w, t => wgt(concat(lit("u "), t)))
+    // 0/1-token docs: sequence(0,-1) is the DESCENDING [0,-1] in Spark
+    // (the t06 edge case) — guard to an empty feature list instead
+    val biW = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2), i =>
+          wgt(concat(lit("b "), element_at(w, i + 1), lit(" "),
+            element_at(w, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), uniW.as("uw"), biW.as("bw"))
+      .select(col("doc_id"),
+        (size(col("uw")) + size(col("bw"))).as("n_feat"),
+        aggregate(concat(col("uw"), col("bw")), lit(0L), (acc, x) => acc + x)
+          .as("score_sum"))
+      .select(col("doc_id"), col("n_feat"), col("score_sum"),
+        round(col("score_sum").cast("double") / (col("n_feat") * lit(1000.0)), 6)
+          .as("quality"),
+        (col("score_sum") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

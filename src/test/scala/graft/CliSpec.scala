@@ -352,4 +352,71 @@ class CliSpec extends GraftSpec {
     val err = new String(errB.toByteArray, "UTF-8")
     assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
   }
+
+  test("SET / SHOW / RESET SESSION round-trip through the real main") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "SET SESSION hash_partition_count = 7",
+      "SHOW SESSION",
+      "RESET SESSION hash_partition_count",
+      "SHOW SESSION"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    // first report shows the set value read back from the LIVE conf;
+    // second shows the default restored by RESET
+    assert(lines.count(_.startsWith("name,value,default,type")) == 2,
+      lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("hash_partition_count,7,32,integer")),
+      lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("hash_partition_count,32,32,integer")),
+      lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("time_zone_id,UTC,UTC,varchar")),
+      lines.mkString("\n"))
+  }
+
+  test("session properties drive the planner: PARTITIONED disables broadcast") {
+    val s = GraftCli.open(spark, sf)
+    val before = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    def finalPlan(): String = {
+      val df = s.sql(
+        "SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey")
+      df.collect() // finalize the AQE plan before reading it
+      df.queryExecution.executedPlan.toString
+    }
+    try {
+      GraftCli.setSession(s, "join_distribution_type", "'PARTITIONED'")
+      assert(!finalPlan().contains("BroadcastHashJoin"),
+        "PARTITIONED must suppress broadcast")
+      GraftCli.setSession(s, "join_distribution_type", "AUTOMATIC")
+      assert(finalPlan().contains("BroadcastHashJoin"),
+        "AUTOMATIC must broadcast the nation dim")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("session property misuse: unknown name, bad values, statement-scoped errors") {
+    val s = GraftCli.open(spark, sf)
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "nosuch_prop", "1"))
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "hash_partition_count", "'abc'"))
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "hash_partition_count", "0"))
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "join_distribution_type", "'SIDEWAYS'"))
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "adaptive_execution", "maybe"))
+    intercept[IllegalArgumentException](GraftCli.setSession(s, "time_zone_id", "'Mars/Olympus'"))
+    intercept[IllegalArgumentException](GraftCli.resetSession(s, "nosuch_prop"))
+    // through the real main: a bad SET is one clean error line and the
+    // live conf is untouched
+    val shuffleBefore = s.conf.get("spark.sql.shuffle.partitions")
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val savedE = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf, "SET SESSION hash_partition_count = 'many'"))
+    finally { System.setErr(savedE); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
+    assert(s.conf.get("spark.sql.shuffle.partitions") == shuffleBefore)
+  }
 }

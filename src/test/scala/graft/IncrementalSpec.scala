@@ -296,6 +296,39 @@ class IncrementalSpec extends GraftSpec {
     assert(kept > 0.4 * nTotal && kept < 0.6 * nTotal)
   }
 
+  test("p13 epoch mixture: budgets hit, replication real, small sources repeat more") {
+    val rows = graft.pipeline.Splits.epochMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val target = r.getAs[Long]("target")
+      val full = r.getAs[Long]("full_epochs")
+      val emitted = r.getAs[Long]("n_emitted")
+      assert(full == target / nDocs, "full_epochs is the integer epoch floor")
+      // threshold selection is uniform-hash: emitted lands near target
+      assert(math.abs(emitted - target) <= math.max(8L, (0.1 * target).toLong),
+        s"${r.getAs[String]("source")}: emitted $emitted vs target $target")
+      // replication really happened: max_epoch covers every full epoch
+      assert(r.getAs[Long]("max_epoch") >= full)
+      assert(r.getAs[Long]("n_docs_used") <= nDocs)
+      assert(r.getAs[Double]("realized_epochs") > 0.0)
+    }
+    // the whole point: total budget ~2x the corpus, and smaller sources
+    // get MORE epochs than larger ones (sqrt-share upsampling)
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val emittedTotal = rows.map(_.getAs[Long]("n_emitted")).sum
+    assert(math.abs(emittedTotal - 2L * nTotal) < 0.05 * nTotal,
+      s"total emitted $emittedTotal should be ~${2L * nTotal}")
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    byN.map(_.getAs[Double]("realized_epochs")).sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0) >= w(1) - 1e-9, "epochs must be non-increasing in source size")
+    }
+    // at least one source genuinely repeats (epoch >= 2) at this skew
+    assert(rows.exists(_.getAs[Long]("full_epochs") >= 2L),
+      "smallest sources should run multiple full epochs")
+  }
+
   test("e08 retention matrix: k=0 reproduces each cohort's size") {
     val rows = graft.operators.Events.retention(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -264,4 +264,34 @@ class TextAnalysisSpec extends GraftSpec {
     // merges only ever reduce it
     got.foreach { case (_, _, toks, cpt) => assert(toks > 0 && cpt >= 1.0) }
   }
+
+  test("t23 hashed-linear scoring matches a driver-side reference, both label signs occur") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val seed = 1181783497276652981L
+    def wgt(f: String): Long = {
+      val h = graft.functions.Kernels.hash64(UTF8String.fromString(f), seed)
+      val b = ((h % 65536) + 65536) % 65536
+      (b * 2654435761L) % 4294967296L % 2001 - 1000
+    }
+    val out = graft.text.TextAnalysis.qualityLr(spark, sf)
+    val sample = out.orderBy($"doc_id").limit(30).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sample.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1).toSeq
+      val feats = toks.map("u " + _) ++
+        (if (toks.length >= 2) toks.sliding(2).map(p => s"b ${p(0)} ${p(1)}").toSeq
+         else Nil)
+      assert(r.getAs[Int]("n_feat") == feats.length,
+        s"doc ${r.getLong(0)}: feature count")
+      assert(r.getAs[Long]("score_sum") == feats.map(wgt).sum,
+        s"doc ${r.getLong(0)}: weight sum")
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("score_sum") > 0))
+    }
+    // the procedural weight table is not degenerate: both labels occur
+    val labels = out.groupBy($"keep").count().collect().map(_.getBoolean(0)).toSet
+    assert(labels == Set(true, false), s"expected both labels, got $labels")
+  }
 }

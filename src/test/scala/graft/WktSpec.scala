@@ -114,4 +114,30 @@ class WktSpec extends GraftSpec {
       "every row must parse as a closed 4-point POLYGON with exact text round trip")
     assert(agg.getDouble(2) >= 0.0)
   }
+
+  test("q139 accessors honor each geometry kind's contract") {
+    val rows = graft.operators.Relational.q139(spark, sf).cache()
+    try {
+      // every row lands in one of the three type names with a sane envelope
+      assert(rows.filter(!$"geometry_type".isin(
+        "ST_Point", "ST_LineString", "ST_Polygon")).isEmpty)
+      assert(rows.filter($"xmin" > $"xmax" || $"ymin" > $"ymax").isEmpty)
+      // points: single vertex, ST_X/ST_Y answer and equal the envelope;
+      // closure predicates are null (Presto's linestring-only contract)
+      val pts = rows.filter($"geometry_type" === "ST_Point")
+      assert(pts.count() > 0)
+      assert(pts.filter($"n_points" =!= 1 || $"st_x".isNull ||
+        $"st_x" =!= $"xmin" || $"st_y" =!= $"ymin" ||
+        $"is_closed".isNotNull || $"is_ring".isNotNull).isEmpty)
+      // linestrings: ST_X null; the 4-point variant is a closed ring
+      val lines = rows.filter($"geometry_type" === "ST_LineString")
+      assert(lines.count() > 0)
+      assert(lines.filter($"st_x".isNotNull || $"is_closed".isNull).isEmpty)
+      assert(lines.filter($"n_points" === 4 && (!$"is_closed" || !$"is_ring")).isEmpty)
+      // polygons: 4 parsed vertices, closure predicates null
+      val polys = rows.filter($"geometry_type" === "ST_Polygon")
+      assert(polys.count() > 0)
+      assert(polys.filter($"n_points" =!= 4 || $"is_closed".isNotNull).isEmpty)
+    } finally rows.unpersist()
+  }
 }
