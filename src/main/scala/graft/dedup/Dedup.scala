@@ -546,9 +546,17 @@ object Dedup {
    * Scale: pair generation is the capped LSH pipeline (d02 — banded,
    * bucketed, MaxBucket-capped, never a cross join); the exact
    * intersection counts flow as (doc, 8-byte gram hash) rows joined to
-   * the bounded pair frame, never as materialized per-doc sets. Flags
-   * use the ROUNDED containments so the 0.9 boundary can't fork
-   * cross-engine.
+   * the bounded pair frame, never as materialized per-doc sets. The
+   * per-pair expansion (pairs × grams-of-a) is CAPPED by a shared-gram
+   * prefilter: gram rows first semi-join to the candidate-doc set, then
+   * to the grams occurring in ≥ 2 candidate docs — a gram unique to one
+   * doc can never contribute to any intersection, so dropping it is
+   * exact; with book-length documents the expansion then carries only
+   * the potentially-shared grams instead of every gram of every paired
+   * doc (the r11-verdict watch item). Costs two extra hash-only
+   * shuffles of 8-byte rows — the right trade the moment documents
+   * outgrow the ~150-word synthetic corpus. Flags use the ROUNDED
+   * containments so the 0.9 boundary can't fork cross-engine.
    */
   def containment(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -560,9 +568,17 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(shingles3)).as("g"))
       .select(col("doc_id"), GraftFunctions.hash64(col("g")).as("h"))
     val sizes = gramRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // shared-gram prefilter: only grams of candidate docs, and of those
+    // only grams seen in ≥ 2 such docs, can appear in an intersection
+    val pairDocs = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val scoped = gramRows.join(pairDocs, Seq("doc_id"), "left_semi")
+    val shared = scoped.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val sharedGrams = scoped.join(shared, Seq("h"), "left_semi")
     val inter = pairs
-      .join(gramRows.select(col("doc_id").as("id_a"), col("h")), "id_a")
-      .join(gramRows.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .join(sharedGrams.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(sharedGrams.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
