@@ -2903,6 +2903,38 @@ object OracleSql {
       SELECT cell, n_members, avg_sim, centroid_norm, shift
       FROM cohesion JOIN geom USING (cell) ORDER BY cell""",
 
+    // a16: the lloyd prefix's trained cells (cent3), every vector's
+    // stateless argmax assignment, then the base/delta/rebuild counts
+    // and the decimal-mean drift — the merge ≡ rebuild invariant is IN
+    // the hashed result (merge_ok + both counts per cell).
+    "a16_index_update" -> s"""
+      WITH $lloydPrefixSql,
+      asg AS (
+        SELECT e.vec_id,
+          (SELECT cell FROM cent3
+           ORDER BY ${cos("e.emb", "cemb")} DESC, cell DESC LIMIT 1) AS cell,
+          (SELECT round(MAX(${cos("e.emb", "cemb")}), 6) FROM cent3) AS sim
+        FROM e),
+      base AS (SELECT cell, COUNT(*) AS n_base FROM asg
+               WHERE vec_id % 10 <> 0 GROUP BY cell),
+      delta AS (SELECT cell, COUNT(*) AS n_delta,
+          round(CAST(SUM(CAST(sim AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+            AS delta_drift
+        FROM asg WHERE vec_id % 10 = 0 GROUP BY cell),
+      reb AS (SELECT cell, COUNT(*) AS n_rebuild FROM asg GROUP BY cell)
+      SELECT s.cell,
+        COALESCE(n_base, 0) AS n_base,
+        COALESCE(n_delta, 0) AS n_delta,
+        COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total,
+        COALESCE(n_rebuild, 0) AS n_rebuild,
+        COALESCE(n_base, 0) + COALESCE(n_delta, 0) = COALESCE(n_rebuild, 0)
+          AS merge_ok,
+        delta_drift
+      FROM (SELECT cell FROM cent3) s
+        LEFT JOIN base USING (cell) LEFT JOIN delta USING (cell)
+        LEFT JOIN reb USING (cell)
+      ORDER BY s.cell""",
+
     // a10: the same 3-round trajectory, then a02's probe replay over the
     // TRAINED centroids (cent3): per-vector cell argmax, per-probe top-2
     // cells (sim DESC, cell DESC), in-cell cosine top-10 vs the exact

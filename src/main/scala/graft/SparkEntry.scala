@@ -256,6 +256,7 @@ object SparkEntry {
     "a13_ivfpq_recall" -> (Ann.ivfpqRecall _),
     "a14_filtered_knn" -> (Ann.filteredKnn _),
     "a15_ann_persist" -> (Ann.annIndexPersist _),
+    "a16_index_update" -> (Ann.annIndexUpdate _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

@@ -882,4 +882,75 @@ object Ann {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
     ivfRecallWith(s, d, loaded)
   }
+
+  /**
+   * a16: INCREMENTAL INDEX UPDATE — the maintenance half of the a15
+   * train/serve split (every production ANN index ingests new vectors
+   * continuously; retraining per batch is a non-starter at 100 TB): the
+   * trained coarse quantizer and the per-cell BASE posting stats persist
+   * as the index artifact, a "new" batch (vec_id % 10 == 0 plays the
+   * arrivals) is assigned against the RELOADED centroids — only the
+   * delta is scanned in the online half, history never re-reads — and
+   * the cell stats merge by addition. Because cell assignment is
+   * stateless per vector, incremental merge ≡ full reassignment; the
+   * report carries BOTH counts and `merge_ok` per cell, so the oracle
+   * hash pins the defining invariant exactly (the p12 merge-vs-rebuild
+   * discipline applied to the index). `delta_drift` is the batch's mean
+   * cosine to its centroid (6dp sims accumulated in DECIMAL) — the
+   * index-aging signal that schedules retraining when arrivals stop
+   * matching the trained cells. The full-reassignment arm is the AUDIT,
+   * not the production path. Scale: the index artifact is k·dim +
+   * k-row stats (corpus-independent); the online half shuffles only the
+   * delta's (cell, sim) rows.
+   */
+  def annIndexUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_ann_index") + "_upd"
+    val (_, cents, _) = lloydRounds(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    def assignTo(cs: Seq[(Long, Seq[Double])], df: DataFrame): DataFrame = {
+      val sims = array(cs.sortBy(_._1).map { case (id, ce) =>
+        struct(cosD(col("emb"), typedLit(ce)).as("sim"), lit(id).as("cent_id"))
+      }: _*)
+      df.select(col("vec_id"), array_max(sims).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cell"),
+          round(col("best.sim"), 6).as("sim"))
+    }
+    // offline half: persist centroids + per-cell base posting stats
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assignTo(cents, emb.filter(col("vec_id") % 10 =!= 0))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
+    // online half: reload the artifact, assign ONLY the delta, merge
+    val loaded = s.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val deltaStats = assignTo(loaded, emb.filter(col("vec_id") % 10 === 0))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_delta"),
+        round(sum(col("sim").cast(DecimalType(18, 8))).cast("double") /
+          count(lit(1)), 6).as("delta_drift"))
+    val baseStats = s.read.parquet(s"$dir/cells")
+    // audit arm: stateless assignment makes the merge ≡ a full rebuild
+    val rebuild = assignTo(loaded, emb)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rebuild"))
+    val zero = lit(0L)
+    loaded.map(_._1).toDF("cell")
+      .join(baseStats, Seq("cell"), "left_outer")
+      .join(deltaStats, Seq("cell"), "left_outer")
+      .join(rebuild, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), zero).as("n_base"),
+        coalesce(col("n_delta"), zero).as("n_delta"),
+        (coalesce(col("n_base"), zero) + coalesce(col("n_delta"), zero))
+          .as("n_total"),
+        coalesce(col("n_rebuild"), zero).as("n_rebuild"),
+        (coalesce(col("n_base"), zero) + coalesce(col("n_delta"), zero) ===
+          coalesce(col("n_rebuild"), zero)).as("merge_ok"),
+        col("delta_drift"))
+      .orderBy(col("cell"))
+  }
 }

@@ -313,6 +313,35 @@ class DedupAnnSpec extends GraftSpec {
     assert(book.toSeq == bookDirect.toSeq, "codebook parquet round trip must be bitwise")
   }
 
+  test("a16: incremental merge equals full rebuild; delta is the 10% batch; state is real parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-upd").toString
+    val rows = withIndexDir(dir)(Ann.annIndexUpdate(spark, sf).collect().toSeq)
+    assert(rows.length == 8)
+    // the defining invariant, per cell
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_ok"),
+        s"cell ${r.getLong(0)}: merged ${r.getAs[Long]("n_total")} != rebuilt ${r.getAs[Long]("n_rebuild")}")
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+    }
+    // the delta arm covered exactly the vec_id % 10 == 0 batch
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == nVecs)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum ==
+      graft.sources.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 10 === 0).count())
+    // drift is a real mean cosine where the cell saw arrivals
+    rows.filter(_.getAs[Long]("n_delta") > 0).foreach { r =>
+      val drift = r.getAs[Double]("delta_drift")
+      assert(drift >= -1.0 && drift <= 1.0)
+    }
+    // the persisted base stats are genuinely on disk and were merged from
+    val persisted = spark.read.parquet(s"$dir/graft_ann_index_upd/cells")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(persisted.getOrElse(r.getLong(0), 0L) ==
+      r.getAs[Long]("n_base")))
+  }
+
   /** Run `body` with SPARK_GRAFT_INDEX_DIR unavailable (env is immutable
     * in-JVM), pointing a15 at `dir` via the tmpdir property it falls
     * back to. */
