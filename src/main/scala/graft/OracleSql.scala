@@ -4235,6 +4235,45 @@ object OracleSql {
       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
       GROUP BY doc_id ORDER BY doc_id""",
 
+    // t24: the CCNet replay — reference-slice (src0) bigram LM, t19's
+    // ln/DECIMAL(18,6) discipline with COALESCE(0) backoff for unseen
+    // grams, then the exact-selection rank arithmetic replayed in
+    // integers (pn = round(p·1e6), k = ceil(pn·n/1e6), order statistic
+    // at rank k) — NOT DuckDB's quantile_disc, whose convention need
+    // not match ANSI at thirds.
+    "t24_ccnet_buckets" -> """
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                 FROM documents),
+      b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      rw AS (SELECT * FROM w WHERE source = 'src0'),
+      rb AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+             FROM rw, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM rb GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM rb GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(ws) AS tok FROM rw)),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(-SUM(CAST(ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE) /
+              CAST(COALESCE(c1, 0) + vocab AS DOUBLE)) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*), 4) AS score
+        FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v
+        GROUP BY doc_id),
+      ks AS (SELECT GREATEST(1, (333333 * COUNT(*) + 999999) // 1000000) AS k1,
+                    GREATEST(1, (666667 * COUNT(*) + 999999) // 1000000) AS k2
+             FROM sc),
+      rk AS (SELECT score, row_number() OVER (ORDER BY score) AS rn FROM sc),
+      cuts AS (SELECT MAX(CASE WHEN rn = k1 THEN score END) AS cut1,
+                      MAX(CASE WHEN rn = k2 THEN score END) AS cut2
+               FROM rk, ks)
+      SELECT sc.doc_id, d.source, sc.n_bigrams, sc.score,
+        CASE WHEN score <= cut1 THEN 'head'
+             WHEN score <= cut2 THEN 'middle' ELSE 'tail' END AS bucket,
+        cut1, cut2
+      FROM sc JOIN documents d USING (doc_id), cuts
+      ORDER BY sc.doc_id""",
+
     "d12_bloom_contamination" -> """
       WITH wl AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

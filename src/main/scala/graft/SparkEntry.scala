@@ -98,6 +98,7 @@ object SparkEntry {
     "t21_bpe_train" -> (TextAnalysis.bpeTrain _),
     "t22_bpe_encode" -> (TextAnalysis.bpeEncode _),
     "t23_quality_lr" -> (TextAnalysis.qualityLr _),
+    "t24_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),

@@ -772,4 +772,66 @@ object TextAnalysis {
         (col("score_sum") > 0).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * t24: CCNet perplexity buckets — the other canonical model-based
+   * filter (Wenzek et al. 2020): score every document's perplexity
+   * under a language model trained on a CLEAN REFERENCE SLICE (CCNet
+   * uses Wikipedia; here source src0 plays that role — the train/score
+   * separation is the point, unlike t10/t19 whose LM is the corpus
+   * itself), then split the corpus at the global perplexity tertiles
+   * into head / middle / tail — the buckets LLM data recipes sample
+   * from. The add-1-smoothed bigram score is t19's discipline (6dp
+   * DECIMAL log accumulation); bigrams unseen in the reference back off
+   * through the same formula via coalesce(0). Tertile cuts come from
+   * the shared exact-selection kernel ([[graft.operators.ExactSelection
+   * .percentilesDisc]] — three bounded passes, no all-values buffer),
+   * and the cut VALUES ride along in the result so the hash pins the
+   * selection, not just the labels.
+   *
+   * Scale: reference counts are reference-sized (broadcast at the
+   * join); scoring is one corpus pass; the cuts are the q10/q137
+   * kernel's bounded passes over 1 group. Nothing quadratic, and the
+   * corpus text never shuffles — only (w1, w2) count joins.
+   */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    def bigramsOf(df: DataFrame) = df.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = toks.filter(col("source") === "src0")
+    val refBi = bigramsOf(ref)
+    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val scored = bigramsOf(toks)
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(broadcast(c1), Seq("w1"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((-sum(col("logp").cast(DecimalType(18, 6)))).cast("double") /
+          count(lit(1)), 4).as("score"))
+    val cuts = graft.operators.ExactSelection.percentilesDisc(
+        scored.select(lit("all").as("g"), col("score").as("x")),
+        Seq(0.3333333333333333, 0.6666666666666666))
+      .toDF("g", "cut1", "cut2")
+      .select(col("cut1"), col("cut2"))
+    scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("source"), col("n_bigrams"), col("score"),
+        when(col("score") <= col("cut1"), "head")
+          .when(col("score") <= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("cut1"), col("cut2"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -294,4 +294,33 @@ class TextAnalysisSpec extends GraftSpec {
     val labels = out.groupBy($"keep").count().collect().map(_.getBoolean(0)).toSet
     assert(labels == Set(true, false), s"expected both labels, got $labels")
   }
+
+  test("t24 CCNet buckets: clean tertiles, reference slice scores in-domain, labels honor the cuts") {
+    val rows = graft.text.TextAnalysis.ccnetBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val cut1 = rows.head.getAs[Double]("cut1")
+    val cut2 = rows.head.getAs[Double]("cut2")
+    assert(cut1 < cut2, s"tertile cuts must be ordered: $cut1 vs $cut2")
+    rows.foreach { r =>
+      val expected =
+        if (r.getAs[Double]("score") <= cut1) "head"
+        else if (r.getAs[Double]("score") <= cut2) "middle"
+        else "tail"
+      assert(r.getAs[String]("bucket") == expected)
+    }
+    // tertiles are balanced up to score ties at the 4dp boundary
+    val sizes = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length).toMap
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(sizes(b) - n / 3.0) <= math.max(3.0, 0.05 * n),
+        s"$b has ${sizes(b)} of $n")
+    }
+    // the CCNet signal: the reference slice (src0) is in-domain, so its
+    // docs score lowest-perplexity and concentrate in head
+    val src0 = rows.filter(_.getAs[String]("source") == "src0")
+    assert(src0.nonEmpty)
+    val src0Head = src0.count(_.getAs[String]("bucket") == "head")
+    assert(src0Head >= 0.8 * src0.length,
+      s"only $src0Head of ${src0.length} reference docs in head")
+  }
 }
