@@ -1705,6 +1705,27 @@ object OracleSql {
     // replays the estimator's tiebreak). The Spark side must recover the
     // table from the actual DQT bytes (marker walk + de-zigzag) for the
     // stats and the estimate to line up.
+    // m10: replays the EXIF fields numerically from doc_id (dims,
+    // orientation cycle, maker id, byte-order parity, the display-frame
+    // transpose at orientation >= 5). The Spark side must recover them
+    // from the actual APP1/TIFF bytes it built — a defect in the IFD
+    // builder, the marker walk, the endian handling, or the value-offset
+    // read forks the hash.
+    "m10_exif" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+        CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+        doc_id % 512 + 16 AS width,
+        doc_id % 384 + 16 AS height,
+        CASE WHEN doc_id % 8 + 1 >= 5 THEN doc_id % 384 + 16
+             ELSE doc_id % 512 + 16 END AS disp_width,
+        CASE WHEN doc_id % 8 + 1 >= 5 THEN doc_id % 512 + 16
+             ELSE doc_id % 384 + 16 END AS disp_height,
+        'maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+        CAST(4 AS INTEGER) AS n_entries,
+        TRUE AS decode_ok
+      FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""",
+
     "m09_jpeg_quality" -> {
       val base = Seq(
         16, 11, 10, 16, 24, 40, 51, 61,
@@ -4241,6 +4262,52 @@ object OracleSql {
     // integers (pn = round(p·1e6), k = ceil(pn·n/1e6), order statistic
     // at rank k) — NOT DuckDB's quantile_disc, whose convention need
     // not match ANSI at thirds.
+    // t25: t23's feature staging + hash64 chain (t25 seed), bucket = the
+    // unsigned chain % 8192 (power-of-two, no sign fix), add-1 bucket
+    // probabilities with per-ln DECIMAL(18,6) snaps, t24's integer rank
+    // arithmetic for the 75th discrete percentile cut.
+    "t25_dsir" -> {
+      val seed = 0x5851f42d4c957f2dL
+      raw"""
+      WITH wt AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents),
+      feats AS (
+        SELECT doc_id, source, 'u ' || f AS f
+        FROM (SELECT doc_id, source, unnest(w) AS f FROM wt)
+        UNION ALL
+        SELECT doc_id, source, f FROM (
+          SELECT doc_id, source, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+            i -> 'b ' || w[i+1] || ' ' || w[i+2])) AS f FROM wt)),
+      h0 AS (SELECT doc_id, source, ${fnvReduce(fnvSeq("f", seed))} AS h0 FROM feats),
+      h1 AS (SELECT doc_id, source, ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM h0),
+      h2 AS (SELECT doc_id, source, ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM h1),
+      fb AS (SELECT doc_id, source,
+          CAST(xor(z2, z2 >> 31) % 8192 AS BIGINT) AS b FROM h2),
+      rawc AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+      tgtc AS (SELECT b, COUNT(*) AS ct FROM fb WHERE source = 'src0' GROUP BY b),
+      nr AS (SELECT SUM(cr) AS nr FROM rawc),
+      nt AS (SELECT SUM(ct) AS nt FROM tgtc),
+      lr AS (
+        SELECT b,
+          CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) /
+              CAST(nt + 8192 AS DOUBLE)) AS DECIMAL(18,6)) -
+          CAST(ln(CAST(cr + 1 AS DOUBLE) /
+              CAST(nr + 8192 AS DOUBLE)) AS DECIMAL(18,6)) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), nr, nt),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_feat,
+          CAST(round(SUM(lr), 4) AS DOUBLE) AS logw
+        FROM fb JOIN lr USING (b) GROUP BY doc_id),
+      ks AS (SELECT GREATEST(1, (750000 * COUNT(*) + 999999) // 1000000) AS k
+             FROM sc),
+      rk AS (SELECT logw, row_number() OVER (ORDER BY logw) AS rn FROM sc),
+      cuts AS (SELECT MAX(CASE WHEN rn = k THEN logw END) AS cut FROM rk, ks)
+      SELECT sc.doc_id, d.source, sc.n_feat, sc.logw, cut,
+        sc.logw >= cut AS selected
+      FROM sc JOIN documents d USING (doc_id), cuts
+      ORDER BY sc.doc_id"""
+    },
+
     "t24_ccnet_buckets" -> """
       WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
                  FROM documents),

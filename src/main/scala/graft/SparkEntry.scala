@@ -99,6 +99,7 @@ object SparkEntry {
     "t22_bpe_encode" -> (TextAnalysis.bpeEncode _),
     "t23_quality_lr" -> (TextAnalysis.qualityLr _),
     "t24_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
+    "t25_dsir" -> (TextAnalysis.dsir _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -267,7 +268,8 @@ object SparkEntry {
     "m06_video_meta" -> (Multimodal.videoMeta _),
     "m07_image_dup_clusters" -> (Multimodal.imageDupClusters _),
     "m08_audio_energy" -> (Multimodal.audioEnergy _),
-    "m09_jpeg_quality" -> (Multimodal.jpegQuality _)
+    "m09_jpeg_quality" -> (Multimodal.jpegQuality _),
+    "m10_exif" -> (Multimodal.exifMeta _)
   ) ++ GraftCli.queries // SQL-text front door (s01..s05)
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →

@@ -336,6 +336,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m10: EXIF orientation + true-dimension extraction — the metadata
+    * read an image pipeline runs before any pixel work (orientation 5..8
+    * means the display frame is transposed; training crops that ignore it
+    * learn rotated data). Each payload carries a REAL APP1 Exif segment
+    * (built by [[ExifHeaders.jpegWithExif]] from doc_id: dims, orientation
+    * cycling all 8 EXIF values, maker string, and BOTH TIFF byte orders —
+    * real corpora mix II and MM); the decoder walks the JPEG markers to
+    * the APP1 and parses the TIFF IFD byte-for-byte, including the
+    * value-offset indirection for the ASCII Make. The oracle replays the
+    * expected fields numerically from doc_id, so a defect anywhere in the
+    * builder, the marker walk, the endian handling, or the IFD arithmetic
+    * forks the hash. Narrow mapPartitions; payloads never shuffle — only
+    * the parsed metadata row leaves the scan (the 100 TB shape). */
+  def exifMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._1 % 5 == 2)
+      .map { case (id, text) =>
+        val w = (id % 512 + 16).toInt
+        val h = (id % 384 + 16).toInt
+        val orient = (id % 8 + 1).toInt
+        val make = s"maker${id % 7}"
+        val be = id % 2 == 0
+        (id, ExifHeaders.jpegWithExif(w, h, orient, make, be) ++
+          text.getBytes("UTF-8"))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          ExifHeaders.parse(bytes) match {
+            case Some(x) =>
+              val transposed = x.orientation >= 5
+              val dispW = if (transposed) x.height else x.width
+              val dispH = if (transposed) x.width else x.height
+              (id, x.byteOrder, x.orientation, x.width, x.height,
+                dispW, dispH, x.make, x.nEntries, true)
+            case None => (id, "", 0, 0L, 0L, 0L, 0L, "", 0, false)
+          }
+        }
+      }
+      .toDF("doc_id", "byte_order", "orientation", "width", "height",
+        "disp_width", "disp_height", "make", "n_entries", "decode_ok")
+      .orderBy(col("doc_id"))
+  }
+
   /** The m08 kernel over any (id, wav-payload) Dataset — the
     * unit-testable form (the spec feeds hand-built PCM and checks the
     * decoded stats against hand-computed values). */

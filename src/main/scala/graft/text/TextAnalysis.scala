@@ -834,4 +834,82 @@ object TextAnalysis {
         col("cut1"), col("cut2"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * t25: DSIR — Data Selection via Importance Resampling (Xie et al.
+   * 2023), the third canonical model-based selection method beside the
+   * classifier filter (t23) and the perplexity filter (t24). DSIR scores
+   * every raw document by the log importance ratio of a TARGET
+   * distribution (here source src0, the same clean-reference slice t24
+   * uses) over the RAW distribution, both modeled as bag-of-hashed-ngram
+   * bucket frequencies (the paper's hashed n-gram features; 8192 buckets
+   * here), then keeps the top quarter by weight. Features are t23's
+   * hashed unigrams + bigrams under "u "/"b " markers (one hash64, the
+   * families can't collide); bucket = low 13 bits — power-of-two pmod ≡
+   * unsigned mod, so the oracle's unsigned HUGEINT chain needs no sign
+   * fix. Bucket probabilities are add-1 smoothed over the bucket space
+   * ((c+1)/(N+8192)); each ln snaps to DECIMAL(18,6) before the
+   * per-feature subtraction (the t19/t24 discipline) so the per-doc sum
+   * is exact and order-free. The selection cut is the 75th discrete
+   * percentile of the weights from the shared exact-selection kernel
+   * ([[graft.operators.ExactSelection.percentilesDisc]]) and rides in
+   * the result so the hash pins the selection itself.
+   *
+   * Scale: both bucket-count tables are ≤ 8192 rows regardless of corpus
+   * size — they broadcast; feature rows shuffle as 8-byte bucket ids with
+   * map-side combine (≤ 8192 distinct keys per partition); scoring is
+   * one corpus pass re-joined per-doc. Corpus text never shuffles. At
+   * 100 TB this is exactly the published DSIR deployment shape: tiny
+   * importance model, one streaming pass to score, rank-based keep.
+   */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val Seed = 0x5851f42d4c957f2dL // t25-only (MMIX LCG multiplier)
+    val B = 8192L
+    val docs = Tables.documents(s, d)
+    val w = split(lower(col("text")), "\\s+")
+    def bucket(f: Column): Column = pmod(GraftFunctions.hash64(f, Seed), lit(B))
+    val uniB = transform(w, t => bucket(concat(lit("u "), t)))
+    // 0/1-token docs: sequence(0,-1) steps BACKWARDS in Spark (the t06
+    // edge case) — guard to an empty feature list instead
+    val biB = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2), i =>
+          bucket(concat(lit("b "), element_at(w, i + 1), lit(" "),
+            element_at(w, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    val feats = docs.select(col("doc_id"), col("source"),
+      explode(concat(uniB, biB)).as("b"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // bucket log-ratio table: ≤ 8192 rows; totals ride along via window-free
+    // cross joins of 1-row aggregates (tiny frames, broadcast)
+    val nr = raw.agg(sum(col("cr")).as("nr"))
+    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    import org.apache.spark.sql.types.DecimalType
+    val lr = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+            (col("nt") + lit(B)).cast("double")).cast(DecimalType(18, 6)) -
+         log((col("cr") + lit(1)).cast("double") /
+            (col("nr") + lit(B)).cast("double")).cast(DecimalType(18, 6)))
+          .as("lr"))
+    // the 6→4 scale reduction happens in DECIMAL space (HALF_UP both
+    // engines); rounding after a double cast would fork on sums landing
+    // exactly on a .xxxx5 boundary (the shortest-string-vs-binary trap)
+    val scored = feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("lr")).cast(DecimalType(18, 4)).cast("double").as("logw"))
+    val cut = graft.operators.ExactSelection.percentilesDisc(
+        scored.select(lit("all").as("g"), col("logw").as("x")), Seq(0.75))
+      .toDF("g", "cut")
+      .select(col("cut"))
+    scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("source"), col("n_feat"), col("logw"),
+        col("cut"), (col("logw") >= col("cut")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageHeaders, Multimodal}
 
 class MultimodalSpec extends GraftSpec {
 
@@ -225,6 +225,56 @@ class MultimodalSpec extends GraftSpec {
     }
     pq1(dqtAt + 4) = 0x10.toByte // Pq=1
     assert(ImageHeaders.parseDqt(pq1).isEmpty)
+  }
+
+  test("EXIF codec round-trips both byte orders and rejects corrupt bytes") {
+    import graft.multimodal.ExifHeaders
+    for (be <- Seq(false, true)) {
+      val b = ExifHeaders.jpegWithExif(640, 480, 6, "Acme Cameras", be)
+      val x = ExifHeaders.parse(b).get
+      assert(x.byteOrder == (if (be) "MM" else "II"))
+      assert(x.width == 640 && x.height == 480)
+      assert(x.orientation == 6)
+      assert(x.make == "Acme Cameras") // read through the value-offset path
+      assert(x.nEntries == 4)
+      // the plain dim parser still sees the JFIF/SOF tail behind the APP1
+      val dims = ImageHeaders.parse(b).get
+      assert(dims.format == "jpeg" && dims.width == 640 && dims.height == 480)
+    }
+    // short Make (< 4 bytes incl. NUL) exercises the inline-value path
+    val inl = ExifHeaders.parseTiff(ExifHeaders.tiffBody(8, 9, 1, "ab", false)).get
+    assert(inl.make == "ab" && inl.width == 8 && inl.height == 9)
+    // corrupt shapes: no APP1, truncation, bad byte-order mark, bad magic
+    assert(ExifHeaders.parse(ImageHeaders.jpeg(10, 10)).isEmpty)
+    assert(ExifHeaders.parse(
+      ExifHeaders.jpegWithExif(10, 10, 1, "m", false).take(16)).isEmpty)
+    val badOrder = ExifHeaders.tiffBody(1, 1, 1, "m", false)
+    badOrder(0) = 'X'.toByte
+    assert(ExifHeaders.parseTiff(badOrder).isEmpty)
+    val badMagic = ExifHeaders.tiffBody(1, 1, 1, "m", true)
+    badMagic(3) = 41.toByte
+    assert(ExifHeaders.parseTiff(badMagic).isEmpty)
+  }
+
+  test("m10 extracts EXIF orientation and dims from real APP1 bytes") {
+    val rows = Multimodal.exifMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 5 == 2)
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[String]("byte_order") == (if (id % 2 == 0) "MM" else "II"))
+      assert(r.getAs[Int]("orientation") == (id % 8 + 1).toInt)
+      assert(r.getAs[Long]("width") == id % 512 + 16)
+      assert(r.getAs[Long]("height") == id % 384 + 16)
+      val transposed = r.getAs[Int]("orientation") >= 5
+      assert(r.getAs[Long]("disp_width") ==
+        (if (transposed) r.getAs[Long]("height") else r.getAs[Long]("width")))
+      assert(r.getAs[String]("make") == s"maker${id % 7}")
+    }
+    // the corpus genuinely mixes endianness and transposed orientations
+    assert(rows.map(_.getAs[String]("byte_order")).toSet == Set("II", "MM"))
+    assert(rows.exists(_.getAs[Int]("orientation") >= 5))
   }
 
   test("m09 estimates encoder quality from parsed DQT bytes") {

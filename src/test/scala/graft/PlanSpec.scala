@@ -314,11 +314,15 @@ class PlanSpec extends GraftSpec {
     // partition" logger; this guard replaces the silenced warning with an
     // explicit plan assertion (r10 advice): a NEW entry that accidentally
     // plans an empty-partitionSpec WindowExec over corpus-sized input
-    // fails here instead of scale-breaking silently. The three audited
-    // sites each run the window over an already-reduced or bounded
-    // frame (q43's bounded slice; q87's and t13's windows over
-    // aggregate frames), which is exactly when a global window is the
-    // correct scalable form.
+    // fails here instead of scale-breaking silently. The audited sites
+    // each run the window over an already-reduced or bounded frame
+    // (q43's bounded slice; q87's and t13's windows over aggregate
+    // frames), which is exactly when a global window is the correct
+    // scalable form. t24/t25: their ExactSelection group is the constant
+    // "all", which FoldablePropagation folds out of the partition spec —
+    // the windows are the kernel's pass-2 running sum over <= 256 bins
+    // and pass-3 running sum over distinct values inside the candidate
+    // bins only, the same bounded frames every per-group caller pays.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -336,7 +340,8 @@ class PlanSpec extends GraftSpec {
         val n = globalWindows(fn(spark, sf).queryExecution.executedPlan)
         if (n > 0) Some(name) else None
     }.toSet
-    val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf")
+    val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf",
+      "t24_ccnet_buckets", "t25_dsir")
     assert(offenders == audited,
       s"global-window entries moved: unexpected=${offenders -- audited} " +
         s"missing=${audited -- offenders} — audit any new site (is the " +

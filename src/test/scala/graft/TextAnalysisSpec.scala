@@ -295,6 +295,61 @@ class TextAnalysisSpec extends GraftSpec {
     assert(labels == Set(true, false), s"expected both labels, got $labels")
   }
 
+  test("t25 DSIR weights match a driver-side reference; selection honors the cut") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val seed = 0x5851f42d4c957f2dL
+    def bucket(f: String): Long = {
+      val h = graft.functions.Kernels.hash64(UTF8String.fromString(f), seed)
+      ((h % 8192) + 8192) % 8192
+    }
+    def featsOf(text: String): Seq[Long] = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+      val fs = toks.map("u " + _) ++
+        (if (toks.length >= 2) toks.sliding(2).map(p => s"b ${p(0)} ${p(1)}").toSeq
+         else Nil)
+      fs.map(bucket)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (id, src, t) => (id, src, featsOf(t)) }
+    val cr = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = perDoc.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nr = cr.values.sum; val nt = ct.values.sum
+    def snap(x: Double): JBD = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    val lr: Map[Long, JBD] = cr.map { case (b, c) =>
+      b -> snap(math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 8192)))
+        .subtract(snap(math.log((c + 1).toDouble / (nr + 8192))))
+    }
+    val expected = perDoc.map { case (id, _, fs) =>
+      val sum = fs.foldLeft(JBD.ZERO)((a, b) => a.add(lr(b)))
+      id -> (fs.length.toLong,
+        sum.setScale(4, RoundingMode.HALF_UP).doubleValue())
+    }.toMap
+    val out = graft.text.TextAnalysis.dsir(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (nf, w) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_feat") == nf, s"doc ${r.getLong(0)}: feature count")
+      assert(r.getAs[Double]("logw") == w, s"doc ${r.getLong(0)}: weight")
+      assert(r.getAs[Boolean]("selected") ==
+        (r.getAs[Double]("logw") >= r.getAs[Double]("cut")))
+    }
+    // top-quarter selection (75th discrete percentile, >= keeps the tail)
+    val kept = out.count(_.getAs[Boolean]("selected"))
+    assert(kept >= out.length / 4 && kept <= math.ceil(0.6 * out.length),
+      s"kept $kept of ${out.length}")
+    // the DSIR signal: target-slice (src0) docs carry higher importance
+    // weight on average than the rest of the corpus
+    val (s0, rest) = out.partition(_.getAs[String]("source") == "src0")
+    def mean(a: Array[org.apache.spark.sql.Row]) =
+      a.map(_.getAs[Double]("logw")).sum / a.length
+    assert(mean(s0) > mean(rest),
+      s"src0 mean ${mean(s0)} not above rest mean ${mean(rest)}")
+  }
+
   test("t24 CCNet buckets: clean tertiles, reference slice scores in-domain, labels honor the cuts") {
     val rows = graft.text.TextAnalysis.ccnetBuckets(spark, sf).collect()
     assert(rows.nonEmpty)
