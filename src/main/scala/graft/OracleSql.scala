@@ -122,6 +122,15 @@ object OracleSql {
              COUNT(*) AS n
       FROM large JOIN small USING (k)"""
 
+  /** Shared by x05/x06: the runtime bloom filter is a pure semi-join
+    * reduction, so both arms replay the identical urgent-orders join. */
+  private val bloomOracle: String = """
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'"""
+
   /** Shared oracle for the top-k pair: the partial-heap form (x04) must
     * return exactly the plain-window result (x03). */
   private val topkOracle: String = """
@@ -1945,6 +1954,48 @@ object OracleSql {
 
     "x03_topk_window" -> topkOracle,
     "x04_topk_partial" -> topkOracle,
+
+    // x05/x06 share one oracle: the runtime bloom filter is a pure
+    // semi-join reduction — pruning probe rows early must never change
+    // the join result.
+    "x05_bloom_off" -> bloomOracle,
+    "x06_bloom_on" -> bloomOracle,
+
+    // e15: the same first-view/first-purchase staging, lags in integer
+    // microseconds, percentile ranks replayed with the exact-selection
+    // integer rank arithmetic per cohort day.
+    "e15_conversion_lag" -> """
+      WITH fv AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+        GROUP BY e.user_id),
+      lags AS (
+        SELECT fv.user_id, strftime(v_ts, '%Y-%m-%d') AS day,
+          epoch_us(p_ts) - epoch_us(v_ts) AS lag_us
+        FROM fv LEFT JOIN fp USING (user_id)),
+      counts AS (
+        SELECT day, COUNT(*) AS n_viewers, COUNT(lag_us) AS n_converted
+        FROM lags GROUP BY day),
+      rk AS (
+        SELECT day, lag_us,
+          row_number() OVER (PARTITION BY day ORDER BY lag_us) AS rn,
+          COUNT(*) OVER (PARTITION BY day) AS n
+        FROM lags WHERE lag_us IS NOT NULL),
+      cuts AS (
+        SELECT day,
+          MAX(CASE WHEN rn = GREATEST(1, (500000 * n + 999999) // 1000000)
+              THEN lag_us END) AS med_lag_us,
+          MAX(CASE WHEN rn = GREATEST(1, (900000 * n + 999999) // 1000000)
+              THEN lag_us END) AS p90_lag_us
+        FROM rk GROUP BY day)
+      SELECT c.day, n_viewers, n_converted,
+        round(CAST(n_converted AS DOUBLE) / n_viewers, 4) AS conv_rate,
+        med_lag_us, p90_lag_us
+      FROM counts c LEFT JOIN cuts USING (day) ORDER BY c.day""",
 
     // Replays Splits.scatter (multiplicative hash) + the 80/10/10 labels.
     "p01_split" -> """

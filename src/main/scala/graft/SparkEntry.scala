@@ -74,6 +74,7 @@ object SparkEntry {
     "e12_gap_sketch" -> (Events.gapSketch _),
     "e13_rfm" -> (Events.rfm _),
     "e14_sliding_distinct" -> (Events.slidingDistinct _),
+    "e15_conversion_lag" -> (Events.conversionLag _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -242,6 +243,8 @@ object SparkEntry {
     "x02_skew_salted" -> (graft.operators.SkewJoin.hotJoinSalted _),
     "x03_topk_window" -> (graft.operators.TopKPerKey.topkPlain _),
     "x04_topk_partial" -> (graft.operators.TopKPerKey.topkPartial _),
+    "x05_bloom_off" -> (graft.operators.RuntimeFilters.bloomOff _),
+    "x06_bloom_on" -> (graft.operators.RuntimeFilters.bloomOn _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

@@ -395,4 +395,47 @@ object Events {
         col("active_users"))
       .orderBy(col("window_end"))
   }
+
+  /** e15: conversion-lag distribution — the time-to-convert report product
+    * analytics pairs with the e05 funnel (how MANY convert) to answer how
+    * FAST they convert. Cohort = calendar day of a user's first view;
+    * per cohort: viewer/converter counts, conversion rate, and the exact
+    * median and p90 of the first-view→first-purchase lag. Lags are kept
+    * in integer MICROSECONDS end to end (unix_micros both sides), so the
+    * percentile values are exact integers and no double-rounding seam
+    * exists; the cuts come from the shared exact-selection kernel
+    * ([[ExactSelection.percentilesDisc]] — three bounded passes per
+    * group, never an all-values buffer), the same discipline as q10/q137.
+    *
+    * Scale: two user-keyed aggregations (first view, first purchase
+    * after it) + one day-keyed count — all map-side combined; the
+    * percentile kernel shuffles (day, bin) frames bounded by 256 bins
+    * per cohort day. Nothing driver-side, nothing quadratic. */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstPurch = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val lags = firstView
+      .join(firstPurch, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        date_format(col("v_ts"), "yyyy-MM-dd").as("day"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    val counts = lags.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_viewers"), count(col("lag_us")).as("n_converted"))
+    val cuts = ExactSelection.percentilesDisc(
+        lags.filter(col("lag_us").isNotNull)
+          .select(col("day").as("g"), col("lag_us").cast("double").as("x")),
+        Seq(0.5, 0.9))
+      .toDF("day", "pd50", "pd90")
+    counts.join(cuts, Seq("day"), "left_outer")
+      .select(col("day"), col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 4).as("conv_rate"),
+        col("pd50").cast("long").as("med_lag_us"),
+        col("pd90").cast("long").as("p90_lag_us"))
+      .orderBy(col("day"))
+  }
 }

@@ -229,4 +229,47 @@ class AnalyticsOpsSpec extends GraftSpec {
       assert(n >= daily)
     }
   }
+
+  test("e15 conversion lag matches a driver-side brute-force recompute") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val lagByUser = firstView.map { case (u, v) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > v)
+        .map(_._3).minOption
+      (u, v, p.map(_ - v))
+    }
+    def dayOf(us: Long): String =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def kth(sorted: Seq[Long], pn: Long): Long = {
+      val k = math.max(1L, (pn * sorted.length + 999999L) / 1000000L)
+      sorted((k - 1).toInt)
+    }
+    val expected = lagByUser.groupBy { case (_, v, _) => dayOf(v) }
+      .map { case (day, rows) =>
+        val lags = rows.flatMap(_._3).toSeq.sorted
+        day -> (rows.size.toLong, lags.length.toLong,
+          if (lags.nonEmpty) Some((kth(lags, 500000L), kth(lags, 900000L))) else None)
+      }
+    val got = graft.operators.Events.conversionLag(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nv, nc, cuts) = expected(r.getAs[String]("day"))
+      assert(r.getAs[Long]("n_viewers") == nv)
+      assert(r.getAs[Long]("n_converted") == nc)
+      cuts match {
+        case Some((med, p90)) =>
+          assert(r.getAs[Long]("med_lag_us") == med, s"${r.getAs[String]("day")} median")
+          assert(r.getAs[Long]("p90_lag_us") == p90, s"${r.getAs[String]("day")} p90")
+          assert(med <= p90)
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("med_lag_us")))
+      }
+    }
+    // the corpus genuinely converts: some users purchase after first view
+    assert(got.map(_.getAs[Long]("n_converted")).sum > 0)
+  }
 }
