@@ -4207,6 +4207,38 @@ object OracleSql {
     // g03: the identical degree-ordered wedge join — integer counts are
     // engine-independent; the one double (clustering) is a single
     // correctly-rounded IEEE division.
+    // g05: the 5 peeling rounds unrolled — each round recomputes degrees
+    // over the surviving edge set and keeps edges whose BOTH endpoints
+    // have degree >= 3; exact integer recurrence, bit-identical.
+    "g05_kcore" -> {
+      val rounds = 5
+      val peel = (1 to rounds).map { i =>
+        s"""dg${i - 1} AS (SELECT x, COUNT(*) AS deg FROM
+                (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v AS x FROM e${i - 1}) t
+              GROUP BY 1),
+      kp${i - 1} AS (SELECT x FROM dg${i - 1} WHERE deg >= 3),
+      e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+              JOIN kp${i - 1} a ON e.u = a.x JOIN kp${i - 1} b ON e.v = b.x)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS src,
+          unnest([doc_id * doc_id + 1, doc_id * 7 + 3, doc_id * 13 + 5]) AS d0
+        FROM documents),
+      ed AS (SELECT src, d0 % n AS dst FROM raw, n),
+      e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM ed WHERE src <> dst),
+      $peel,
+      fd AS (SELECT x, COUNT(*) AS deg FROM
+              (SELECT u AS x FROM e$rounds UNION ALL SELECT v AS x FROM e$rounds) t
+             GROUP BY 1)
+      SELECT d.doc_id, COALESCE(deg, 0) AS core_deg,
+        COALESCE(deg, 0) >= 3 AS in_core
+      FROM documents d LEFT JOIN fd ON d.doc_id = fd.x
+      ORDER BY d.doc_id"""
+    },
+
     "g03_triangles" -> """
       WITH n AS (SELECT COUNT(*) AS n FROM documents),
       raw AS (

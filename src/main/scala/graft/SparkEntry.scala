@@ -235,6 +235,7 @@ object SparkEntry {
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),
     "g03_triangles" -> (graft.graph.LinkGraph.g03 _),
     "g04_graph_stats" -> (graft.graph.LinkGraph.g04 _),
+    "g05_kcore" -> (graft.graph.LinkGraph.g05 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

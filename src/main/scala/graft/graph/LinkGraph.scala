@@ -297,6 +297,63 @@ object LinkGraph {
     graphStatsOf(derivedEdges(docs, n).filter(col("src") =!= col("dst")).distinct())
   }
 
+  /**
+   * Bounded k-core peeling over an undirected edge frame (columns u, v):
+   * `rounds` synchronous rounds of "drop every node whose current degree
+   * is < k" (dropping a node drops its edges), returning the final
+   * degree table. The k-core is the standard link-farm density signal
+   * beside g03's clustering coefficient — spam rings are dense cores
+   * that survive peeling, organic pages shed. The FIXED round count is
+   * the g01 exactness contract: a converge-until-stable peel has
+   * data-dependent iteration count (not oracle-replayable as a bounded
+   * unroll); `rounds` rounds of the same recurrence are bit-identical in
+   * any engine, and the spec pins that the hand-built core stabilizes
+   * well inside the budget.
+   *
+   * Scale: each round is one edge-keyed degree aggregation (map-side
+   * combined BIGINT counts) + two semi-joins of the edge frame against
+   * the node-sized survivor set — shuffles carry 8/16-byte ids only.
+   * Each round's frame is STAGED (the HITS discipline): the edge frame
+   * is referenced twice per round (degree + filter), so a lazy chain
+   * would double the logical plan per round.
+   */
+  def kcoreOf(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    var alive = und
+    for (_ <- 1 to rounds) {
+      val keep = degrees(alive).filter(col("deg") >= k).select(col("x"))
+      alive = graft.plans.Checkpoints.stage(
+        alive.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi"))
+    }
+    degrees(alive)
+  }
+
+  /**
+   * g05: 3-core membership of the citation graph (undirected canonical
+   * view, as in g03) after 5 peeling rounds — every node reported with
+   * its residual core degree and membership flag (final degree ≥ k; a
+   * node all of whose edges peeled away reports 0). Exact integer
+   * recurrence ⇒ the oracle replays the 5 rounds as unrolled CTE passes.
+   */
+  def g05(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    val und = derivedEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val fd = kcoreOf(und, k = 3, rounds = 5)
+    docs.join(fd, docs("doc_id") === fd("x"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"),
+        (coalesce(col("deg"), lit(0L)) >= 3).as("in_core"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The g04 kernel over any distinct directed (src, dst) frame — the
     * unit-testable form (the spec pins the closed-form star/path values). */
   def graphStatsOf(dir: DataFrame): DataFrame = {

@@ -128,6 +128,38 @@ class LinkGraphSpec extends GraftSpec {
     }
   }
 
+  test("kcore: clique survives peeling, pendants shed, and the peel is stable") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} + path 3-4-5: round 1 drops 4 and 5 (degree < 3),
+    // which also strips 3's pendant edge; the clique is the 3-core
+    val und = ((for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong))
+      ++ Seq((3L, 4L), (4L, 5L))).toDF("u", "v")
+    val got = LinkGraph.kcoreOf(und, k = 3, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core must be exactly the clique at degree 3: $got")
+    // the peel stabilized inside the round budget: one more round is a no-op
+    val more = LinkGraph.kcoreOf(und, k = 3, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got)
+    // k above the max degree peels everything
+    assert(LinkGraph.kcoreOf(und, k = 5, rounds = 5).collect().isEmpty)
+  }
+
+  test("g05 entry: membership flags honor the residual degree, doc_id-ordered") {
+    val rows = LinkGraph.g05(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) >= 3))
+      // simple undirected graph: degree is bounded by n - 1
+      assert(r.getLong(1) < rows.length)
+    }
+    // the citation graph genuinely has both fates at this density
+    assert(rows.exists(_.getBoolean(2)))
+  }
+
   test("g03 entry: emits every edge-touched node, doc_id-ordered, counts consistent") {
     val rows = LinkGraph.g03(spark, sf).collect()
     assert(rows.nonEmpty)
