@@ -40,6 +40,19 @@ object GraftFunctions {
     * Compose with bit_xor for Presto's order-independent checksum(). */
   def hash64(text: Column, seed: Long = 0L): Column = c(Hash64(e(text), seed))
 
+  /** Fused hashed-ngram feature buckets (array<bigint>) of a token-array
+    * column: "u "-marked unigrams + "b "-marked bigrams through hash64
+    * into 2^bits buckets, one JVM pass per row (the t25 DSIR
+    * featurizer). */
+  def hashedNgramBuckets(words: Column, seed: Long, bits: Int): Column =
+    c(HashedNgramBuckets(e(words), seed, bits))
+
+  /** Fused hashed-linear classifier score
+    * (struct<n_feat, score_sum>) of a token-array column — the t23
+    * fastText/CCNet-shaped quality filter's per-row kernel. */
+  def hashedNgramScore(words: Column, seed: Long): Column =
+    c(HashedNgramScore(e(words), seed))
+
   /** Hamming distance between two bigint bit-vectors. */
   def hamming64(a: Column, b: Column): Column = c(Hamming64(e(a), e(b)))
 
@@ -200,6 +213,11 @@ object GraftFunctions {
     "hamming64" -> (args => Hamming64(args(0), args(1))),
     "hash64" -> (args => Hash64(args.head,
       if (args.length > 1) literalLong("hash64", args(1)) else 0L)),
+    "hashed_ngram_buckets" -> (args => HashedNgramBuckets(args(0),
+      literalLong("hashed_ngram_buckets", args(1)),
+      literalInt("hashed_ngram_buckets", args(2)))),
+    "hashed_ngram_score" -> (args => HashedNgramScore(args(0),
+      literalLong("hashed_ngram_score", args(1)))),
     "geometric_mean" -> (args => GeometricMean(args.head).toAggregateExpression()),
     "haversine_km" -> (args => HaversineKm(args(0), args(1), args(2), args(3))),
     "point_in_polygon" -> (args => PointInPolygon(args(0), args(1), args(2), args(3))),

@@ -641,6 +641,107 @@ object Kernels {
     sb.append(if (tag == "POLYGON") "))" else ")")
     UTF8String.fromString(sb.toString)
   }
+
+  /** FNV-1a64 fold of one byte array into a running hash (no finalizer). */
+  @inline private def fnvFold(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /**
+   * Hashed n-gram feature buckets over a token array — the fused form of
+   * the t23/t25 featurizer (the hashing-trick features of fastText /
+   * CCNet classifier filtering and DSIR importance resampling): for every
+   * token t emit bucket(hash64("u " + t, seed)), and for every adjacent
+   * pair (a, b) emit bucket(hash64("b " + a + " " + b, seed)), where
+   * bucket = low `bits` bits (for 2^bits buckets, pmod of a power of two
+   * ≡ the unsigned mask). Output order is all unigrams then all bigrams —
+   * exactly `concat(transform(u…), transform(b…))`.
+   *
+   * BYTE-IDENTICAL to the array-lambda form
+   * `transform(w, t -> pmod(hash64(concat('u ', t), seed), 2^bits))` ++
+   * the bigram transform: the FNV fold walks the marker bytes, the token
+   * bytes, and the joining 0x20 byte in concat order, then applies the
+   * same splitmix finalizer — but in ONE JIT-compiled pass per row with
+   * zero per-feature string allocation. Spark evaluates lambda HOFs
+   * interpreted per element, so on the corpus-scan hot path (every token
+   * of every document — the highest-volume scoring pass a curation
+   * pipeline has) the lambda form pays non-codegen eval + concat
+   * allocation per feature; this kernel is the d10 WinnowFingerprints
+   * lesson applied to the model-based-selection featurizer.
+   *
+   * Null tokens are skipped (split() never produces them; the lambda
+   * form would null the whole feature entry).
+   */
+  def hashedNgramBuckets(words: ArrayData, seed: Long, bits: Int): ArrayData = {
+    val n = words.numElements()
+    val bs = new Array[Array[Byte]](n)
+    var nuni = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        bs(i) = words.getUTF8String(i).getBytes
+        nuni += 1
+      }
+      i += 1
+    }
+    var nbig = 0
+    i = 0
+    while (i < n - 1) {
+      if (bs(i) != null && bs(i + 1) != null) nbig += 1
+      i += 1
+    }
+    val mask = (1L << bits) - 1L
+    val basis = 0xcbf29ce484222325L ^ seed
+    // fold the 2-byte markers once: "u " / "b " prefixes are constant
+    val uBase = (((basis ^ 0x75L) * 0x100000001b3L) ^ 0x20L) * 0x100000001b3L
+    val bBase = (((basis ^ 0x62L) * 0x100000001b3L) ^ 0x20L) * 0x100000001b3L
+    val out = new Array[Long](nuni + nbig)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (bs(i) != null) {
+        out(o) = mix64(fnvFold(uBase, bs(i))) & mask
+        o += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (bs(i) != null && bs(i + 1) != null) {
+        val h = fnvFold((fnvFold(bBase, bs(i)) ^ 0x20L) * 0x100000001b3L, bs(i + 1))
+        out(o) = mix64(h) & mask
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Fused hashed-linear classifier score (t23): [[hashedNgramBuckets]]
+   * with 2^16 buckets, each bucket mapped through the procedural weight
+   * table (Knuth multiplicative mix into [-1000, 1000]) and summed —
+   * (n_feat, score_sum) in one pass per row. Replays exactly
+   * `pmod(pmod(b * 2654435761, 2^32), 2001) - 1000` per feature: both
+   * intermediates are non-negative, so % ≡ pmod.
+   */
+  def hashedNgramScore(words: ArrayData, seed: Long): InternalRow = {
+    val buckets = hashedNgramBuckets(words, seed, 16)
+    val n = buckets.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += ((buckets.getLong(i) * 2654435761L) & 0xffffffffL) % 2001L - 1000L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, sum))
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -752,6 +853,51 @@ case class Hash64(child: Expression, seed: Long)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hash64($c, ${seed}L)")
 
   override protected def withNewChildInternal(c: Expression): Hash64 =
+    copy(child = c)
+}
+
+/** hashed_ngram_buckets(array<string> words, seed, bits) -> array<bigint>
+  * — fused "u "-marked unigram + "b "-marked bigram feature buckets
+  * (hashing trick, 2^bits buckets); see [[Kernels.hashedNgramBuckets]].
+  * The t25 DSIR featurizer's hot path. */
+case class HashedNgramBuckets(child: Expression, seed: Long, bits: Int)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.hashedNgramBuckets(in.asInstanceOf[ArrayData], seed, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hashedNgramBuckets($c, ${seed}L, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): HashedNgramBuckets =
+    copy(child = c)
+}
+
+/** hashed_ngram_score(array<string> words, seed) ->
+  * struct<n_feat: int, score_sum: bigint> — fused hashed-linear
+  * classifier score (t23); see [[Kernels.hashedNgramScore]]. */
+case class HashedNgramScore(child: Expression, seed: Long)
+  extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feat", IntegerType, nullable = false),
+    StructField("score_sum", LongType, nullable = false)))
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.hashedNgramScore(in.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hashedNgramScore($c, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): HashedNgramScore =
     copy(child = c)
 }
 

@@ -736,36 +736,29 @@ object TextAnalysis {
    * learned table; a deployment swaps in trained weights via the same
    * broadcast-lookup shape without touching the plan.
    *
-   * Scale: the entire score is computed per-row with array lambdas
-   * over the token array — ZERO shuffles before the presentation sort;
+   * Scale: the entire score is computed per-row by ONE fused codegen
+   * kernel over the token array ([[graft.functions.Kernels
+   * .hashedNgramScore]]) — ZERO shuffles before the presentation sort;
    * at 100 TB this is a pure map over the corpus scan, the cheapest
    * possible plan for model-based filtering. Feature hashes never
-   * materialize as rows; the weight sum accumulates in a Long fold.
-   * Unigram and bigram features share one hash under distinct "u "/"b "
-   * markers, so the two families cannot collide by construction.
+   * materialize as rows or strings: the kernel folds the "u "/"b "
+   * marker bytes, token bytes, and joining space straight through the
+   * FNV chain (byte-identical to the concat + hash64 lambda form it
+   * replaced — that form paid interpreted HOF eval + a string
+   * allocation per feature, ~12s at sf0.1 vs ~1s fused; the d10
+   * winnowing lesson applied to the highest-volume scoring pass a
+   * curation pipeline has). Unigram and bigram features share one hash
+   * under distinct "u "/"b " markers, so the two families cannot
+   * collide by construction.
    */
   def qualityLr(s: SparkSession, d: String): DataFrame = {
     val Seed = 1181783497276652981L // positive splitmix-style constant, t23-only
-    def wgt(f: Column): Column = {
-      val b = pmod(GraftFunctions.hash64(f, Seed), lit(65536L))
-      val mixed = pmod(b * lit(2654435761L), lit(4294967296L))
-      pmod(mixed, lit(2001L)) - lit(1000L)
-    }
     val w = split(lower(col("text")), "\\s+")
-    val uniW = transform(w, t => wgt(concat(lit("u "), t)))
-    // 0/1-token docs: sequence(0,-1) is the DESCENDING [0,-1] in Spark
-    // (the t06 edge case) — guard to an empty feature list instead
-    val biW = when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2), i =>
-          wgt(concat(lit("b "), element_at(w, i + 1), lit(" "),
-            element_at(w, i + 2)))))
-      .otherwise(array().cast("array<bigint>"))
     Tables.documents(s, d)
-      .select(col("doc_id"), uniW.as("uw"), biW.as("bw"))
+      .select(col("doc_id"), GraftFunctions.hashedNgramScore(w, Seed).as("r"))
       .select(col("doc_id"),
-        (size(col("uw")) + size(col("bw"))).as("n_feat"),
-        aggregate(concat(col("uw"), col("bw")), lit(0L), (acc, x) => acc + x)
-          .as("score_sum"))
+        col("r.n_feat").as("n_feat"),
+        col("r.score_sum").as("score_sum"))
       .select(col("doc_id"), col("n_feat"), col("score_sum"),
         round(col("score_sum").cast("double") / (col("n_feat") * lit(1000.0)), 6)
           .as("quality"),
@@ -864,20 +857,15 @@ object TextAnalysis {
    */
   def dsir(s: SparkSession, d: String): DataFrame = {
     val Seed = 0x5851f42d4c957f2dL // t25-only (MMIX LCG multiplier)
-    val B = 8192L
+    val B = 8192L // 2^13 buckets — the kernel masks to the low 13 bits
     val docs = Tables.documents(s, d)
     val w = split(lower(col("text")), "\\s+")
-    def bucket(f: Column): Column = pmod(GraftFunctions.hash64(f, Seed), lit(B))
-    val uniB = transform(w, t => bucket(concat(lit("u "), t)))
-    // 0/1-token docs: sequence(0,-1) steps BACKWARDS in Spark (the t06
-    // edge case) — guard to an empty feature list instead
-    val biB = when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2), i =>
-          bucket(concat(lit("b "), element_at(w, i + 1), lit(" "),
-            element_at(w, i + 2)))))
-      .otherwise(array().cast("array<bigint>"))
+    // one fused codegen pass per doc emits the full unigram+bigram bucket
+    // array (byte-identical to the per-feature concat + hash64 + pmod
+    // lambda chain it replaced, which paid interpreted HOF eval per
+    // token — the t23 fix applied to the explode side)
     val feats = docs.select(col("doc_id"), col("source"),
-      explode(concat(uniB, biB)).as("b"))
+      explode(GraftFunctions.hashedNgramBuckets(w, Seed, 13)).as("b"))
     val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = feats.filter(col("source") === "src0")
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))

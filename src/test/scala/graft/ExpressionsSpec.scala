@@ -306,6 +306,67 @@ class ExpressionsSpec extends GraftSpec {
     assert(viaSql == direct, s"$viaSql vs $direct")
   }
 
+  test("hashed_ngram_buckets/score are byte-identical to the lambda HOF form") {
+    import org.apache.spark.sql.functions.{aggregate, array, concat, element_at,
+      pmod, sequence, size, transform, when}
+    val seed = 0x5851f42d4c957f2dL
+    val bits = 13
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("solo")),                   // 1 token → 1 unigram, 0 bigrams
+      (3L, Seq("")),                        // split("") = [""] → "u " feature
+      (4L, Seq("", "x", "", "unicodeé")), // empties + multibyte UTF-8
+      (5L, Seq("a", "b"))
+    ).toDF("id", "w")
+    // reference: the exact lambda chain the fused kernel replaced (t25 form)
+    def bucketRef(f: org.apache.spark.sql.Column) =
+      pmod(graft.functions.GraftFunctions.hash64(f, seed), lit(1L << bits))
+    val wc = $"w"
+    val uniB = transform(wc, t => bucketRef(concat(lit("u "), t)))
+    val biB = when(size(wc) >= 2,
+        transform(sequence(lit(0), size(wc) - 2), i =>
+          bucketRef(concat(lit("b "), element_at(wc, i + 1), lit(" "),
+            element_at(wc, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    val expected = docs.select($"id", concat(uniB, biB).as("bs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = docs.select($"id",
+        graft.functions.GraftFunctions.hashedNgramBuckets(wc, seed, bits).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // score form: same features through the t23 weight mix + Long fold
+    val seed23 = 1181783497276652981L
+    def wgtRef(f: org.apache.spark.sql.Column) = {
+      val b = pmod(graft.functions.GraftFunctions.hash64(f, seed23), lit(65536L))
+      pmod(pmod(b * lit(2654435761L), lit(4294967296L)), lit(2001L)) - lit(1000L)
+    }
+    val uniW = transform(wc, t => wgtRef(concat(lit("u "), t)))
+    val biW = when(size(wc) >= 2,
+        transform(sequence(lit(0), size(wc) - 2), i =>
+          wgtRef(concat(lit("b "), element_at(wc, i + 1), lit(" "),
+            element_at(wc, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    val expScore = docs.select($"id",
+        (size(uniW) + size(biW)).as("n"),
+        aggregate(concat(uniW, biW), lit(0L), (acc, x) => acc + x).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val gotScore = docs.select($"id",
+        graft.functions.GraftFunctions.hashedNgramScore(wc, seed23).as("r"))
+      .select($"id", $"r.n_feat", $"r.score_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(gotScore == expScore, s"\ngot      $gotScore\nexpected $expScore")
+    // SQL surface (both registration paths share sqlBuilders)
+    graft.functions.GraftFunctions.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT hashed_ngram_buckets(array('a','b'), ${seed}L, $bits) AS bs")
+      .head().getSeq[Long](0)
+    assert(viaSql.length == 3) // 2 unigrams + 1 bigram
+    val sqlScore = spark.sql(
+      s"SELECT hashed_ngram_score(array('a','b'), ${seed23}L).score_sum AS s")
+      .head().getLong(0)
+    assert(sqlScore == expScore(5L)._2)
+  }
+
   test("normalize_unicode: all four forms, fast path, SQL surface") {
     // decomposed e + COMBINING ACUTE; NFC composes to U+00E9
     val decomposed = "Cafe\u0301"

@@ -347,4 +347,27 @@ class PlanSpec extends GraftSpec {
         s"missing=${audited -- offenders} — audit any new site (is the " +
         "frame entering the window bounded?) and update this pin")
   }
+
+  test("t23/t25 featurizer runs fused: no interpreted lambda HOF in the plan") {
+    // Spark evaluates array-lambda higher-order functions (transform /
+    // aggregate / filter over arrays) INTERPRETED per element — on the
+    // corpus-scan scoring pass that is non-codegen eval + a string
+    // allocation per token (the r12 verdict's 12-14s/entry finding, and
+    // the same defect d10 had before WinnowFingerprints). Pin that the
+    // model-based-selection entries stay on the fused codegen kernel:
+    // per-token work must appear only as hashedngrambuckets /
+    // hashedngramscore, never as a lambda HOF.
+    Seq("t23_quality_lr" -> graft.text.TextAnalysis.qualityLr(spark, sf),
+        "t25_dsir" -> graft.text.TextAnalysis.dsir(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString.toLowerCase
+        Seq("transform(", "aggregate(lambda", "lambdafunction").foreach { bad =>
+          assert(!plan.contains(bad),
+            s"$name: interpreted lambda HOF '$bad' in executed plan:\n$plan")
+        }
+        val kernel = if (name.startsWith("t23")) "hashedngramscore"
+                     else "hashedngrambuckets"
+        assert(plan.contains(kernel), s"$name: fused $kernel kernel missing:\n$plan")
+      }
+  }
 }
