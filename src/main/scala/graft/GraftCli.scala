@@ -183,7 +183,11 @@ object GraftCli {
   // Presto `SHOW STATS FOR table` (Presto docs, SHOW STATS) — the
   // planner-statistics surface the CLI exposes; Spark SQL has no
   // SHOW STATS statement, so the CLI routes it.
-  private val ShowStats = "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  // SHOW STATS serves ESTIMATES by default (Presto's planner stats are
+  // estimates; exact per-column NDV is the most expensive stats pass
+  // there is at 100 TB) — EXACT opts into the full countDistinct form.
+  private val ShowStats =
+    "(?is)^\\s*SHOW\\s+STATS\\s+(?:(EXACT|APPROX)\\s+)?FOR\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   // Presto session-property statements (Presto docs, SET SESSION /
   // RESET SESSION / SHOW SESSION — the per-session tuning surface every
   // Presto client drives). Spark's SET statement exists but exposes raw
@@ -232,7 +236,20 @@ object GraftCli {
     SessionProp("time_zone_id", "varchar", "UTC",
       "Session time zone for timestamp rendering and date arithmetic",
       v => ("spark.sql.session.timeZone", parseZone(unquote(v))),
-      s => s.conf.get("spark.sql.session.timeZone")))
+      s => s.conf.get("spark.sql.session.timeZone")),
+    // The reference launcher's only real engine knobs are memory caps
+    // (query.max-memory / query.max-memory-per-node written into
+    // config.properties). Spark's executor heap is fixed at JVM launch
+    // and no runtime conf kills a query at a distributed-memory cap, so
+    // the HONEST runtime-settable equivalent is the per-task ceiling:
+    // AQE sizes every post-shuffle partition to this advisory byte
+    // target (coalescing small ones, splitting skewed ones), which is
+    // what actually bounds a 100 TB query's per-task memory footprint.
+    SessionProp("query_max_memory_per_task", "varchar", "64MB",
+      "Advisory per-task memory ceiling: AQE targets this size when coalescing or splitting shuffle partitions",
+      v => ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        parseDataSize("query_max_memory_per_task", v)),
+      s => s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")))
 
   private def unquote(v: String): String = {
     val t = v.trim
@@ -260,6 +277,14 @@ object GraftCli {
     if (allowed(t)) t
     else throw new IllegalArgumentException(
       s"SET SESSION $name: expected one of ${allowed.toSeq.sorted.mkString(", ")}, got '$t'")
+  }
+
+  private def parseDataSize(name: String, v: String): String = {
+    val t = unquote(v).trim
+    if (t.matches("(?i)[0-9]+(B|KB|MB|GB|TB)"))
+      t.toUpperCase(java.util.Locale.ROOT)
+    else throw new IllegalArgumentException(
+      s"SET SESSION $name: expected a data size like '512MB' or '1GB', got '$t'")
   }
 
   private def parseZone(v: String): String =
@@ -299,7 +324,7 @@ object GraftCli {
   }
 
   /** Presto's SHOW STATS row layout over any registered table: one row
-    * per column (exact NDV, nulls fraction, low/high rendered as text,
+    * per column (NDV, nulls fraction, low/high rendered as text,
     * data size for varchar columns) + the table row carrying row_count.
     * ONE aggregate pass computes every column's stats together (the
     * multi-distinct Expand is the standard ANALYZE shape — column-count
@@ -307,8 +332,17 @@ object GraftCli {
     * report rows declaratively, no driver collect. low/high rendering is
     * pinned cross-engine: timestamps format to 'yyyy-MM-dd HH:mm:ss',
     * doubles snap to DECIMAL(18,2) text, everything else casts straight
-    * to string. */
-  private[graft] def showStats(spark: SparkSession, table: String): DataFrame = {
+    * to string.
+    *
+    * NDV is approx_count_distinct (HLL++) unless `exact` — Presto's
+    * SHOW STATS serves planner ESTIMATES, and at 100 TB the exact
+    * multi-countDistinct Expand is the most expensive stats pass there
+    * is (every column's values re-shuffled). The approx form keeps the
+    * identical one-pass shape with HLL sketches instead of distinct
+    * sets; `SHOW STATS EXACT FOR t` opts into the exact pass (the
+    * oracle-able s14 form). */
+  private[graft] def showStats(spark: SparkSession, table: String,
+      exact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -322,7 +356,8 @@ object GraftCli {
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
-        countDistinct(c).as(s"ndv_${f.name}"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"ndv_${f.name}"),
         count(c).as(s"nn_${f.name}"),
         asText(min(c), f.dataType).as(s"lo_${f.name}"),
         asText(max(c), f.dataType).as(s"hi_${f.name}")) ++
@@ -365,7 +400,9 @@ object GraftCli {
       stmt: String): DataFrame = {
     open(spark, sfDir)
     stmt.stripSuffix(";") match {
-      case ShowStats(table) => showStats(spark, table)
+      case ShowStats(mode, table) =>
+        showStats(spark, table, exact = mode != null &&
+          mode.equalsIgnoreCase("EXACT"))
       case other => throw new IllegalArgumentException(
         s"not a SHOW STATS statement: $other")
     }
@@ -382,7 +419,8 @@ object GraftCli {
     val sess = open(spark, sfDir)
     val touched = Seq("spark.sql.shuffle.partitions",
       "spark.sql.autoBroadcastJoinThreshold", "spark.sql.session.timeZone",
-      "spark.sql.adaptive.enabled")
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
     val saved = touched.map(k => k -> sess.conf.getOption(k))
     try {
       statements.foreach {
@@ -482,8 +520,9 @@ object GraftCli {
         val bound = bindParameters(template,
           Option(usingArgs).map(splitArgs).getOrElse(Nil))
         render(spark.sql(bound), format, out)
-      case ShowStats(table) =>
-        render(showStats(spark, table), format, out)
+      case ShowStats(mode, table) =>
+        render(showStats(spark, table,
+          exact = mode != null && mode.equalsIgnoreCase("EXACT")), format, out)
       case SetSession(name, value) =>
         setSession(spark, name, value)
         err.println(s"[graft-cli] SET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")
@@ -744,12 +783,14 @@ object GraftCli {
         FROM s13_nation_spend GROUP BY n_name ORDER BY n_name""")
     }),
     // s14: Presto SHOW STATS FOR table — the planner-statistics surface
-    // (exact NDV / nulls fraction / low-high / varchar data size per
+    // (NDV / nulls fraction / low-high / varchar data size per
     // column + the table row_count). Routed through the CLI's real
     // statement regex; ONE aggregate pass over the table, column-count
-    // fan-out only.
+    // fan-out only. EXACT here because the oracle replays countDistinct;
+    // the CLI default (plain SHOW STATS FOR t) serves HLL estimates,
+    // like Presto's planner stats.
     "s14_sql_show_stats" -> ((s, d) =>
-      showStatsStatement(s, d, "SHOW STATS FOR orders")),
+      showStatsStatement(s, d, "SHOW STATS EXACT FOR orders")),
     // s15: Presto session properties (SET SESSION / SHOW SESSION /
     // RESET SESSION — the per-session tuning surface; Presto docs).
     // Two SETs route through the real regex + validation + conf-write
@@ -761,6 +802,7 @@ object GraftCli {
       "SET SESSION hash_partition_count = 8",
       "SET SESSION join_distribution_type = 'PARTITIONED'",
       "SET SESSION time_zone_id = 'UTC'",
+      "SET SESSION query_max_memory_per_task = '128MB'",
       "SET SESSION adaptive_execution = false",
       "RESET SESSION adaptive_execution")))
   )
@@ -909,6 +951,8 @@ object GraftCli {
          'Number of partitions for distributed joins and aggregations'),
         ('join_distribution_type', 'PARTITIONED', 'AUTOMATIC', 'varchar',
          'AUTOMATIC, PARTITIONED (never broadcast) or BROADCAST (favor broadcast joins)'),
+        ('query_max_memory_per_task', '128MB', '64MB', 'varchar',
+         'Advisory per-task memory ceiling: AQE targets this size when coalescing or splitting shuffle partitions'),
         ('time_zone_id', 'UTC', 'UTC', 'varchar',
          'Session time zone for timestamp rendering and date arithmetic')
       ) AS t("name", "value", "default", "type", "description")

@@ -397,6 +397,67 @@ class CliSpec extends GraftSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("SHOW STATS defaults to estimated NDV; EXACT opts into countDistinct") {
+    // Presto's SHOW STATS serves planner estimates — the CLI default is
+    // the HLL one-pass form (at 100 TB exact per-column NDV re-shuffles
+    // every column's values); EXACT keeps the oracle-able exact pass.
+    val approx = GraftCli.showStatsStatement(spark, sf, "SHOW STATS FOR orders")
+    val exact = GraftCli.showStatsStatement(spark, sf, "SHOW STATS EXACT FOR orders")
+    assert(approx.queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"), "default must use HLL estimates")
+    val exactPlan = exact.queryExecution.optimizedPlan.toString
+    assert(!exactPlan.contains("approx_count_distinct") &&
+      exactPlan.contains("distinct"), "EXACT must use countDistinct")
+    // same report layout either way; non-NDV columns agree exactly and
+    // the HLL estimate lands within its documented rsd of the truth
+    assert(approx.schema == exact.schema)
+    val a = approx.collect().map(r => Option(r.getString(0)) -> r).toMap
+    val e = exact.collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(a.keySet == e.keySet)
+    e.foreach { case (k, er) =>
+      val ar = a(k)
+      assert(ar.getAs[Any]("nulls_fraction") == er.getAs[Any]("nulls_fraction"))
+      assert(ar.getAs[Any]("low_value") == er.getAs[Any]("low_value"))
+      assert(ar.getAs[Any]("high_value") == er.getAs[Any]("high_value"))
+      if (k.isDefined) {
+        val est = ar.getAs[Double]("distinct_values_count")
+        val tru = er.getAs[Double]("distinct_values_count")
+        assert(math.abs(est - tru) <= math.max(1.0, 0.15 * tru),
+          s"column ${k.get}: HLL estimate $est too far from exact $tru")
+      }
+    }
+    // APPROX is also accepted explicitly
+    assert(GraftCli.showStatsStatement(spark, sf, "SHOW STATS APPROX FOR region")
+      .queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+  }
+
+  test("query_max_memory_per_task maps to the AQE advisory partition size") {
+    val s = GraftCli.open(spark, sf)
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = s.conf.getOption(key)
+    try {
+      GraftCli.setSession(s, "query_max_memory_per_task", "'128MB'")
+      assert(s.conf.get(key) == "128MB")
+      // value reads back from the LIVE conf in SHOW SESSION
+      val row = GraftCli.showSession(s).collect()
+        .find(_.getString(0) == "query_max_memory_per_task").get
+      assert(row.getString(1) == "128MB" && row.getString(2) == "64MB")
+      GraftCli.resetSession(s, "query_max_memory_per_task")
+      assert(s.conf.get(key) == "64MB")
+      // lower-case sizes normalize; junk is rejected before any conf write
+      GraftCli.setSession(s, "query_max_memory_per_task", "'1gb'")
+      assert(s.conf.get(key) == "1GB")
+      intercept[IllegalArgumentException](
+        GraftCli.setSession(s, "query_max_memory_per_task", "'lots'"))
+      intercept[IllegalArgumentException](
+        GraftCli.setSession(s, "query_max_memory_per_task", "'-1MB'"))
+      assert(s.conf.get(key) == "1GB", "failed SET must not touch the conf")
+    } finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   test("session property misuse: unknown name, bad values, statement-scoped errors") {
     val s = GraftCli.open(spark, sf)
     intercept[IllegalArgumentException](GraftCli.setSession(s, "nosuch_prop", "1"))
