@@ -3751,6 +3751,33 @@ object OracleSql {
         CASE WHEN kind = 1 THEN FALSE WHEN kind = 2 THEN TRUE END AS is_ring
       FROM pts ORDER BY c_custkey""",
 
+    // q140: holed-polygon replay in CLOSED FORM — the oracle derives
+    // hole count, shell-minus-holes area, and point containment
+    // straight from the key arithmetic (axis-aligned boxes), never
+    // parsing WKT: a multi-ring parser defect on the Spark side forks
+    // the hash. CASE order matters (97 before 89: k = 89*97 hits both
+    // at sf >= 0.1) and mirrors the Spark entry's `when` chain.
+    "q140_polygon_holes" -> """
+      WITH b AS (
+        SELECT c_custkey,
+          c_custkey % 7 + 4 AS w, c_custkey % 5 + 3 AS h,
+          (c_custkey % 3) <> 0 AS has_hole,
+          c_custkey % 2 + 1 AS hw,
+          0.5 + (c_custkey % 5) AS px_off
+        FROM customer)
+      SELECT c_custkey,
+        CAST(CASE WHEN c_custkey % 97 = 0 THEN NULL
+             WHEN c_custkey % 89 = 0 THEN 0
+             WHEN has_hole THEN 1 ELSE 0 END AS INTEGER) AS n_holes,
+        CAST(CASE WHEN c_custkey % 97 = 0 THEN NULL
+             WHEN c_custkey % 89 = 0 THEN 0
+             WHEN has_hole THEN w * h - hw ELSE w * h END AS DOUBLE) AS area,
+        CASE WHEN c_custkey % 97 = 0 THEN NULL
+             WHEN c_custkey % 89 = 0 THEN FALSE
+             ELSE px_off < w AND NOT (has_hole AND px_off > 1 AND px_off < 1 + hw)
+        END AS inside
+      FROM b ORDER BY c_custkey""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,

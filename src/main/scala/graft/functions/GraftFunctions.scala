@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.GraftBridge
 
 /**
@@ -173,6 +173,20 @@ object GraftFunctions {
   def bpeMerge(syms: Column, a: Column, b: Column): Column =
     c(BpeMerge(e(syms), e(a), e(b)))
 
+  /** Shoelace area of a WKT POLYGON, holes subtracted (Presto ST_Area
+    * over a multi-ring polygon); null on malformed text. */
+  def stAreaWkt(text: Column): Column = c(StAreaWkt(e(text)))
+
+  /** Point containment in a WKT POLYGON honoring holes (Presto
+    * ST_Contains, polygon-with-interior-rings case); null on malformed
+    * text. */
+  def stContainsWkt(text: Column, x: Column, y: Column): Column =
+    c(StContainsWkt(e(text), e(x.cast("double")), e(y.cast("double"))))
+
+  /** Hole count of a WKT POLYGON (Presto ST_NumInteriorRing). */
+  def stNumInteriorRings(text: Column): Column =
+    c(StNumInteriorRings(e(text)))
+
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
     * so a blind asInstanceOf[Long] would ClassCastException on the natural
@@ -218,6 +232,12 @@ object GraftFunctions {
       literalInt("hashed_ngram_buckets", args(2)))),
     "hashed_ngram_score" -> (args => HashedNgramScore(args(0),
       literalLong("hashed_ngram_score", args(1)))),
+    "st_area_wkt" -> (args => StAreaWkt(args.head)),
+    // SQL literals like 1.5 parse as DECIMAL(2,1) — coerce coordinates
+    // to double so the SQL surface matches the typed-column surface
+    "st_contains_wkt" -> (args => StContainsWkt(args(0),
+      Cast(args(1), DoubleType), Cast(args(2), DoubleType))),
+    "st_num_interior_rings" -> (args => StNumInteriorRings(args.head)),
     "geometric_mean" -> (args => GeometricMean(args.head).toAggregateExpression()),
     "haversine_km" -> (args => HaversineKm(args(0), args(1), args(2), args(3))),
     "point_in_polygon" -> (args => PointInPolygon(args(0), args(1), args(2), args(3))),

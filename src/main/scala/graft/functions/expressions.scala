@@ -642,6 +642,142 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /**
+   * Parse a WKT POLYGON with any number of rings (outer + holes) into
+   * per-ring coordinate arrays — the multi-ring step past [[wktParse]]'s
+   * single-ring subset (Presto's geometry model: polygon = shell +
+   * interior rings). Null on ANY malformed input (same total-function
+   * contract): wrong tag, unclosed ring, ring with < 4 points, Z/M
+   * coordinates, trailing garbage. `POLYGON EMPTY` parses to zero rings.
+   * Kept internal: the public kernels below compute area / containment /
+   * ring count in the SAME pass so no nested-array geometry is ever
+   * materialized in a row (at 100 TB the per-row geometry object is
+   * allocation churn; the scalar answer is what queries consume).
+   */
+  private def parsePolygonRings(s: UTF8String): Array[Array[Double]] = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var bad = false
+    def skipWs(): Unit = { while (i < n && Character.isWhitespace(str.charAt(i))) i += 1 }
+    def eat(c: Char): Boolean = {
+      skipWs()
+      if (i < n && str.charAt(i) == c) { i += 1; true } else { bad = true; false }
+    }
+    def readNum(): Double = {
+      skipWs()
+      val st = i
+      while (i < n && (str.charAt(i) match {
+        case '+' | '-' | '.' | 'e' | 'E' => true
+        case ch => ch >= '0' && ch <= '9'
+      })) i += 1
+      if (i == st) { bad = true; 0.0 }
+      else try java.lang.Double.parseDouble(str.substring(st, i))
+      catch { case _: NumberFormatException => bad = true; 0.0 }
+    }
+    skipWs()
+    val tagStart = i
+    while (i < n && Character.isLetter(str.charAt(i))) i += 1
+    if (!str.substring(tagStart, i).equalsIgnoreCase("POLYGON")) return null
+    skipWs()
+    if (i + 5 <= n && str.regionMatches(true, i, "EMPTY", 0, 5)) {
+      i += 5
+      skipWs()
+      return if (i == n) Array.empty else null
+    }
+    // rings: interleaved [x0, y0, x1, y1, ...] per ring
+    val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    if (eat('(')) {
+      var moreRings = true
+      while (moreRings && !bad) {
+        val coords = new scala.collection.mutable.ArrayBuffer[Double]()
+        if (eat('(')) {
+          var more = true
+          while (more && !bad) {
+            coords += readNum(); coords += readNum()
+            skipWs()
+            if (i < n && str.charAt(i) == ',') i += 1
+            else { more = false; eat(')') }
+          }
+        }
+        val m = coords.length / 2
+        if (!bad && (m < 4 ||
+            coords(0) != coords(coords.length - 2) ||
+            coords(1) != coords(coords.length - 1))) bad = true
+        if (!bad) rings += coords.toArray
+        skipWs()
+        if (i < n && str.charAt(i) == ',') i += 1
+        else { moreRings = false; eat(')') }
+      }
+    }
+    skipWs()
+    if (bad || i != n || rings.isEmpty) null else rings.toArray
+  }
+
+  /** Shoelace area of one interleaved closed ring. */
+  @inline private def interleavedRingArea(r: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < r.length - 2) {
+      acc += r(i) * r(i + 3) - r(i + 2) * r(i + 1)
+      i += 2
+    }
+    0.5 * math.abs(acc)
+  }
+
+  /** Ray-cast point-in-ring over one interleaved closed ring — the same
+    * strict-comparison formula as [[pointInPolygon]]. */
+  @inline private def interleavedPointInRing(px: Double, py: Double,
+      r: Array[Double]): Boolean = {
+    var inside = false
+    var i = 0
+    while (i < r.length - 2) {
+      val x1 = r(i); val y1 = r(i + 1); val x2 = r(i + 2); val y2 = r(i + 3)
+      if ((y1 > py) != (y2 > py) &&
+          px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) inside = !inside
+      i += 2
+    }
+    inside
+  }
+
+  /** st_area over WKT POLYGON text, holes subtracted (Presto ST_Area of
+    * a holed polygon: shoelace of the shell minus shoelace of each
+    * interior ring) — parse + area in ONE pass, null on malformed,
+    * 0.0 for POLYGON EMPTY. */
+  def stAreaWkt(s: UTF8String): java.lang.Double = {
+    val rings = parsePolygonRings(s)
+    if (rings == null) return null
+    if (rings.isEmpty) return java.lang.Double.valueOf(0.0)
+    var a = interleavedRingArea(rings(0))
+    var i = 1
+    while (i < rings.length) { a -= interleavedRingArea(rings(i)); i += 1 }
+    java.lang.Double.valueOf(a)
+  }
+
+  /** ST_Contains(WKT polygon, point): inside the shell and not inside
+    * any hole (point-in-ring XOR over the ring list — correct for the
+    * standard disjoint-holes polygon model). Null on malformed text,
+    * false for POLYGON EMPTY. */
+  def stContainsWkt(s: UTF8String, px: Double, py: Double): java.lang.Boolean = {
+    val rings = parsePolygonRings(s)
+    if (rings == null) return null
+    var inside = false
+    var i = 0
+    while (i < rings.length) {
+      if (interleavedPointInRing(px, py, rings(i))) inside = !inside
+      i += 1
+    }
+    java.lang.Boolean.valueOf(inside)
+  }
+
+  /** Presto ST_NumInteriorRing: hole count of a WKT polygon (0 for
+    * EMPTY), null on malformed text. */
+  def stNumInteriorRings(s: UTF8String): java.lang.Integer = {
+    val rings = parsePolygonRings(s)
+    if (rings == null) null
+    else java.lang.Integer.valueOf(math.max(0, rings.length - 1))
+  }
+
   /** FNV-1a64 fold of one byte array into a running hash (no finalizer). */
   @inline private def fnvFold(h0: Long, bytes: Array[Byte]): Long = {
     var h = h0
@@ -1551,6 +1687,87 @@ case class WktParse(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(c: Expression): WktParse =
+    copy(child = c)
+}
+
+/** st_area_wkt(string) -> double — shoelace area of a WKT POLYGON with
+  * holes subtracted; parse + area in one codegen pass, null on malformed
+  * text (see [[Kernels.stAreaWkt]]). */
+case class StAreaWkt(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.stAreaWkt(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("areaRes")
+      s"""
+      java.lang.Double $tmp = graft.functions.Kernels.stAreaWkt($c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): StAreaWkt =
+    copy(child = c)
+}
+
+/** st_contains_wkt(string, x, y) -> boolean — point containment in a WKT
+  * POLYGON honoring holes (in shell, not in any hole); null on malformed
+  * text (see [[Kernels.stContainsWkt]]). */
+case class StContainsWkt(first: Expression, second: Expression,
+                         third: Expression)
+  extends TernaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(w: Any, x: Any, y: Any): Any =
+    Kernels.stContainsWkt(w.asInstanceOf[UTF8String],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { (w, x, y) =>
+      val tmp = ctx.freshName("containsRes")
+      s"""
+      java.lang.Boolean $tmp = graft.functions.Kernels.stContainsWkt($w, $x, $y);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.booleanValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): StContainsWkt =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_num_interior_rings(string) -> int — hole count of a WKT POLYGON
+  * (Presto ST_NumInteriorRing); null on malformed text. */
+case class StNumInteriorRings(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.stNumInteriorRings(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("nringsRes")
+      s"""
+      java.lang.Integer $tmp = graft.functions.Kernels.stNumInteriorRings($c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.intValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): StNumInteriorRings =
     copy(child = c)
 }
 

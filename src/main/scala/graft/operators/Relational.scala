@@ -2340,4 +2340,51 @@ object Relational {
         when(isLine, closed && size(col("g.xs")) >= 4).as("is_ring"))
       .orderBy(col("c_custkey"))
   }
+
+  /** q140: multi-ring (holed) polygons through the WKT front door —
+    * the first real-user geometry step past the single-ring subset
+    * (Presto's polygon model is shell + interior rings; ST_Area
+    * subtracts holes, ST_Contains honors them, ST_NumInteriorRing
+    * counts them — Presto geospatial docs). Each customer builds a
+    * deterministic axis-aligned rectangle, two thirds with one
+    * rectangular hole, plus POLYGON EMPTY and malformed-text branches
+    * so the total-function null contract rides in the hash. The three
+    * kernels parse + answer in ONE codegen pass over the text — no
+    * nested ring arrays ever materialize in a row (at 100 TB the
+    * geometry stays inside the scan projection; only three scalars
+    * leave it, zero shuffles before the presentation sort). The probe
+    * point steps across the polygon so containment exercises inside /
+    * in-hole / outside-shell on .5 offsets that never touch an edge;
+    * the oracle replays area and containment in closed form from the
+    * keys — it never parses WKT, so a parser defect on any ring forks
+    * the hash. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{stAreaWkt, stContainsWkt, stNumInteriorRings}
+    val k = col("c_custkey")
+    def t(v: Column): Column = v.cast("string")
+    val ox = k % 50; val oy = k % 40
+    val w = k % 7 + 4; val h = k % 5 + 3
+    val hw = k % 2 + 1 // hole is hw x 1 at (ox+1, oy+1)
+    def pt(x: Column, y: Column): Column = concat(t(x), lit(" "), t(y))
+    val outer = concat(lit("("),
+      pt(ox, oy), lit(", "), pt(ox + w, oy), lit(", "),
+      pt(ox + w, oy + h), lit(", "), pt(ox, oy + h), lit(", "),
+      pt(ox, oy), lit(")"))
+    val hole = concat(lit("("),
+      pt(ox + 1, oy + 1), lit(", "), pt(ox + 1 + hw, oy + 1), lit(", "),
+      pt(ox + 1 + hw, oy + 2), lit(", "), pt(ox + 1, oy + 2), lit(", "),
+      pt(ox + 1, oy + 1), lit(")"))
+    val wkt = when(k % 97 === 0, lit("POLYGON ((0 0, 1 1")) // malformed
+      .when(k % 89 === 0, lit("POLYGON EMPTY"))
+      .when(k % 3 =!= 0, concat(lit("POLYGON ("), outer, lit(", "), hole, lit(")")))
+      .otherwise(concat(lit("POLYGON ("), outer, lit(")")))
+    val px = ox.cast("double") + (k % 5).cast("double") + 0.5
+    val py = oy.cast("double") + 1.5
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        stNumInteriorRings(wkt).as("n_holes"),
+        stAreaWkt(wkt).as("area"),
+        stContainsWkt(wkt, px, py).as("inside"))
+      .orderBy(col("c_custkey"))
+  }
 }

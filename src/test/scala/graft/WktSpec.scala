@@ -140,4 +140,62 @@ class WktSpec extends GraftSpec {
       assert(polys.filter($"n_points" =!= 4 || $"is_closed".isNotNull).isEmpty)
     } finally rows.unpersist()
   }
+
+  test("holed polygons: area subtracts holes, containment honors them") {
+    // 10x10 shell with a 2x2 hole; non-axis-aligned triangle hole too
+    def area(w: String): Option[Double] =
+      Option(spark.range(1).select(stAreaWkt(lit(w))).head().getAs[java.lang.Double](0))
+        .map(_.doubleValue())
+    def inside(w: String, x: Double, y: Double): Option[Boolean] =
+      Option(spark.range(1).select(stContainsWkt(lit(w), lit(x), lit(y)))
+        .head().getAs[java.lang.Boolean](0)).map(_.booleanValue())
+    def holes(w: String): Option[Int] =
+      Option(spark.range(1).select(stNumInteriorRings(lit(w)))
+        .head().getAs[java.lang.Integer](0)).map(_.intValue())
+    val shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+    val box = s"POLYGON ($shell)"
+    val holed = s"POLYGON ($shell, (2 2, 4 2, 4 4, 2 4, 2 2))"
+    val twoHoles = s"POLYGON ($shell, (2 2, 4 2, 4 4, 2 4, 2 2), (6 6, 8 6, 7 8, 6 6))"
+    assert(area(box).contains(100.0))
+    assert(area(holed).contains(96.0))
+    assert(area(twoHoles).contains(94.0)) // triangle hole area 2
+    assert(holes(box).contains(0) && holes(holed).contains(1) &&
+      holes(twoHoles).contains(2))
+    // containment: in shell, in hole, outside shell
+    assert(inside(holed, 5.0, 5.0).contains(true))
+    assert(inside(holed, 3.0, 3.0).contains(false)) // inside the hole
+    assert(inside(holed, 11.0, 5.0).contains(false))
+    assert(inside(box, 3.0, 3.0).contains(true))    // no hole there
+    // POLYGON EMPTY: zero area, zero holes, contains nothing
+    assert(area("POLYGON EMPTY").contains(0.0))
+    assert(holes("POLYGON EMPTY").contains(0))
+    assert(inside("POLYGON EMPTY", 0.0, 0.0).contains(false))
+  }
+
+  test("holed polygons: malformed text -> null, case by case") {
+    def area(w: String) = spark.range(1).select(stAreaWkt(lit(w))).head().isNullAt(0)
+    val shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+    Seq(
+      "LINESTRING (0 0, 1 1)",                       // wrong tag
+      s"POLYGON ($shell, (2 2, 4 2, 4 4, 2 4))",     // unclosed hole
+      s"POLYGON ($shell, (2 2, 4 4, 2 2))",          // hole with < 4 pts
+      s"POLYGON ($shell",                            // missing outer paren
+      s"POLYGON ($shell) extra",                     // trailing garbage
+      "POLYGON ((0 0 5, 1 0 5, 1 1 5, 0 0 5))",      // Z coordinates
+      "POLYGON (())",                                // empty ring
+      "POLYGON"                                      // bare tag
+    ).foreach(w => assert(area(w), s"must be null: $w"))
+    // all three kernels agree on the null contract
+    val bad = s"POLYGON ($shell, (2 2, 4 2, 4 4, 2 4))"
+    val r = spark.range(1).select(stAreaWkt(lit(bad)), stContainsWkt(lit(bad),
+      lit(1.0), lit(1.0)), stNumInteriorRings(lit(bad))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // SQL surface serves the family
+    graft.functions.GraftFunctions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT st_area_wkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))') AS a, " +
+      "st_contains_wkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 1.5, 1.5) AS c, " +
+      "st_num_interior_rings('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS n").head()
+    assert(viaSql.getDouble(0) == 15.0 && viaSql.getBoolean(1) && viaSql.getInt(2) == 0)
+  }
 }
