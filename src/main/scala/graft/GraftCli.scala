@@ -42,10 +42,14 @@ import graft.sources.Tables
 object GraftCli {
 
   /** One session wired for SQL text: all tables as views + graft functions
-    * registered. The same wiring a JDBC/Thrift deployment would do once. */
+    * registered. The same wiring a JDBC/Thrift deployment would do once.
+    * The warehouse dir rides in the session conf so statement routes
+    * that need the backing files (ANALYZE's external-table
+    * registration) can find them without re-plumbing every signature. */
   def open(spark: SparkSession, sfDir: String): SparkSession = {
     Tables.registerAll(spark, sfDir)
     GraftFunctions.install(spark)
+    spark.conf.set("spark.graft.sfDir", sfDir)
     spark
   }
 
@@ -193,6 +197,13 @@ object GraftCli {
   // Presto client drives). Spark's SET statement exists but exposes raw
   // conf keys; the CLI serves the Presto-named property catalog below,
   // each mapped to the Spark conf that honestly implements it.
+  // Presto's ANALYZE statement: collect table + column statistics for
+  // the cost-based planner (Presto docs, ANALYZE). Spark's ANALYZE TABLE
+  // needs a catalog entry (temp views carry no stats), so the route
+  // registers the parquet-backed table as an EXTERNAL catalog table (no
+  // copy) and runs FOR ALL COLUMNS — the stats SHOW STATS reports and
+  // plans.CboSupport.withCbo turns into join-order decisions.
+  private val Analyze = "(?is)^\\s*ANALYZE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   private val SetSession = "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*=\\s*(.+?)\\s*$".r
   private val ResetSession = "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   private val ShowSession = "(?is)^\\s*SHOW\\s+SESSION\\s*$".r
@@ -523,6 +534,16 @@ object GraftCli {
       case ShowStats(mode, table) =>
         render(showStats(spark, table,
           exact = mode != null && mode.equalsIgnoreCase("EXACT")), format, out)
+      case Analyze(table) =>
+        val t = table.toLowerCase(java.util.Locale.ROOT)
+        if (!Tables.all.contains(t)) throw new IllegalArgumentException(
+          s"ANALYZE: unknown table $t (warehouse tables: ${Tables.all.mkString(", ")})")
+        val dir = spark.conf.getOption("spark.graft.sfDir").getOrElse(
+          throw new IllegalStateException("ANALYZE: session has no warehouse dir"))
+        graft.plans.CboSupport.registerWithStats(spark, dir, Seq(t))
+        err.println(s"[graft-cli] ANALYZE $t -> catalog table " +
+          s"${graft.plans.CboSupport.tableName(t)} (row count + column stats " +
+          "recorded; enable CBO to feed the planner)")
       case SetSession(name, value) =>
         setSession(spark, name, value)
         err.println(s"[graft-cli] SET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")

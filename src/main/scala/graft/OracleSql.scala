@@ -4431,10 +4431,15 @@ object OracleSql {
       v AS (SELECT COUNT(DISTINCT tok) AS vocab
             FROM (SELECT unnest(ws) AS tok FROM rw)),
       sc AS (
+        -- 4dp HALF_UP of sum/count in exact INTEGER space (micro-unit
+        -- long + (S + 50n) // (100n)), mirroring the Spark side: a
+        -- round() after the double division forks on .xxxx5 sums (4 of
+        -- 50k docs at sf1.0)
         SELECT doc_id, COUNT(*) AS n_bigrams,
-          round(CAST(-SUM(CAST(ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE) /
+          ((CAST(-SUM(CAST(ln(CAST(COALESCE(c2, 0) + 1 AS DOUBLE) /
               CAST(COALESCE(c1, 0) + vocab AS DOUBLE)) AS DECIMAL(18,6)))
-            AS DOUBLE) / COUNT(*), 4) AS score
+              * 1000000 AS BIGINT)
+            + 50 * COUNT(*)) // (100 * COUNT(*))) / 10000.0 AS score
         FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v
         GROUP BY doc_id),
       ks AS (SELECT GREATEST(1, (333333 * COUNT(*) + 999999) // 1000000) AS k1,

@@ -809,9 +809,21 @@ object TextAnalysis {
         log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")).as("logp"))
       .groupBy(col("doc_id"))
+      // 4dp HALF_UP rounding of sum/count happens in exact INTEGER
+      // space: the per-ln DECIMAL(18,6) sum scales to whole micro-units
+      // (a long, exact), and round(S/(1e6·n), 4) = (S + 50n) div (100n)
+      // for the strictly positive S here. Rounding after a DOUBLE
+      // division forked 4 of 50k docs at sf1.0 on .xxxx5 boundaries
+      // (one ulp below the tie in IEEE, at the tie in DuckDB's exact
+      // decimal path) — found by the r13 scale decade, the same trap
+      // t25 pinned for the 6→4 scale reduction. The final /10000.0 is
+      // one IEEE divide of an integer both engines share bit-for-bit.
       .agg(count(lit(1)).as("n_bigrams"),
-        round((-sum(col("logp").cast(DecimalType(18, 6)))).cast("double") /
-          count(lit(1)), 4).as("score"))
+        (sum(col("logp").cast(DecimalType(18, 6))) * lit(-1000000L))
+          .cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(s_micro + 50 * n_bigrams) DIV (100 * n_bigrams)")
+          .cast("double") / 10000.0).as("score"))
     val cuts = graft.operators.ExactSelection.percentilesDisc(
         scored.select(lit("all").as("g"), col("score").as("x")),
         Seq(0.3333333333333333, 0.6666666666666666))

@@ -431,6 +431,33 @@ class CliSpec extends GraftSpec {
       .queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
   }
 
+  test("ANALYZE registers a stats-bearing catalog table through the real main") {
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val savedE = System.err
+    System.setErr(errP)
+    try GraftCli.main(Array(sf, "ANALYZE region"))
+    finally { System.setErr(savedE); errP.flush() }
+    val err = new String(errB.toByteArray, "UTF-8")
+    assert(err.linesIterator.exists(_.startsWith("[graft-cli] ANALYZE region")), err)
+    try {
+      // the catalog entry carries the ANALYZE'd statistics CBO reads
+      val stats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("cbo_region"))
+        .stats
+      assert(stats.exists(_.rowCount.contains(BigInt(5))), s"stats: $stats")
+      assert(stats.exists(_.colStats.contains("r_name")))
+      // misuse: a non-warehouse name is a statement-scoped error
+      val errB2 = new java.io.ByteArrayOutputStream()
+      val errP2 = new java.io.PrintStream(errB2, true, "UTF-8")
+      System.setErr(errP2)
+      try GraftCli.main(Array(sf, "ANALYZE nosuchtable"))
+      finally { System.setErr(savedE); errP2.flush() }
+      assert(new String(errB2.toByteArray, "UTF-8").linesIterator
+        .exists(_.startsWith("[graft-cli] error:")))
+    } finally graft.plans.CboSupport.unregister(spark, Seq("region"))
+  }
+
   test("query_max_memory_per_task maps to the AQE advisory partition size") {
     val s = GraftCli.open(spark, sf)
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
