@@ -3778,6 +3778,36 @@ object OracleSql {
         END AS inside
       FROM b ORDER BY c_custkey""",
 
+    // q141: multipolygon replay in closed form (two disjoint boxes,
+    // optional 1x1 hole in part B on even keys). n_holes is NULL on
+    // every row BY CONTRACT — Presto's ST_NumInteriorRing is defined
+    // for polygons only, so the multipolygon input answers null; the
+    // oracle pins that the Spark side honors the restriction rather
+    // than helpfully summing holes across parts.
+    "q141_multipolygon" -> """
+      WITH b AS (
+        SELECT c_custkey,
+          c_custkey % 4 + 2 AS w1, c_custkey % 3 + 2 AS h1,
+          c_custkey % 5 + 5 AS w2, c_custkey % 4 + 4 AS h2,
+          (c_custkey % 2) = 0 AS has_hole,
+          0.5 + (c_custkey % 3) AS px_off
+        FROM customer)
+      SELECT c_custkey,
+        CAST(CASE WHEN c_custkey % 101 = 0 THEN NULL
+             WHEN c_custkey % 103 = 0 THEN 0 ELSE 2 END AS INTEGER) AS n_geoms,
+        CAST(NULL AS INTEGER) AS n_holes,
+        CAST(CASE WHEN c_custkey % 101 = 0 THEN NULL
+             WHEN c_custkey % 103 = 0 THEN 0
+             ELSE w1 * h1 + w2 * h2 - CASE WHEN has_hole THEN 1 ELSE 0 END
+        END AS DOUBLE) AS area,
+        CASE WHEN c_custkey % 101 = 0 THEN NULL
+             WHEN c_custkey % 103 = 0 THEN FALSE
+             ELSE px_off < w1 END AS inside_a,
+        CASE WHEN c_custkey % 101 = 0 THEN NULL
+             WHEN c_custkey % 103 = 0 THEN FALSE
+             ELSE NOT has_hole END AS inside_b
+      FROM b ORDER BY c_custkey""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,

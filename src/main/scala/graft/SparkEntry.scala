@@ -231,6 +231,7 @@ object SparkEntry {
     "q138_wkt_front_door" -> (Relational.q138 _),
     "q139_st_accessors" -> (Relational.q139 _),
     "q140_polygon_holes" -> (Relational.q140 _),
+    "q141_multipolygon" -> (Relational.q141 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),

@@ -183,9 +183,14 @@ object GraftFunctions {
   def stContainsWkt(text: Column, x: Column, y: Column): Column =
     c(StContainsWkt(e(text), e(x.cast("double")), e(y.cast("double"))))
 
-  /** Hole count of a WKT POLYGON (Presto ST_NumInteriorRing). */
+  /** Hole count of a WKT POLYGON (Presto ST_NumInteriorRing; null for
+    * MULTIPOLYGON — Presto defines it on polygons only). */
   def stNumInteriorRings(text: Column): Column =
     c(StNumInteriorRings(e(text)))
+
+  /** Part count of a WKT POLYGON / MULTIPOLYGON (Presto
+    * ST_NumGeometries). */
+  def stNumGeometries(text: Column): Column = c(StNumGeometries(e(text)))
 
   /** Extract a foldable integral argument from a SQL call site. A plain SQL
     * integer literal parses as Literal(_, IntegerType) (java.lang.Integer),
@@ -238,6 +243,7 @@ object GraftFunctions {
     "st_contains_wkt" -> (args => StContainsWkt(args(0),
       Cast(args(1), DoubleType), Cast(args(2), DoubleType))),
     "st_num_interior_rings" -> (args => StNumInteriorRings(args.head)),
+    "st_num_geometries" -> (args => StNumGeometries(args.head)),
     "geometric_mean" -> (args => GeometricMean(args.head).toAggregateExpression()),
     "haversine_km" -> (args => HaversineKm(args(0), args(1), args(2), args(3))),
     "point_in_polygon" -> (args => PointInPolygon(args(0), args(1), args(2), args(3))),

@@ -643,18 +643,21 @@ object Kernels {
   }
 
   /**
-   * Parse a WKT POLYGON with any number of rings (outer + holes) into
-   * per-ring coordinate arrays — the multi-ring step past [[wktParse]]'s
-   * single-ring subset (Presto's geometry model: polygon = shell +
-   * interior rings). Null on ANY malformed input (same total-function
-   * contract): wrong tag, unclosed ring, ring with < 4 points, Z/M
-   * coordinates, trailing garbage. `POLYGON EMPTY` parses to zero rings.
+   * Parse a WKT POLYGON or MULTIPOLYGON into per-polygon ring lists —
+   * the multi-ring / multi-part step past [[wktParse]]'s single-ring
+   * subset (Presto's geometry model: polygon = shell + interior rings;
+   * multipolygon = list of polygons). Null on ANY malformed input (same
+   * total-function contract): wrong tag, unclosed ring, ring with < 4
+   * points, Z/M coordinates, missing parens, trailing garbage.
+   * `POLYGON EMPTY` / `MULTIPOLYGON EMPTY` parse to zero polygons.
+   * Output: polygons → rings → interleaved [x0,y0,x1,y1,…]; each
+   * polygon's ring 0 is its shell, the rest are holes (WKT order).
    * Kept internal: the public kernels below compute area / containment /
    * ring count in the SAME pass so no nested-array geometry is ever
    * materialized in a row (at 100 TB the per-row geometry object is
    * allocation churn; the scalar answer is what queries consume).
    */
-  private def parsePolygonRings(s: UTF8String): Array[Array[Double]] = {
+  private def parseWktPolygons(s: UTF8String): Array[Array[Array[Double]]] = {
     val str = s.toString
     val n = str.length
     var i = 0
@@ -675,43 +678,74 @@ object Kernels {
       else try java.lang.Double.parseDouble(str.substring(st, i))
       catch { case _: NumberFormatException => bad = true; 0.0 }
     }
+    // one '('-wrapped ring list: (x y, ...), (x y, ...) — shared by the
+    // POLYGON body and each MULTIPOLYGON element
+    def readPolygon(): Array[Array[Double]] = {
+      val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      if (eat('(')) {
+        var moreRings = true
+        while (moreRings && !bad) {
+          val coords = new scala.collection.mutable.ArrayBuffer[Double]()
+          if (eat('(')) {
+            var more = true
+            while (more && !bad) {
+              coords += readNum(); coords += readNum()
+              skipWs()
+              if (i < n && str.charAt(i) == ',') i += 1
+              else { more = false; eat(')') }
+            }
+          }
+          val m = coords.length / 2
+          if (!bad && (m < 4 ||
+              coords(0) != coords(coords.length - 2) ||
+              coords(1) != coords(coords.length - 1))) bad = true
+          if (!bad) rings += coords.toArray
+          skipWs()
+          if (i < n && str.charAt(i) == ',') i += 1
+          else { moreRings = false; eat(')') }
+        }
+      }
+      if (bad || rings.isEmpty) null else rings.toArray
+    }
     skipWs()
     val tagStart = i
     while (i < n && Character.isLetter(str.charAt(i))) i += 1
-    if (!str.substring(tagStart, i).equalsIgnoreCase("POLYGON")) return null
+    val tag = str.substring(tagStart, i).toUpperCase(java.util.Locale.ROOT)
+    if (tag != "POLYGON" && tag != "MULTIPOLYGON") return null
     skipWs()
     if (i + 5 <= n && str.regionMatches(true, i, "EMPTY", 0, 5)) {
       i += 5
       skipWs()
       return if (i == n) Array.empty else null
     }
-    // rings: interleaved [x0, y0, x1, y1, ...] per ring
-    val rings = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    if (eat('(')) {
-      var moreRings = true
-      while (moreRings && !bad) {
-        val coords = new scala.collection.mutable.ArrayBuffer[Double]()
-        if (eat('(')) {
-          var more = true
-          while (more && !bad) {
-            coords += readNum(); coords += readNum()
-            skipWs()
-            if (i < n && str.charAt(i) == ',') i += 1
-            else { more = false; eat(')') }
-          }
-        }
-        val m = coords.length / 2
-        if (!bad && (m < 4 ||
-            coords(0) != coords(coords.length - 2) ||
-            coords(1) != coords(coords.length - 1))) bad = true
-        if (!bad) rings += coords.toArray
+    val polys = new scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]()
+    if (tag == "POLYGON") {
+      val p = readPolygon()
+      if (p != null) polys += p
+    } else if (eat('(')) {
+      var morePolys = true
+      while (morePolys && !bad) {
+        val p = readPolygon()
+        if (p == null) bad = true else polys += p
         skipWs()
         if (i < n && str.charAt(i) == ',') i += 1
-        else { moreRings = false; eat(')') }
+        else { morePolys = false; eat(')') }
       }
     }
     skipWs()
-    if (bad || i != n || rings.isEmpty) null else rings.toArray
+    if (bad || i != n || polys.isEmpty) null else polys.toArray
+  }
+
+  /** True when the WKT tag is POLYGON (not MULTIPOLYGON) — for the
+    * accessors Presto defines on polygons only. */
+  @inline private def wktTagIsPolygon(s: UTF8String): Boolean = {
+    val str = s.toString
+    var i = 0
+    val n = str.length
+    while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+    val st = i
+    while (i < n && Character.isLetter(str.charAt(i))) i += 1
+    str.substring(st, i).equalsIgnoreCase("POLYGON")
   }
 
   /** Shoelace area of one interleaved closed ring. */
@@ -740,42 +774,64 @@ object Kernels {
     inside
   }
 
-  /** st_area over WKT POLYGON text, holes subtracted (Presto ST_Area of
-    * a holed polygon: shoelace of the shell minus shoelace of each
-    * interior ring) — parse + area in ONE pass, null on malformed,
-    * 0.0 for POLYGON EMPTY. */
+  /** st_area over WKT POLYGON / MULTIPOLYGON text, holes subtracted
+    * (Presto ST_Area: per polygon, shoelace of the shell minus shoelace
+    * of each interior ring; summed across a multipolygon's parts) —
+    * parse + area in ONE pass, null on malformed, 0.0 for EMPTY. */
   def stAreaWkt(s: UTF8String): java.lang.Double = {
-    val rings = parsePolygonRings(s)
-    if (rings == null) return null
-    if (rings.isEmpty) return java.lang.Double.valueOf(0.0)
-    var a = interleavedRingArea(rings(0))
-    var i = 1
-    while (i < rings.length) { a -= interleavedRingArea(rings(i)); i += 1 }
+    val polys = parseWktPolygons(s)
+    if (polys == null) return null
+    var a = 0.0
+    var p = 0
+    while (p < polys.length) {
+      val rings = polys(p)
+      a += interleavedRingArea(rings(0))
+      var i = 1
+      while (i < rings.length) { a -= interleavedRingArea(rings(i)); i += 1 }
+      p += 1
+    }
     java.lang.Double.valueOf(a)
   }
 
-  /** ST_Contains(WKT polygon, point): inside the shell and not inside
-    * any hole (point-in-ring XOR over the ring list — correct for the
-    * standard disjoint-holes polygon model). Null on malformed text,
-    * false for POLYGON EMPTY. */
+  /** ST_Contains(WKT polygon/multipolygon, point): inside any part's
+    * shell and not inside that part's holes (point-in-ring XOR per
+    * polygon, OR across parts — correct for the standard disjoint
+    * model). Null on malformed text, false for EMPTY. */
   def stContainsWkt(s: UTF8String, px: Double, py: Double): java.lang.Boolean = {
-    val rings = parsePolygonRings(s)
-    if (rings == null) return null
-    var inside = false
-    var i = 0
-    while (i < rings.length) {
-      if (interleavedPointInRing(px, py, rings(i))) inside = !inside
-      i += 1
+    val polys = parseWktPolygons(s)
+    if (polys == null) return null
+    var any = false
+    var p = 0
+    while (p < polys.length && !any) {
+      val rings = polys(p)
+      var inside = false
+      var i = 0
+      while (i < rings.length) {
+        if (interleavedPointInRing(px, py, rings(i))) inside = !inside
+        i += 1
+      }
+      any = inside
+      p += 1
     }
-    java.lang.Boolean.valueOf(inside)
+    java.lang.Boolean.valueOf(any)
   }
 
-  /** Presto ST_NumInteriorRing: hole count of a WKT polygon (0 for
-    * EMPTY), null on malformed text. */
+  /** Presto ST_NumInteriorRing: hole count of a WKT POLYGON (0 for
+    * EMPTY). Null on malformed text AND on MULTIPOLYGON — Presto
+    * defines the accessor for polygons only. */
   def stNumInteriorRings(s: UTF8String): java.lang.Integer = {
-    val rings = parsePolygonRings(s)
-    if (rings == null) null
-    else java.lang.Integer.valueOf(math.max(0, rings.length - 1))
+    if (!wktTagIsPolygon(s)) return null
+    val polys = parseWktPolygons(s)
+    if (polys == null) null
+    else if (polys.isEmpty) java.lang.Integer.valueOf(0)
+    else java.lang.Integer.valueOf(polys(0).length - 1)
+  }
+
+  /** Presto ST_NumGeometries over the polygon family: 1 for POLYGON,
+    * part count for MULTIPOLYGON, 0 for EMPTY; null on malformed. */
+  def stNumGeometries(s: UTF8String): java.lang.Integer = {
+    val polys = parseWktPolygons(s)
+    if (polys == null) null else java.lang.Integer.valueOf(polys.length)
   }
 
   /** FNV-1a64 fold of one byte array into a running hash (no finalizer). */
@@ -1768,6 +1824,31 @@ case class StNumInteriorRings(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): StNumInteriorRings =
+    copy(child = c)
+}
+
+/** st_num_geometries(string) -> int — part count of a WKT POLYGON /
+  * MULTIPOLYGON (Presto ST_NumGeometries); null on malformed text. */
+case class StNumGeometries(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.stNumGeometries(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("ngeomRes")
+      s"""
+      java.lang.Integer $tmp = graft.functions.Kernels.stNumGeometries($c);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.intValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): StNumGeometries =
     copy(child = c)
 }
 

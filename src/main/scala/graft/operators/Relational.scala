@@ -2387,4 +2387,55 @@ object Relational {
         stContainsWkt(wkt, px, py).as("inside"))
       .orderBy(col("c_custkey"))
   }
+
+  /** q141: MULTIPOLYGON through the WKT front door (Presto
+    * ST_GeometryFromText accepts multi-part geometries; ST_Area sums
+    * parts, ST_Contains answers across parts, ST_NumGeometries counts
+    * them, and ST_NumInteriorRing stays a POLYGON-only accessor — its
+    * NULL here pins Presto's own contract). Each customer builds two
+    * DISJOINT axis-aligned parts 100 units apart — part B carries a
+    * 1x1 hole on even keys — plus MULTIPOLYGON EMPTY and malformed
+    * branches. Two probe points: one stepping across part A (so
+    * multi-part containment must find the right part), one inside
+    * part B's hole region (so hole-XOR composes with the across-parts
+    * OR). Same execution shape as q140: three scalars and a count out
+    * of one codegen parse per row, zero shuffles before the
+    * presentation sort; the oracle replays everything in closed form
+    * from key arithmetic, never parsing WKT. */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.{stAreaWkt, stContainsWkt, stNumGeometries, stNumInteriorRings}
+    val k = col("c_custkey")
+    def t(v: Column): Column = v.cast("string")
+    val ax = k % 30; val ay = k % 20
+    val w1 = k % 4 + 2; val h1 = k % 3 + 2
+    val bx = ax + 100; val by = ay
+    val w2 = k % 5 + 5; val h2 = k % 4 + 4
+    def ring(x: Column, y: Column, w: Column, h: Column): Column =
+      concat(lit("("), t(x), lit(" "), t(y), lit(", "),
+        t(x + w), lit(" "), t(y), lit(", "),
+        t(x + w), lit(" "), t(y + h), lit(", "),
+        t(x), lit(" "), t(y + h), lit(", "),
+        t(x), lit(" "), t(y), lit(")"))
+    val partA = concat(lit("("), ring(ax, ay, w1, h1), lit(")"))
+    val hole = ring(bx + 1, by + 1, lit(1), lit(1))
+    val partB = when(k % 2 === 0,
+        concat(lit("("), ring(bx, by, w2, h2), lit(", "), hole, lit(")")))
+      .otherwise(concat(lit("("), ring(bx, by, w2, h2), lit(")")))
+    val wkt = when(k % 101 === 0, lit("MULTIPOLYGON ((0 0, 1 1))")) // ring not nested
+      .when(k % 103 === 0, lit("MULTIPOLYGON EMPTY"))
+      .otherwise(concat(lit("MULTIPOLYGON ("), partA, lit(", "), partB, lit(")")))
+    // probe 1 steps across part A; probe 2 sits in part B's hole region
+    val px = ax.cast("double") + (k % 3).cast("double") + 0.5
+    val py = ay.cast("double") + 0.5
+    val qx = bx.cast("double") + 1.5
+    val qy = by.cast("double") + 1.5
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        stNumGeometries(wkt).as("n_geoms"),
+        stNumInteriorRings(wkt).as("n_holes"), // Presto: polygon-only -> null
+        stAreaWkt(wkt).as("area"),
+        stContainsWkt(wkt, px, py).as("inside_a"),
+        stContainsWkt(wkt, qx, qy).as("inside_b"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -172,6 +172,41 @@ class WktSpec extends GraftSpec {
     assert(inside("POLYGON EMPTY", 0.0, 0.0).contains(false))
   }
 
+  test("multipolygons: area sums parts, containment crosses parts, accessors split") {
+    def row(w: String, x: Double, y: Double) = spark.range(1).select(
+      stAreaWkt(lit(w)).as("a"), stContainsWkt(lit(w), lit(x), lit(y)).as("c"),
+      stNumGeometries(lit(w)).as("ng"), stNumInteriorRings(lit(w)).as("nr")).head()
+    val boxA = "((0 0, 10 0, 10 10, 0 10, 0 0))"
+    val boxBHoled = "((100 0, 110 0, 110 10, 100 10, 100 0), (102 2, 104 2, 104 4, 102 4, 102 2))"
+    val mp = s"MULTIPOLYGON ($boxA, $boxBHoled)"
+    val r1 = row(mp, 5.0, 5.0)    // in part A
+    assert(r1.getDouble(0) == 196.0) // 100 + 100 - 4
+    assert(r1.getBoolean(1))
+    assert(r1.getInt(2) == 2)
+    assert(r1.isNullAt(3), "ST_NumInteriorRing is polygon-only (Presto)")
+    assert(row(mp, 103.0, 3.0).getAs[Boolean]("c") == false) // part B's hole
+    assert(row(mp, 105.0, 5.0).getAs[Boolean]("c") == true)  // part B proper
+    assert(row(mp, 50.0, 5.0).getAs[Boolean]("c") == false)  // between parts
+    // EMPTY: 0 area, 0 parts, contains nothing
+    val re = row("MULTIPOLYGON EMPTY", 0.0, 0.0)
+    assert(re.getDouble(0) == 0.0 && !re.getBoolean(1) && re.getInt(2) == 0)
+    // plain POLYGON through the same accessors: 1 part, holes counted
+    val rp = row(s"POLYGON $boxBHoled", 0.0, 0.0)
+    assert(rp.getInt(2) == 1 && rp.getInt(3) == 1)
+    // malformed multis -> null across the family
+    Seq("MULTIPOLYGON ((0 0, 1 1))",          // ring not double-nested
+        s"MULTIPOLYGON ($boxA",               // unclosed list
+        s"MULTIPOLYGON ($boxA,)",             // dangling comma
+        "MULTIPOLYGON (((0 0, 1 0, 1 1)))"    // unclosed ring
+    ).foreach { w =>
+      val r = row(w, 0.0, 0.0)
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), s"must be null: $w")
+    }
+    // SQL surface
+    graft.functions.GraftFunctions.install(spark)
+    assert(spark.sql(s"SELECT st_num_geometries('$mp') AS n").head().getInt(0) == 2)
+  }
+
   test("holed polygons: malformed text -> null, case by case") {
     def area(w: String) = spark.range(1).select(stAreaWkt(lit(w))).head().isNullAt(0)
     val shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
