@@ -4225,6 +4225,45 @@ object OracleSql {
       FROM thr LEFT JOIN kept ON thr.source = kept.source
       ORDER BY thr.source""",
 
+    // p14: p11's sqrt-share + 2^20-grid discipline transplanted into
+    // TOKEN space — token counts exact integers (t03's trim/split
+    // convention), the only doubles are the sqrt share and the one
+    // identically-nested rate expression both engines evaluate with the
+    // same IEEE ops before the grid floor.
+    "p14_token_budget" -> """
+      WITH dt AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      counts AS (SELECT source, SUM(n_toks) AS tok_s, COUNT(*) AS n_docs
+                 FROM dt GROUP BY 1),
+      tot AS (SELECT CAST(SUM(CAST(sqrt(CAST(tok_s AS DOUBLE))
+                 AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
+               SUM(tok_s) AS tok_total FROM counts),
+      rates AS (
+        SELECT source, tok_s, n_docs,
+          LEAST(1.0, (CAST(tok_total // 2 AS DOUBLE)
+            * sqrt(CAST(tok_s AS DOUBLE)) / s_sum)
+            / CAST(tok_s AS DOUBLE)) AS rate
+        FROM counts, tot),
+      thr AS (SELECT source, tok_s, n_docs, rate,
+                CAST(floor(rate * 1048576) AS BIGINT) AS t FROM rates),
+      kept AS (
+        SELECT d.source, COUNT(*) AS n_kept,
+          CAST(SUM(n_toks) AS BIGINT) AS kept_tokens,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+        FROM dt d JOIN thr ON d.source = thr.source
+        WHERE (d.doc_id * 16807 + 3) % 1048576 < t
+        GROUP BY 1)
+      SELECT thr.source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(tok_s AS BIGINT) AS n_tokens,
+        round(rate, 6) AS rate,
+        COALESCE(n_kept, 0) AS n_kept,
+        CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        CAST(COALESCE(kept_checksum, 0) AS BIGINT) AS kept_checksum
+      FROM thr LEFT JOIN kept ON thr.source = kept.source
+      ORDER BY thr.source""",
+
     // g04: same edge derivation; reciprocity via the reversed-pair
     // semi-join, assortativity in the symmetrized all-integer form with
     // one final double division.

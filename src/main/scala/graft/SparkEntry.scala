@@ -135,6 +135,7 @@ object SparkEntry {
     "p11_temperature_mix" -> (graft.pipeline.Splits.temperatureMixture _),
     "p12_incremental_rollup" -> (graft.pipeline.Incremental.incrementalRollup _),
     "p13_epoch_mix" -> (graft.pipeline.Splits.epochMixture _),
+    "p14_token_budget" -> (graft.pipeline.Splits.tokenBudgetMixture _),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),

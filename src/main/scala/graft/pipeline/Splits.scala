@@ -391,4 +391,56 @@ object Splits {
           col("n_docs").cast("double"), 4).as("realized_epochs"))
       .orderBy(col("source"))
   }
+
+  /**
+   * p14: TOKEN-budget mixture — the unit real mixing recipes actually
+   * budget in. p07/p11/p13 allocate in DOCUMENT space; training-data
+   * recipes (Llama/PaLM mixture tables, the DoReMi setup) state per-
+   * source shares of a TOKEN budget, and a source of long documents
+   * must sample fewer docs to hit the same token share. Per-source
+   * token mass n_s (t03's whitespace convention: split(trim(text)) —
+   * the same count both engines replay), total budget B = half the
+   * corpus tokens, share w_s ∝ √n_s (τ = 0.5 — the one power IEEE
+   * rounds correctly, the p11 discipline), doc-sampling rate
+   * r_s = min(1, B·w_s / n_s) floored onto the 2^20 hash grid, and the
+   * realized kept-token mass rides in the result next to the rate so
+   * the hash pins the allocation AND its outcome. MINSTD multiplier
+   * 16807 — decorrelated from the 48271/69621-family samplers.
+   *
+   * Scale: per-source frames are source-count-sized and broadcast;
+   * token counting is a narrow per-row projection inside the scan;
+   * the kept-set report aggregates with map-side partials. Nothing in
+   * the plan holds more than (sources × counters) state at any size.
+   */
+  def tokenBudgetMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val counts = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("tok_s"), count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(sqrt(col("tok_s").cast("double")).cast(DecimalType(18, 6)))
+        .cast("double").as("s_sum"),
+      sum(col("tok_s")).as("tok_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("tok_s"), col("n_docs"),
+        least(lit(1.0),
+          (expr("tok_total div 2").cast("double") *
+            sqrt(col("tok_s").cast("double")) / col("s_sum")) /
+            col("tok_s").cast("double")).as("rate"))
+      .select(col("source"), col("tok_s"), col("n_docs"), col("rate"),
+        floor(col("rate") * 1048576).cast("long").as("thr"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("thr"))), "source")
+      .filter(pmod(col("doc_id") * lit(16807L) + lit(3L), lit(1048576L)) < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"),
+        sum(col("doc_id")).as("kept_checksum"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("tok_s").as("n_tokens"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+      .orderBy(col("source"))
+  }
 }

@@ -296,6 +296,45 @@ class IncrementalSpec extends GraftSpec {
     assert(kept > 0.4 * nTotal && kept < 0.6 * nTotal)
   }
 
+  test("p14 token-budget mixture: rates in TOKEN space, kept token mass hits the share") {
+    val rows = graft.pipeline.Splits.tokenBudgetMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tokTotal = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // temperature flattening in TOKEN space: a token-smaller source
+    // never gets a lower rate
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.map(_.getAs[Double]("rate")).sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0) >= w(1) - 1e-9, "rate must be non-increasing in token mass")
+    }
+    // the expected keep TOKEN mass Σ tok_s·rate is the half-corpus token
+    // budget by construction, and the hash-realized mass lands near it
+    val expected = rows.map(r => r.getAs[Long]("n_tokens") * r.getAs[Double]("rate")).sum
+    assert(math.abs(expected - tokTotal / 2) < 0.02 * tokTotal,
+      s"sum tok*rate = $expected should be ~${tokTotal / 2}")
+    val keptTok = rows.map(_.getAs[Long]("kept_tokens")).sum.toDouble
+    assert(keptTok > 0.4 * tokTotal && keptTok < 0.6 * tokTotal)
+    // the point of token budgeting vs p11: per-source allocation follows
+    // sqrt TOKEN mass — replay the share arithmetic driver-side exactly
+    val sSum = rows.map(r =>
+      BigDecimal(math.sqrt(r.getAs[Long]("n_tokens").toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    rows.foreach { r =>
+      val toks = r.getAs[Long]("n_tokens").toDouble
+      val want = math.min(1.0,
+        ((tokTotal / 2).toDouble * math.sqrt(toks) / sSum) / toks)
+      // the report carries round(rate, 6) of the pre-grid rate
+      assert(math.abs(r.getAs[Double]("rate") - want) < 1.01e-6,
+        s"${r.getString(0)}: rate ${r.getAs[Double]("rate")} vs replay $want")
+    }
+  }
+
   test("p13 epoch mixture: budgets hit, replication real, small sources repeat more") {
     val rows = graft.pipeline.Splits.epochMixture(spark, sf).collect()
     assert(rows.nonEmpty)
