@@ -1951,6 +1951,10 @@ object OracleSql {
 
     "x01_skew_plain" -> skewOracle,
     "x02_skew_salted" -> skewOracle,
+    // x07/x08 share the same oracle again: AQE's runtime partition
+    // split (OptimizeSkewedJoin) must never change the join result.
+    "x07_skew_aqe_off" -> skewOracle,
+    "x08_skew_aqe_on" -> skewOracle,
 
     "x03_topk_window" -> topkOracle,
     "x04_topk_partial" -> topkOracle,

@@ -249,6 +249,8 @@ object SparkEntry {
     "x04_topk_partial" -> (graft.operators.TopKPerKey.topkPartial _),
     "x05_bloom_off" -> (graft.operators.RuntimeFilters.bloomOff _),
     "x06_bloom_on" -> (graft.operators.RuntimeFilters.bloomOn _),
+    "x07_skew_aqe_off" -> (graft.operators.SkewJoin.hotJoinAqeOff _),
+    "x08_skew_aqe_on" -> (graft.operators.SkewJoin.hotJoinAqeOn _),
     // Similarity search
     "a01_knn_brute" -> (Ann.bruteForce _),
     "a02_knn_ivf" -> (Ann.ivf _),

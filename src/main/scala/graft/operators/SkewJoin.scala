@@ -87,4 +87,75 @@ object SkewJoin {
     val (large, small) = hotInputs(s, d)
     weighted(saltedInnerJoin(large, small, "k", salts = 16))
   }
+
+  // --- x07/x08: the same hot-key join, AQE skew-split off vs on ---
+  // Salting (x02) is the MANUAL fix and the only one that reaches inside
+  // a single hot hash bucket; AQE's OptimizeSkewedJoin is the AUTOMATED
+  // fix for the common case — it splits an oversized shuffle partition
+  // into sub-partitions at RUNTIME, replicating the matching build side,
+  // with no query rewrite at all. The split is threshold-gated for
+  // cluster scale (256 MB / factor 5 defaults — never trips at bench
+  // SF), so x08 lowers the thresholds inside a restored conf window
+  // (the x06 discipline) to measure the topology. Both arms share
+  // x01's oracle: splitting a partition must never change the result.
+
+  private val SkewEnabled = "spark.sql.adaptive.skewJoin.enabled"
+  private val SkewThresh =
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+  private val SkewFactor = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+  private val Advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+  private[graft] def withSkewConfs[A](s: SparkSession, on: Boolean)(body: => A): A = {
+    val keys = Seq(SkewEnabled, SkewThresh, SkewFactor, Advisory,
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(SkewEnabled, on.toString)
+      if (on) {
+        // tiny thresholds: the hot partition is a few KB compressed at
+        // spec/bench SF (256MB/factor-5 defaults are cluster-scale)
+        s.conf.set(SkewThresh, "1KB")
+        s.conf.set(SkewFactor, "2")
+        s.conf.set(Advisory, "1KB")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Run the hot join to completion inside a skew-conf window and
+    * return (1-row local result, final adaptive plan string) — the
+    * plan is read AFTER execution because OptimizeSkewedJoin is a
+    * runtime re-plan: it does not exist pre-execution.
+    *
+    * The probe side is round-robin pre-partitioned 8 ways (both arms,
+    * so the comparison and the oracle are untouched) because AQE
+    * splits a skewed reduce partition by MAPPER RANGES — with the
+    * whole table in one scan task (a single parquet file at small SF)
+    * there is only one range and the split silently cannot happen.
+    * The real-cluster lesson rides in the entry: skew handling needs
+    * map-side parallelism to cut along, which a 100 TB scan has by
+    * construction and a one-file toy input does not. */
+  private[graft] def hotJoinAqe(s: SparkSession, d: String,
+      on: Boolean): (DataFrame, String) =
+    withSkewConfs(s, on) {
+      val (large, small) = hotInputs(s, d)
+      val df = weighted(large.repartition(8).join(small, Seq("k")))
+      val rows = df.collect()
+      (s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),
+        df.queryExecution.executedPlan.toString)
+    }
+
+  /** x07: the stock-shuffle arm with skew splitting disabled — the hot
+    * key's entire probe side in one task. */
+  def hotJoinAqeOff(s: SparkSession, d: String): DataFrame =
+    hotJoinAqe(s, d, on = false)._1
+
+  /** x08: AQE splits the oversized partition at runtime — no rewrite,
+    * identical result (x01's oracle). */
+  def hotJoinAqeOn(s: SparkSession, d: String): DataFrame =
+    hotJoinAqe(s, d, on = true)._1
 }

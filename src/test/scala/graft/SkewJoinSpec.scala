@@ -58,4 +58,27 @@ class SkewJoinSpec extends GraftSpec {
     val counts = hist.map(_.getAs[Long]("n"))
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("x07/x08: AQE splits the skewed partition at runtime, result unchanged") {
+    // The split is a RUNTIME re-plan — it only exists in the final
+    // adaptive plan after execution, which is exactly why x02's manual
+    // salting and this automated split are separate entries: one is a
+    // query rewrite, the other a scheduler decision.
+    val (offDf, offPlan) = SkewJoin.hotJoinAqe(spark, sf, on = false)
+    val (onDf, onPlan) = SkewJoin.hotJoinAqe(spark, sf, on = true)
+    assert(onPlan.contains("skew=true"),
+      s"lowered thresholds must trigger OptimizeSkewedJoin:\n$onPlan")
+    assert(!offPlan.contains("skew=true"),
+      s"disabled arm must not split:\n$offPlan")
+    // splitting a partition replicates build rows across sub-partitions;
+    // the join result must be bit-identical
+    assert(onDf.collect().toSeq == offDf.collect().toSeq)
+    // confs restored after both windows
+    Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").foreach { k =>
+      assert(!spark.conf.getOption(k).exists(v => v == "16KB" || v == "8KB" || v == "-1"),
+        s"conf window leaked: $k=${spark.conf.getOption(k)}")
+    }
+  }
 }
