@@ -21,6 +21,13 @@ case class ClosedSession(user_id: Long, n_events: Long, start_ms: Long, end_ms: 
 /** One consecutive (from → to) event-type transition of a user. */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
+/** Earliest-view state for the streaming conversion pairing. */
+case class PendingView(viewMs: Long)
+
+/** One first-view → first-purchase conversion of a user. */
+case class Conversion(user_id: Long, view_ms: Long, purchase_ms: Long,
+                      lag_ms: Long)
+
 /**
  * Structured Streaming forms of the event analytics (batch equivalents:
  * graft.operators.Events — oracle-verified). readStream → transform →
@@ -220,6 +227,73 @@ object EventPipelines {
                 math.max(o.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
+          }
+      }
+  }
+
+  /** Streaming form of the e15 conversion staging (batch:
+    * Events.conversionLag's firstView ⋈ firstPurchase): per user, hold
+    * the EARLIEST view seen and emit one Conversion when the first
+    * strictly-later purchase arrives — then drop the state immediately
+    * (a converted user needs nothing further). Non-converters are the
+    * state-growth hazard of an attribution stream: every viewer who
+    * never buys would sit in state forever, so the pairing carries a
+    * conversion HORIZON — an event-time timeout at view + horizon
+    * evicts the pending view once the watermark proves no in-horizon
+    * purchase can still arrive. State is therefore bounded by the
+    * viewers INSIDE one horizon window, not by stream history — the
+    * shape that survives a 100 TB/day event feed.
+    *
+    * Semantics vs batch: identical staging restricted to conversions
+    * within the horizon (batch has no horizon — it can see all of
+    * history at once; the restriction is the price of bounded state and
+    * is explicit in the API). Purchases with no prior view hold no
+    * state; a post-eviction purchase emits nothing (spec-pinned — the
+    * eviction is observable, not just an internals claim). Exact under
+    * per-user event-time-ordered arrival, the same lag-shape contract
+    * as [[transitionPairs]]. */
+  def conversionPairs(events: Dataset[Event], watermark: String = "1 hour",
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingView, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[PendingView]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed with no purchase: non-converter
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending = state.getOption
+            var emitted: Option[Conversion] = None
+            sorted.foreach { e =>
+              if (emitted.isEmpty) e.event_type match {
+                case "view" =>
+                  if (pending.forall(_.viewMs > e.ts.getTime))
+                    pending = Some(PendingView(e.ts.getTime))
+                case _ => // purchase
+                  pending.filter(p => e.ts.getTime > p.viewMs).foreach { p =>
+                    emitted = Some(Conversion(uid, p.viewMs, e.ts.getTime,
+                      e.ts.getTime - p.viewMs))
+                  }
+              }
+            }
+            if (emitted.isDefined) {
+              if (state.exists) state.remove()
+              emitted.iterator
+            } else {
+              pending.foreach { p =>
+                state.update(p)
+                // timeout may not be set at/behind the watermark — clamp
+                // forward (the sessionFlush late-data rule)
+                state.setTimeoutTimestamp(
+                  math.max(p.viewMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator.empty
+            }
           }
       }
   }

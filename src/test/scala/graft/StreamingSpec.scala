@@ -195,6 +195,65 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("conversionPairs: first view pairs with first later purchase across batches (e15 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.conversionPairs(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("conv_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 1, "view", 1.0),     // u1: converts in-batch
+        Event(2, ts("2024-01-01 09:30:00"), 1, "purchase", 9.0),
+        Event(3, ts("2024-01-01 09:00:00"), 2, "view", 1.0),     // u2: converts next batch
+        Event(4, ts("2024-01-01 08:00:00"), 4, "purchase", 9.0), // u4: purchase BEFORE any view
+        Event(5, ts("2024-01-01 09:00:00"), 5, "view", 1.0),     // u5: lag from FIRST view
+        Event(6, ts("2024-01-01 09:20:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT user_id, lag_ms FROM conv_test ORDER BY user_id").collect()
+      assert(b1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 30L * 60 * 1000)), s"batch 1: ${b1.mkString}")
+      input.addData(
+        Event(7, ts("2024-01-01 10:00:00"), 2, "purchase", 9.0),  // u2 converts
+        Event(8, ts("2024-01-01 09:10:00"), 4, "view", 1.0),      // u4 view arrives
+        Event(9, ts("2024-01-01 10:30:00"), 4, "purchase", 9.0),  // ... pairs with THIS one
+        Event(10, ts("2024-01-01 09:40:00"), 5, "purchase", 9.0)) // u5: lag from 09:00
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT user_id, view_ms, lag_ms FROM conv_test ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(b2.map(_._1).toSeq == Seq(1L, 2L, 4L, 5L), b2.mkString)
+      assert(b2(1)._3 == 60L * 60 * 1000)            // u2: 09:00 -> 10:00
+      assert(b2(2)._3 == 80L * 60 * 1000)            // u4: 09:10 -> 10:30
+      assert(b2(3)._2 == ts("2024-01-01 09:00:00").getTime &&
+        b2(3)._3 == 40L * 60 * 1000)                 // u5: FIRST view wins
+    } finally q.stop()
+  }
+
+  test("conversionPairs: horizon timeout evicts non-converters observably") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // short 2h horizon so eviction is reachable in-test
+    val q = EventPipelines.conversionPairs(input.toDS(), horizonMs = 2L * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("conv_timeout").start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 09:00:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // another user's far-future event drives the watermark past
+      // 09:00 + 2h horizon (+1h watermark delay): u7's pending view evicts
+      input.addData(Event(2, ts("2024-01-01 23:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      // a purchase AFTER eviction must emit nothing — the eviction is
+      // observable behavior, not an internals claim
+      input.addData(Event(3, ts("2024-01-01 23:30:00"), 7, "purchase", 9.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM conv_timeout").head().getLong(0) == 0)
+      // whereas an in-horizon sibling converts fine under the same driver
+      input.addData(Event(4, ts("2024-01-01 23:40:00"), 9, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM conv_timeout").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+    } finally q.stop()
+  }
+
   test("streaming rollup maintenance: versioned state equals a from-scratch rebuild (p12 parity)") {
     import org.apache.spark.sql.types.DecimalType
     implicit val sqlCtx = spark.sqlContext
