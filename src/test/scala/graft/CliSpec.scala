@@ -431,6 +431,27 @@ class CliSpec extends GraftSpec {
       .queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
   }
 
+  test("SHOW CATALOGS / SCHEMAS / FUNCTIONS serve the Presto CLI staples") {
+    // Presto's catalog-navigation statements (SHOW CATALOGS / SHOW
+    // SCHEMAS / SHOW FUNCTIONS) ride Spark's native SQL through the
+    // CLI's bare-statement fallback — pin that they answer, and that
+    // SHOW FUNCTIONS lists the graft-registered family next to the
+    // builtins (one function surface, discoverable like Presto's).
+    val s = GraftCli.open(spark, sf)
+    assert(s.sql("SHOW CATALOGS").collect().map(_.getString(0))
+      .contains("spark_catalog"))
+    assert(s.sql("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("default"))
+    val fns = s.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    Seq("hash64", "minhash_sig", "st_area_wkt", "hashed_ngram_buckets",
+      "quantile_sketch_agg", "geometric_mean").foreach(f =>
+      assert(fns.contains(f), s"graft function $f missing from SHOW FUNCTIONS"))
+    assert(fns.contains("sum") && fns.contains("approx_count_distinct"))
+    // DESCRIBE FUNCTION answers for a graft function like any builtin
+    val desc = s.sql("DESCRIBE FUNCTION hash64").collect().map(_.getString(0))
+    assert(desc.exists(_.contains("hash64")), desc.mkString("\n"))
+  }
+
   test("ANALYZE registers a stats-bearing catalog table through the real main") {
     val errB = new java.io.ByteArrayOutputStream()
     val errP = new java.io.PrintStream(errB, true, "UTF-8")
