@@ -3812,6 +3812,37 @@ object OracleSql {
              ELSE NOT has_hole END AS inside_b
       FROM b ORDER BY c_custkey""",
 
+    // q142: FILTER-clause aggregates — DuckDB speaks the same ANSI
+    // FILTER syntax, so the oracle is the literal statement (dates as
+    // strings, money through the exact-decimal discipline).
+    "q142_agg_filter" -> """
+      SELECT o_orderpriority,
+        COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+        COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_totalprice > 200000) AS n_big_cust,
+        strftime(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'P'),
+                 '%Y-%m-%d') AS last_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // q143: the VARIANT chain replayed in CLOSED FORM from the base
+    // columns — no JSON anywhere in the oracle, so a defect at any
+    // stage of to_json -> parse_json -> variant_get (quoting, number
+    // round-trip, path walk, array index, missing-path NULL) forks the
+    // hash. o_totalprice is DOUBLE: JSON round-trips doubles exactly
+    // (shortest-repr print, exact parse), so no rounding is applied.
+    "q143_variant" -> """
+      SELECT o_orderkey,
+        o_orderkey AS k,
+        o_custkey AS cust,
+        o_orderstatus AS st,
+        o_orderpriority AS tag0,
+        CAST(o_totalprice AS DOUBLE) AS price,
+        CAST(NULL AS VARCHAR) AS missing
+      FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
@@ -4268,6 +4299,23 @@ object OracleSql {
       FROM thr LEFT JOIN kept ON thr.source = kept.source
       ORDER BY thr.source""",
 
+    // p15: content-addressed fixed-size sample — replays the seeded
+    // hash64 rank ("smp:" || doc_id through FNV-1a64 + splitmix64,
+    // signed compare) and takes the 100 smallest, exactly the
+    // TakeOrdered the Spark side runs.
+    "p15_reservoir_sample" -> s"""
+      WITH f0 AS (SELECT doc_id, source, n_chars,
+          ${fnvReduce(fnvSeq("'smp:' || CAST(doc_id AS VARCHAR)", 0L))} AS h0
+        FROM documents),
+      f1 AS (SELECT doc_id, source, n_chars,
+          ${mulmod64("xor(h0, h0 >> 30)", Mix1)} AS z1 FROM f0),
+      f2 AS (SELECT doc_id, source, n_chars,
+          ${mulmod64("xor(z1, z1 >> 27)", Mix2)} AS z2 FROM f1),
+      h AS (SELECT doc_id, source, n_chars,
+          ${u2s("xor(z2, z2 >> 31)")} AS h FROM f2),
+      top AS (SELECT * FROM h ORDER BY h, doc_id LIMIT 100)
+      SELECT doc_id, source, n_chars, h FROM top ORDER BY doc_id""",
+
     // g04: same edge derivation; reciprocity via the reversed-pair
     // semi-join, assortativity in the symmetrized all-integer form with
     // one final double division.
@@ -4338,6 +4386,7 @@ object OracleSql {
       FROM documents d LEFT JOIN fd ON d.doc_id = fd.x
       ORDER BY d.doc_id"""
     },
+
 
     "g03_triangles" -> """
       WITH n AS (SELECT COUNT(*) AS n FROM documents),

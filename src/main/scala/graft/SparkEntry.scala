@@ -136,6 +136,8 @@ object SparkEntry {
     "p12_incremental_rollup" -> (graft.pipeline.Incremental.incrementalRollup _),
     "p13_epoch_mix" -> (graft.pipeline.Splits.epochMixture _),
     "p14_token_budget" -> (graft.pipeline.Splits.tokenBudgetMixture _),
+    "p15_reservoir_sample" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Splits.reservoirSample(s, d)),
     "q42_promo_ratio" -> (Relational.q42 _),
     "q43_window_dist" -> (Relational.q43 _),
     "q44_stats_agg" -> (Relational.q44 _),
@@ -233,6 +235,8 @@ object SparkEntry {
     "q139_st_accessors" -> (Relational.q139 _),
     "q140_polygon_holes" -> (Relational.q140 _),
     "q141_multipolygon" -> (Relational.q141 _),
+    "q142_agg_filter" -> (Relational.q142 _),
+    "q143_variant" -> (Relational.q143 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),
@@ -268,6 +272,7 @@ object SparkEntry {
     "a14_filtered_knn" -> (Ann.filteredKnn _),
     "a15_ann_persist" -> (Ann.annIndexPersist _),
     "a16_index_update" -> (Ann.annIndexUpdate _),
+    "a17_range_search" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
@@ -316,6 +321,34 @@ object SparkEntry {
             AS INTEGER) AS rn
         FROM pairs
       ) t WHERE rn <= 10 ORDER BY probe_id, rn""",
+    // a17: the a01 pairing with a radius predicate instead of a rank —
+    // threshold applied to the ROUNDED similarity on both sides so the
+    // decimal-exact accumulation can't fork a borderline match.
+    "a17_range_search" -> """
+      WITH px AS (
+        SELECT vec_id AS probe_id, i, CAST(e AS DOUBLE) AS pe
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) t
+      ), cx AS (
+        SELECT vec_id AS cand_id, i, CAST(e AS DOUBLE) AS ce
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+      ), pairs AS (
+        SELECT probe_id, cand_id,
+          CAST(SUM(CAST(pe * ce AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(pe * pe AS DECIMAL(30,15))) AS DOUBLE) AS pp,
+          CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+        FROM px JOIN cx ON px.i = cx.i
+        GROUP BY probe_id, cand_id
+      ), sims AS (
+        SELECT probe_id, cand_id,
+          round(dot / (sqrt(pp) * sqrt(cc)), 4) AS cos_sim FROM pairs
+      ), m AS (SELECT * FROM sims WHERE cos_sim >= 0.30)
+      SELECT probe_id, cand_id, cos_sim,
+        COUNT(*) OVER (PARTITION BY probe_id) AS n_matches
+      FROM m ORDER BY probe_id, cand_id""",
     // a14: the a01 replay scoped to the probe's label slice — the join
     // carries the label equality beside the element index.
     "a14_filtered_knn" -> """

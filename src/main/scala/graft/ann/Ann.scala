@@ -953,4 +953,29 @@ object Ann {
         col("delta_drift"))
       .orderBy(col("cell"))
   }
+
+  /** a17: range (radius) search — every neighbor within cosine >= tau,
+    * the OTHER retrieval contract beside top-k (top-k answers "the 10
+    * nearest whatever their quality"; radius answers "everything at
+    * least this similar", the form dedup thresholds and recall-bounded
+    * retrieval want). Exact semantics: probes broadcast against the
+    * corpus scan — embarrassingly parallel, the corpus never shuffles,
+    * and the only exchange is the tiny per-probe count window over the
+    * matches themselves (bounded by the result size, not the corpus;
+    * at 100 TB the scan cost dominates and the codegen cosine kernel
+    * keeps it one fused pass). Threshold compares the ROUNDED value so
+    * the oracle's decimal-exact accumulation can't fork a borderline. */
+  def rangeSearch(s: SparkSession, d: String, tau: Double = 0.30): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(GraftFunctions.cosineSim(col("probe_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("probe_id"))))
+      .orderBy(col("probe_id"), col("cand_id"))
+  }
 }

@@ -2438,4 +2438,58 @@ object Relational {
         stContainsWkt(wkt, qx, qy).as("inside_b"))
       .orderBy(col("c_custkey"))
   }
+
+  // --- q142: FILTER-clause aggregates (Presto docs, aggregate FILTER) ---
+  // Presto's `agg(x) FILTER (WHERE p)` — per-aggregate predicates inside
+  // ONE grouped pass, including a filtered DISTINCT aggregate (which
+  // Spark plans as the two-phase distinct rewrite with the predicate
+  // pushed into the partial side — no second scan, no self-join; the
+  // naive translation runs one scan per predicate). Exact decimal sum
+  // under the filter keeps the monetary column order-independent.
+  def q142(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v142")
+    s.sql("""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+        COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_totalprice > 200000) AS n_big_cust,
+        date_format(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'P'),
+                    'yyyy-MM-dd') AS last_p
+      FROM orders_v142
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  // --- q143: VARIANT ingestion (semi-structured JSON front door) --------
+  // Presto serves json_extract over VARCHAR (q33/q83); Spark 4's native
+  // answer is the VARIANT type: parse once into the binary-encoded open
+  // type, extract typed values by path. At 100 TB this is the difference
+  // between re-tokenizing the JSON text per path and one parse feeding
+  // every projection — the entry extracts five paths (scalar, nested
+  // struct field, array element, typed number, and a missing path's NULL
+  // contract) from one parse_json. The oracle recomputes every path in
+  // CLOSED FORM from the base columns: any fork anywhere in the
+  // to_json -> parse_json -> variant_get chain breaks the hash.
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val doc = to_json(struct(
+      col("o_orderkey").as("k"),
+      struct(col("o_custkey").as("id"), col("o_orderstatus").as("st")).as("c"),
+      array(col("o_orderpriority"), col("o_orderstatus")).as("tags"),
+      col("o_totalprice").as("p")))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), parse_json(doc).as("v"))
+      .select(
+        col("o_orderkey"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.c.id', 'bigint')").as("cust"),
+        expr("variant_get(v, '$.c.st', 'string')").as("st"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+        expr("variant_get(v, '$.p', 'double')").as("price"),
+        expr("variant_get(v, '$.absent', 'string')").as("missing"))
+      .orderBy(col("o_orderkey"))
+  }
 }

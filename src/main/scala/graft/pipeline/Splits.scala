@@ -443,4 +443,26 @@ object Splits {
         coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
       .orderBy(col("source"))
   }
+
+  /** p15: fixed-size deterministic sample — "exactly N documents, the
+    * SAME N on every run, every cluster layout, every partition count".
+    * rand()-based reservoir sampling breaks all three (and breaks
+    * retry idempotence: a recomputed partition resamples differently);
+    * the content-addressed form ranks every doc by a seeded hash64 of
+    * its id and takes the N smallest. That is a TakeOrdered: each task
+    * keeps an N-row heap over its partition, one tiny merge at the
+    * driver — no shuffle of the corpus, O(N) state anywhere, and the
+    * chosen ids are a pure function of the corpus, so the 100 TB rerun
+    * after a failed stage returns the identical sample. Trailing
+    * presentation sort is over N rows only. */
+  def reservoirSample(s: SparkSession, d: String, n: Int = 100): DataFrame = {
+    import graft.functions.GraftFunctions
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        GraftFunctions.hash64(
+          concat(lit("smp:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(n)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -342,6 +342,42 @@ class DedupAnnSpec extends GraftSpec {
       r.getAs[Long]("n_base")))
   }
 
+  test("a17 range search: radius contract — complete, thresholded, count-consistent, monotone in tau") {
+    val rows = Ann.rangeSearch(spark, sf, tau = 0.30).collect()
+    assert(rows.nonEmpty)
+    // every match clears the (rounded) threshold; self-match present per probe
+    rows.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.30))
+    (0L until 5L).foreach { p =>
+      assert(rows.exists(r => r.getAs[Long]("probe_id") == p &&
+        r.getAs[Long]("cand_id") == p), s"probe $p missing its self-match")
+    }
+    // n_matches is the per-probe group size on every row
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      g.foreach(r => assert(r.getAs[Long]("n_matches") == g.length,
+        s"probe $p: n_matches ${r.getAs[Long]("n_matches")} != ${g.length}"))
+    }
+    // completeness vs an independent brute-force pass: exactly the a01-style
+    // pairing filtered by threshold (radius answers must not drop matches
+    // the way a capped top-k would)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val probes = emb.filter(_._1 < 5)
+    val want = (for {
+      (p, pe) <- probes; (c, ce) <- emb
+      dot = pe.zip(ce).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      np = math.sqrt(pe.map(x => x.toDouble * x.toDouble).sum)
+      nc = math.sqrt(ce.map(x => x.toDouble * x.toDouble).sum)
+      cs = BigDecimal(dot / (np * nc)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if cs >= BigDecimal("0.30")
+    } yield (p, c)).toSet
+    assert(rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+      == want)
+    // raising tau can only shrink the answer, and the tighter set nests
+    val tight = Ann.rangeSearch(spark, sf, tau = 0.50).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(tight.subsetOf(want))
+  }
+
   /** Run `body` with SPARK_GRAFT_INDEX_DIR unavailable (env is immutable
     * in-JVM), pointing a15 at `dir` via the tmpdir property it falls
     * back to. */

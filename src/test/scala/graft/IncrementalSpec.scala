@@ -335,6 +335,30 @@ class IncrementalSpec extends GraftSpec {
     }
   }
 
+  test("p15 reservoir sample: exactly n, content-addressed rank replayed, idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = graft.pipeline.Splits.reservoirSample(spark, sf, n = 10).collect()
+    assert(rows.length == 10)
+    // replay the selection driver-side: seeded hash64 over EVERY doc id,
+    // 10 smallest (signed compare) — the sample is a pure function of
+    // the corpus, nothing else
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val ranked = all.map(id =>
+      (graft.functions.Kernels.hash64(UTF8String.fromString(s"smp:$id"), 0L), id))
+      .sortBy(identity).take(10)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == ranked.map(_._2).sorted.toSeq)
+    val hByDoc = ranked.map(_.swap).toMap
+    rows.foreach(r => assert(r.getAs[Long]("h") == hByDoc(r.getAs[Long]("doc_id"))))
+    // idempotence: the rerun (a retried 100 TB stage) returns the same ids
+    val again = graft.pipeline.Splits.reservoirSample(spark, sf, n = 10).collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSeq ==
+      rows.map(_.getAs[Long]("doc_id")).toSeq)
+    // n larger than the corpus degrades to the whole corpus, still ordered
+    val whole = graft.pipeline.Splits.reservoirSample(spark, sf, n = 1000000).collect()
+    assert(whole.length == all.length)
+  }
+
   test("p13 epoch mixture: budgets hit, replication real, small sources repeat more") {
     val rows = graft.pipeline.Splits.epochMixture(spark, sf).collect()
     assert(rows.nonEmpty)

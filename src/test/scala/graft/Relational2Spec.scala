@@ -288,4 +288,40 @@ class Relational2Spec extends GraftSpec {
         s"approx_supps ${r.getAs[Long]("approx_supps")} vs exact $exSupps")
     }
   }
+
+  test("q142: FILTER-clause aggregates equal the conditional-aggregation replay") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = Relational.q142(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val want = Tables.orders(spark, sf).groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+      sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+        .cast(DecimalType(18, 2))).cast("double").as("total_f"),
+      countDistinct(when(col("o_totalprice") > 200000, col("o_custkey")))
+        .as("n_big_cust"),
+      date_format(max(when(col("o_orderstatus") === "P", col("o_orderdate"))),
+        "yyyy-MM-dd").as("last_p"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(rows.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("q143: VARIANT extraction round-trips every base column; missing path is NULL") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q143(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0)
+      .orderBy(col("o_orderkey")).collect()
+    assert(rows.length == base.length)
+    rows.zip(base).foreach { case (r, b) =>
+      assert(r.getAs[Long]("k") == b.getAs[Long]("o_orderkey"))
+      assert(r.getAs[Long]("cust") == b.getAs[Long]("o_custkey"))
+      assert(r.getAs[String]("st") == b.getAs[String]("o_orderstatus"))
+      assert(r.getAs[String]("tag0") == b.getAs[String]("o_orderpriority"))
+      // doubles round-trip JSON exactly — bitwise equality, no tolerance
+      assert(r.getAs[Double]("price") == b.getAs[Double]("o_totalprice"))
+      assert(r.isNullAt(r.fieldIndex("missing")))
+    }
+  }
 }
