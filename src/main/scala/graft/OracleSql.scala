@@ -1968,6 +1968,26 @@ object OracleSql {
     // e15: the same first-view/first-purchase staging, lags in integer
     // microseconds, percentile ranks replayed with the exact-selection
     // integer rank arithmetic per cohort day.
+    // e16: the same lead-within-user derivation; FILTER-clause splits
+    // the in-session dwells from session ends, and the mean is the
+    // floor division of exact BIGINTs — no doubles anywhere.
+    "e16_dwell_time" -> """
+      WITH w AS (
+        SELECT event_type,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - epoch_us(ts) AS dwell_us
+        FROM events)
+      SELECT event_type,
+        COUNT(*) FILTER (WHERE dwell_us <= 1800000000) AS n_dwells,
+        CAST(SUM(dwell_us) FILTER (WHERE dwell_us <= 1800000000)
+          AS BIGINT) AS sum_dwell_us,
+        MAX(dwell_us) FILTER (WHERE dwell_us <= 1800000000) AS max_dwell_us,
+        COUNT(*) FILTER (WHERE dwell_us > 1800000000) AS n_session_ends,
+        CAST(SUM(dwell_us) FILTER (WHERE dwell_us <= 1800000000)
+          // COUNT(*) FILTER (WHERE dwell_us <= 1800000000)
+          AS BIGINT) AS avg_dwell_us
+      FROM w GROUP BY event_type ORDER BY event_type""",
+
     "e15_conversion_lag" -> """
       WITH fv AS (
         SELECT user_id, MIN(ts) AS v_ts FROM events
@@ -4385,6 +4405,39 @@ object OracleSql {
         COALESCE(deg, 0) >= 3 AS in_core
       FROM documents d LEFT JOIN fd ON d.doc_id = fd.x
       ORDER BY d.doc_id"""
+    },
+    // g06: the 4 synchronous min-label rounds unrolled — the per-round
+    // argmax replayed as a ROW_NUMBER over (count desc, label asc),
+    // exactly the (c, -label) struct-max the Spark side aggregates.
+    "g06_label_prop" -> {
+      val rounds = 4
+      val steps = (1 to rounds).map { i =>
+        s"""cn$i AS (SELECT n.x, l.lbl, COUNT(*) AS c
+              FROM nbr n JOIN lb${i - 1} l ON n.y = l.x GROUP BY 1, 2),
+      pk$i AS (SELECT x, lbl FROM (
+              SELECT x, lbl, ROW_NUMBER()
+                OVER (PARTITION BY x ORDER BY c DESC, lbl) AS rn
+              FROM cn$i) t WHERE rn = 1),
+      lb$i AS (SELECT p.x, COALESCE(k.lbl, p.lbl) AS lbl
+              FROM lb${i - 1} p LEFT JOIN pk$i k ON p.x = k.x)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS src,
+          unnest([doc_id * doc_id + 1, doc_id * 7 + 3, doc_id * 13 + 5]) AS d0
+        FROM documents),
+      ed AS (SELECT src, d0 % n AS dst FROM raw, n),
+      e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM ed WHERE src <> dst),
+      nbr AS (SELECT u AS x, v AS y FROM e0
+              UNION ALL SELECT v AS x, u AS y FROM e0),
+      lb0 AS (SELECT doc_id AS x, doc_id AS lbl FROM documents),
+      $steps,
+      sz AS (SELECT lbl, COUNT(*) AS n_members FROM lb$rounds GROUP BY 1)
+      SELECT l.x AS doc_id, l.lbl AS community, s.n_members
+      FROM lb$rounds l JOIN sz s ON l.lbl = s.lbl
+      ORDER BY doc_id"""
     },
 
 

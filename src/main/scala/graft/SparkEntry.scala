@@ -75,6 +75,7 @@ object SparkEntry {
     "e13_rfm" -> (Events.rfm _),
     "e14_sliding_distinct" -> (Events.slidingDistinct _),
     "e15_conversion_lag" -> (Events.conversionLag _),
+    "e16_dwell_time" -> (Events.dwellTime _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "g03_triangles" -> (graft.graph.LinkGraph.g03 _),
     "g04_graph_stats" -> (graft.graph.LinkGraph.g04 _),
     "g05_kcore" -> (graft.graph.LinkGraph.g05 _),
+    "g06_label_prop" -> (graft.graph.LinkGraph.g06 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

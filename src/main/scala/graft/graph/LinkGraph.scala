@@ -354,6 +354,76 @@ object LinkGraph {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Synchronous label propagation over an undirected edge frame
+   * (columns u, v): every node starts labeled with its own id; each of
+   * `rounds` rounds relabels EVERY node simultaneously with the most
+   * frequent label among its neighbors, ties broken by the SMALLEST
+   * label (Raghavan et al. 2007's LPA made deterministic — the
+   * published algorithm breaks ties randomly and updates
+   * asynchronously, both of which are non-replayable across engines;
+   * synchronous rounds + min-label ties are the exactness contract,
+   * the g01/g05 discipline). Isolated nodes keep their label. The
+   * FIXED round count bounds lineage and makes the recurrence a pure
+   * integer function any engine replays bit-identically.
+   *
+   * Scale: per round, one neighbor-label join (labels arrive hash-
+   * partitioned on node id from the previous round's aggregate; the
+   * doubled edge frame partitions once) + one (node, label) count with
+   * map-side partials + one argmax — the argmax is `max(struct(count,
+   * -label))`, a plain hash aggregate (BIGINT max is exact and
+   * order-independent), NOT a per-node window sort. Shuffled rows are
+   * 24 bytes; per-node state 16 bytes. Each round's label frame is
+   * STAGED (the HITS discipline) so the self-referencing plan stays
+   * constant-size.
+   */
+  def labelPropOf(nodes: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val nbr = und.select(col("u").as("x"), col("v").as("y"))
+      .union(und.select(col("v").as("x"), col("u").as("y")))
+    var labels = nodes.select(col("doc_id").as("x"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = nbr
+        .join(labels.select(col("x").as("y"), col("lbl").as("nlbl")), "y")
+        .groupBy(col("x"), col("nlbl")).agg(count(lit(1)).as("c"))
+      val pick = cnt.groupBy(col("x"))
+        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("x"), (-col("m.neg")).as("plbl"))
+      labels = graft.plans.Checkpoints.stage(
+        labels.join(pick, Seq("x"), "left")
+          .select(col("x"), coalesce(col("plbl"), col("lbl")).as("lbl")))
+    }
+    labels
+  }
+
+  /**
+   * g06: community detection on the citation graph via deterministic
+   * label propagation (4 synchronous min-label rounds over the g05
+   * undirected canonical view) — the curation signal beside g01's
+   * rank and g05's density: a crawl's template farms and mirror
+   * clusters collapse into few large communities while organic pages
+   * spread across many small ones, and per-COMMUNITY caps are a
+   * standard diversity lever. Reports each node's community and the
+   * community's size (one node-sized count join — the corpus-scale
+   * frames never re-shuffle). Exact integer recurrence ⇒ the oracle
+   * replays the 4 rounds as unrolled CTE passes with a ROW_NUMBER
+   * argmin replaying the min-label tie.
+   */
+  def g06(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    val und = derivedEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val labels = labelPropOf(docs, und, rounds = 4)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lbl")
+      .select(col("x").as("doc_id"), col("lbl").as("community"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The g04 kernel over any distinct directed (src, dst) frame — the
     * unit-testable form (the spec pins the closed-form star/path values). */
   def graphStatsOf(dir: DataFrame): DataFrame = {

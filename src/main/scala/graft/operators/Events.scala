@@ -438,4 +438,36 @@ object Events {
         col("pd90").cast("long").as("p90_lag_us"))
       .orderBy(col("day"))
   }
+
+  /** e16: per-event-type dwell time — how long a user LINGERS on each
+    * action before their next event, the engagement signal session
+    * counts (e02) and funnels (e05) both miss. Dwell = time to the
+    * user's next event, counted only when it lands inside the e02
+    * session gap (30 min); a longer gap is a session END for that
+    * type, reported beside the dwells. EXACT integer microseconds
+    * everywhere: the sum/max/count are BIGINT aggregates and the mean
+    * is a floor DIVISION of exact integers (`sum div n`), never a
+    * double — both engines floor identically, so no rounding fork
+    * exists (§5 discipline; the trailing-division trap that bit t24).
+    * Scale: one user-keyed window sort (the lead), then a map-side
+    * combined aggregate on event_type — the type cardinality is tiny,
+    * so the final exchange is a handful of 40-byte rows; ties on ts
+    * break by event_id so the lead is deterministic at any SF. */
+  def dwellTime(s: SparkSession, d: String): DataFrame = {
+    val sessUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dwell_us",
+        lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("dwell_us") <= sessUs, 1)).as("n_dwells"),
+        sum(when(col("dwell_us") <= sessUs, col("dwell_us"))).as("sum_dwell_us"),
+        max(when(col("dwell_us") <= sessUs, col("dwell_us"))).as("max_dwell_us"),
+        count(when(col("dwell_us") > sessUs, 1)).as("n_session_ends"))
+      .withColumn("avg_dwell_us", expr("sum_dwell_us div n_dwells"))
+      .orderBy(col("event_type"))
+  }
 }

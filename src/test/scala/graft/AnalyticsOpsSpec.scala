@@ -272,4 +272,44 @@ class AnalyticsOpsSpec extends GraftSpec {
     // the corpus genuinely converts: some users purchase after first view
     assert(got.map(_.getAs[Long]("n_converted")).sum > 0)
   }
+
+  test("e16 dwell time matches a driver-side brute-force recompute") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sessUs = 1800L * 1000000L
+    // per user, sort by (ts, event_id); dwell = next.us - us
+    val dwells = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4))
+      s.zip(s.drop(1)).map { case (a, b) => (a._2, b._3 - a._3) }
+    }.toSeq
+    val expected = dwells.groupBy(_._1).view.mapValues { ds =>
+      val in = ds.map(_._2).filter(_ <= sessUs)
+      val ends = ds.map(_._2).count(_ > sessUs).toLong
+      (in.length.toLong, in.sum, if (in.nonEmpty) Some(in.max) else None, ends)
+    }.toMap
+    val got = graft.operators.Events.dwellTime(spark, sf).collect()
+    val gotTypes = got.map(_.getAs[String]("event_type"))
+    assert(gotTypes.sameElements(gotTypes.sorted))
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      expected.get(t) match {
+        case Some((n, sumUs, maxUs, ends)) =>
+          assert(r.getAs[Long]("n_dwells") == n, s"$t n_dwells")
+          assert(r.getAs[Long]("sum_dwell_us") == sumUs, s"$t sum")
+          assert(maxUs.contains(r.getAs[Long]("max_dwell_us")), s"$t max")
+          assert(r.getAs[Long]("n_session_ends") == ends, s"$t ends")
+          // exact floor division, never a rounded double
+          assert(r.getAs[Long]("avg_dwell_us") == Math.floorDiv(sumUs, n), s"$t avg")
+          assert(r.getAs[Long]("avg_dwell_us") <= r.getAs[Long]("max_dwell_us"))
+        case None =>
+          // a type whose every occurrence is its user's last event
+          assert(r.getAs[Long]("n_dwells") == 0L && r.getAs[Long]("n_session_ends") == 0L)
+      }
+    }
+    // real data has in-session dwells AND session-ending gaps
+    assert(got.map(_.getAs[Long]("n_dwells")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_session_ends")).sum > 0)
+  }
 }

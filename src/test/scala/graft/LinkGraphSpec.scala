@@ -146,6 +146,40 @@ class LinkGraphSpec extends GraftSpec {
     assert(LinkGraph.kcoreOf(und, k = 5, rounds = 5).collect().isEmpty)
   }
 
+  test("labelProp: communities converge per component, min-label ties, isolated keeps own") {
+    import spark.implicits._
+    // two disjoint triangles + isolated node 6: each triangle collapses
+    // to its minimum id by round 2 and stays there; 6 never relabels
+    val nodes = spark.range(7).select(col("id").as("doc_id"))
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L)).toDF("u", "v")
+    val got = LinkGraph.labelPropOf(nodes, und, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L), s"got $got")
+    // tie-break pin: star center sees labels {1, 2} once each after one
+    // round — the SMALLEST label must win
+    val star = Seq((0L, 1L), (0L, 2L)).toDF("u", "v")
+    val one = LinkGraph.labelPropOf(
+      spark.range(3).select(col("id").as("doc_id")), star, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 1L, 1L -> 0L, 2L -> 0L), s"got $one")
+  }
+
+  test("g06 entry: every doc labeled once, sizes consistent, communities real") {
+    val rows = LinkGraph.g06(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
+    // n_members is the true size of each community on every row
+    val sizes = rows.groupBy(_.getLong(1)).map { case (c, g) => c -> g.length }
+    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
+    // propagation genuinely merged labels (fewer communities than nodes)
+    // and at this density at least one community spans many nodes
+    assert(sizes.size < rows.length)
+    assert(sizes.values.max > 10)
+  }
+
   test("g05 entry: membership flags honor the residual degree, doc_id-ordered") {
     val rows = LinkGraph.g05(spark, sf).collect()
     assert(rows.nonEmpty)
