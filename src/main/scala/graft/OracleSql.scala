@@ -1971,6 +1971,18 @@ object OracleSql {
     // e16: the same lead-within-user derivation; FILTER-clause splits
     // the in-session dwells from session ends, and the mean is the
     // floor division of exact BIGINTs — no doubles anywhere.
+    // e17: the trailing-24h burst replayed with the identical integer
+    // RANGE frame; COUNT aggregates are BIGINT on both engines.
+    "e17_burst_detection" -> """
+      WITH b AS (
+        SELECT user_id, COUNT(*) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS burst
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_events, MAX(burst) AS max_burst_24h,
+        MAX(burst) >= 10 AS is_burst
+      FROM b GROUP BY user_id ORDER BY user_id""",
+
     "e16_dwell_time" -> """
       WITH w AS (
         SELECT event_type,
@@ -3863,6 +3875,21 @@ object OracleSql {
         CAST(NULL AS VARCHAR) AS missing
       FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
 
+    // q144: UNNEST WITH ORDINALITY replayed via generate_subscripts
+    // (1-based — shifted to posexplode's 0-based positions); empty
+    // words from the split are dropped on both sides.
+    "q144_ordinality" -> """
+      WITH w AS (
+        SELECT CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                 AS INTEGER) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      SELECT pos, COUNT(*) AS n,
+        COUNT(DISTINCT word) AS n_distinct_words,
+        MIN(word) AS min_word
+      FROM w WHERE pos < 8 AND word <> ''
+      GROUP BY pos ORDER BY pos""",
+
     "q129_tpch_q3" -> s"""
       SELECT l_orderkey,
         ${dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
@@ -4547,6 +4574,23 @@ object OracleSql {
     // integers (pn = round(p·1e6), k = ceil(pn·n/1e6), order statistic
     // at rank k) — NOT DuckDB's quantile_disc, whose convention need
     // not match ANSI at thirds.
+    // t26: the C4 blocklist replayed with list_filter over the same
+    // split; flagged counts via FILTER (BIGINT), hit totals BIGINT-cast
+    // (DuckDB SUM widens to HUGEINT), flag rate as exact integer basis
+    // points (floor division on both engines).
+    "t26_blocklist" -> """
+      WITH d AS (
+        SELECT lang, source,
+          len(list_filter(string_split(text, ' '),
+            w -> w IN ('dup', 'spam'))) AS n_bad
+        FROM documents)
+      SELECT lang, source, COUNT(*) AS n_docs,
+        COUNT(*) FILTER (WHERE n_bad > 0) AS n_flagged,
+        CAST(SUM(n_bad) AS BIGINT) AS total_hits,
+        (10000 * (COUNT(*) FILTER (WHERE n_bad > 0))) // COUNT(*)
+          AS flag_rate_bp
+      FROM d GROUP BY lang, source ORDER BY lang, source""",
+
     // t25: t23's feature staging + hash64 chain (t25 seed), bucket = the
     // unsigned chain % 8192 (power-of-two, no sign fix), add-1 bucket
     // probabilities with per-ln DECIMAL(18,6) snaps, t24's integer rank

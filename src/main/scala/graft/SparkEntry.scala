@@ -76,6 +76,7 @@ object SparkEntry {
     "e14_sliding_distinct" -> (Events.slidingDistinct _),
     "e15_conversion_lag" -> (Events.conversionLag _),
     "e16_dwell_time" -> (Events.dwellTime _),
+    "e17_burst_detection" -> (Events.burstDetection _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "t23_quality_lr" -> (TextAnalysis.qualityLr _),
     "t24_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
     "t25_dsir" -> (TextAnalysis.dsir _),
+    "t26_blocklist" -> (TextAnalysis.blocklist _),
     // Dedup
     "d01_dedup_exact" -> (Dedup.exact _),
     "d02_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -238,6 +240,7 @@ object SparkEntry {
     "q141_multipolygon" -> (Relational.q141 _),
     "q142_agg_filter" -> (Relational.q142 _),
     "q143_variant" -> (Relational.q143 _),
+    "q144_ordinality" -> (Relational.q144 _),
     // Link-graph curation (crawl-scale PageRank, exact fixed-point)
     "g01_pagerank" -> (graft.graph.LinkGraph.g01 _),
     "g02_hits" -> (graft.graph.LinkGraph.g02 _),
@@ -275,6 +278,7 @@ object SparkEntry {
     "a15_ann_persist" -> (Ann.annIndexPersist _),
     "a16_index_update" -> (Ann.annIndexUpdate _),
     "a17_range_search" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
+    "a18_mips" -> (Ann.mips _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),
@@ -351,6 +355,47 @@ object SparkEntry {
       SELECT probe_id, cand_id, cos_sim,
         COUNT(*) OVER (PARTITION BY probe_id) AS n_matches
       FROM m ORDER BY probe_id, cand_id""",
+    // a18: the a01 pairing ranked by raw inner product, plus the
+    // norm-augmentation reduction replayed — M² is the corpus max of the
+    // decimal-exact squared norms, the augmented cosine is
+    // dot/(sqrt(pp)·sqrt(M²)), and both rankings compare ROUNDED values
+    // with the cand_id tie-break so accumulation order can't fork ranks.
+    "a18_mips" -> """
+      WITH px AS (
+        SELECT vec_id AS probe_id, i, CAST(e AS DOUBLE) AS pe
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) t
+      ), cx AS (
+        SELECT vec_id AS cand_id, i, CAST(e AS DOUBLE) AS ce
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+      ), pairs AS (
+        SELECT probe_id, cand_id,
+          CAST(SUM(CAST(pe * ce AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(pe * pe AS DECIMAL(30,15))) AS DOUBLE) AS pp,
+          CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+        FROM px JOIN cx ON px.i = cx.i
+        GROUP BY probe_id, cand_id
+      ), m AS (
+        SELECT MAX(cc) AS m2 FROM (
+          SELECT CAST(SUM(CAST(ce * ce AS DECIMAL(30,15))) AS DOUBLE) AS cc
+          FROM cx GROUP BY cand_id) t
+      ), r AS (
+        SELECT probe_id, cand_id, round(dot, 4) AS ip,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY round(dot, 4) DESC, cand_id) AS INTEGER) AS rn,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY round(dot / (sqrt(pp) * sqrt(m2)), 4) DESC, cand_id)
+            AS INTEGER) AS rn_aug
+        FROM pairs, m
+      ), ag AS (
+        SELECT probe_id, COUNT(*) AS n_aug_common
+        FROM r WHERE rn <= 10 AND rn_aug <= 10 GROUP BY probe_id)
+      SELECT r.probe_id AS probe_id, cand_id, ip, rn, n_aug_common
+      FROM r JOIN ag ON r.probe_id = ag.probe_id
+      WHERE rn <= 10 ORDER BY r.probe_id, rn""",
     // a14: the a01 replay scoped to the probe's label slice — the join
     // carries the label equality beside the element index.
     "a14_filtered_knn" -> """

@@ -978,4 +978,55 @@ object Ann {
         count(lit(1)).over(Window.partitionBy(col("probe_id"))))
       .orderBy(col("probe_id"), col("cand_id"))
   }
+
+  /** a18: maximum-inner-product search (MIPS) — the retrieval contract
+    * recommendation and reranking models actually pose (un-normalized
+    * score = user·item dot product; cosine top-k answers a DIFFERENT
+    * question when norms vary). Exact top-k by inner product, plus a
+    * live check of the norm-augmentation reduction (Bachrach et al.
+    * 2014 / Neyshabur & Srebro 2015): append sqrt(M² − ‖x‖²) to every
+    * corpus vector (M = max corpus norm) and MIPS becomes cosine search
+    * — cos([q,0],[x,aug]) = q·x / (‖q‖·M), monotone in the dot product
+    * — so the entry reports, per probe, how many of the augmented-
+    * cosine top-k coincide with the exact MIPS top-k (the a05/a08
+    * recall-eval discipline; the reduction is what lets a cosine-only
+    * ANN index serve MIPS at 100 TB). Topology is a01's: probes and the
+    * 1-row M² broadcast, the corpus scans once and never shuffles; both
+    * rank columns ride one per-probe exchange. Rankings compare ROUNDED
+    * values with a cand_id tie-break so decimal-vs-double accumulation
+    * can't fork a borderline rank. */
+  def mips(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val m2 = emb.agg(max(dot(col("e"), col("e"))).as("m2"))
+    val scored = emb.crossJoin(broadcast(probes)).crossJoin(broadcast(m2))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(dot(col("pe"), col("e")), 4).as("ip"),
+        round(dot(col("pe"), col("e")) /
+          (sqrt(dot(col("pe"), col("pe"))) * sqrt(col("m2"))), 4).as("aug_cos"))
+    val wIp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip").desc, col("cand_id"))
+    val wAug = Window.partitionBy(col("probe_id"))
+      .orderBy(col("aug_cos").desc, col("cand_id"))
+    val ranked = scored.select(col("probe_id"), col("cand_id"), col("ip"),
+      row_number().over(wIp).as("rn"), row_number().over(wAug).as("rn_aug"))
+    // Filter to the top-k UNION (≤ 2k rows per probe) and STAGE it so the
+    // corpus cross-join + both rank windows run ONCE — the agree count
+    // and the report both branch off this tiny frame (an unstaged DAG
+    // fork here re-scans the corpus per branch).
+    val top = graft.plans.Checkpoints.stage(
+      ranked.filter(col("rn") <= K || col("rn_aug") <= K))
+    val agree = top.filter(col("rn") <= K && col("rn_aug") <= K)
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_aug_common"))
+    top.filter(col("rn") <= K)
+      .join(agree, Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("ip"), col("rn"),
+        col("n_aug_common"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
 }

@@ -453,6 +453,33 @@ object Events {
     * combined aggregate on event_type — the type cardinality is tiny,
     * so the final exchange is a handful of 40-byte rows; ties on ts
     * break by event_id so the lead is deterministic at any SF. */
+  /** e17: event-rate burst detection — the bot/abuse rate signal a crawl
+    * or product pipeline gates ingestion on (automated clients cluster
+    * far more events into a window than a human session produces). Per
+    * user, the EXACT max number of events inside any trailing 24h
+    * window, computed with a RANGE frame over integer microseconds
+    * (`RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW` — the frame
+    * boundary arithmetic is integer on both engines, and RANGE treats
+    * same-timestamp peers identically, so no tie rule is even needed);
+    * flagged when the max burst reaches 10 (p99 of this corpus's human
+    * rate is 9). Scale: ONE user-keyed shuffle feeds both the window
+    * and the per-user aggregate (the aggregate reuses the window's hash
+    * partitioning — no second exchange); per-row state is the frame's
+    * count, never the event list. */
+  def burstDetection(s: SparkSession, d: String): DataFrame = {
+    val windowUs = 24L * 3600L * 1000000L - 1L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us")).rangeBetween(-windowUs, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("burst")).as("max_burst_24h"))
+      .withColumn("is_burst", col("max_burst_24h") >= 10)
+      .orderBy(col("user_id"))
+  }
+
   def dwellTime(s: SparkSession, d: String): DataFrame = {
     val sessUs = 1800L * 1000000L
     val byUser = Window.partitionBy(col("user_id"))

@@ -2492,4 +2492,24 @@ object Relational {
         expr("variant_get(v, '$.absent', 'string')").as("missing"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q144: UNNEST WITH ORDINALITY (Presto's positional unnest; the
+    * reference engine's SQL exposes element POSITION alongside value —
+    * `CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(x, pos)`). Spark-first
+    * form is posexplode; the workload slices document text by word
+    * position — per position over the first 8 words: occurrence count,
+    * distinct vocabulary, alphabetic min (positional stats are what
+    * template detection over semi-structured text actually computes).
+    * Scale: the explode is a narrow ×8-bounded fan-out of an
+    * already-pruned 1-column scan; the only exchange carries the 8
+    * position keys, map-side combined. */
+  def q144(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("pos") < 8 && col("word") =!= "")
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("word")).as("n_distinct_words"),
+        min(col("word")).as("min_word"))
+      .orderBy(col("pos"))
 }

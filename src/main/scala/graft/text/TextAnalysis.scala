@@ -912,4 +912,31 @@ object TextAnalysis {
         col("cut"), (col("logw") >= col("cut")).as("selected"))
       .orderBy(col("doc_id"))
   }
+
+  /** t26: blocklist filtering — the C4 "bad words" curation step (Raffel
+    * et al. 2020 drop any document containing a listed word; every major
+    * web corpus since runs a variant): per document, count blocklisted
+    * token occurrences with a codegen array filter over the one word
+    * split the t-family already pays, hard-flag on ANY hit, and report
+    * per (lang, source) audit cells — doc counts, flagged counts, total
+    * hits, and the flag rate in EXACT integer basis points (`10000 *
+    * flagged div docs`, the e16 floor-division discipline — never a
+    * rounded double ratio). The list is two words: one rare-but-present
+    * ("dup", ~5% of this corpus) exercising the hit path and one absent
+    * ("spam") pinning the miss path. Scale: narrow scan → tiny
+    * (lang, source) aggregate, map-side combined; document text never
+    * shuffles, and a real 100-word blocklist stays a codegen literal
+    * (Presto's form would be a broadcast semi-join only past ~10k
+    * terms). */
+  def blocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(filter(split(col("text"), " "),
+          w => w === "dup" || w === "spam")).as("n_bad"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_bad") > 0, 1)).as("n_flagged"),
+        sum(col("n_bad").cast("long")).as("total_hits"))
+      .withColumn("flag_rate_bp", expr("(10000 * n_flagged) div n_docs"))
+      .orderBy(col("lang"), col("source"))
 }

@@ -312,4 +312,28 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got.map(_.getAs[Long]("n_dwells")).sum > 0)
     assert(got.map(_.getAs[Long]("n_session_ends")).sum > 0)
   }
+
+  test("e17 burst detection matches a driver-side trailing-window recount") {
+    val windowUs = 24L * 3600L * 1000000L - 1L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).view.mapValues { g =>
+      val ts = g.map(_._2).sorted
+      // max trailing-24h count: for each event, events in [t-window, t]
+      val mb = ts.map(t => ts.count(u => u >= t - windowUs && u <= t)).max
+      (ts.length.toLong, mb.toLong)
+    }.toMap
+    val got = Events.burstDetection(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, mb) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("max_burst_24h") == mb,
+        s"user ${r.getAs[Long]("user_id")}: burst")
+      assert(r.getAs[Boolean]("is_burst") == (mb >= 10L))
+    }
+    // the threshold discriminates: some users burst, most don't
+    assert(got.exists(!_.getAs[Boolean]("is_burst")))
+  }
 }

@@ -378,6 +378,37 @@ class DedupAnnSpec extends GraftSpec {
     assert(tight.subsetOf(want))
   }
 
+  test("a18 MIPS: exact inner-product top-k; norm augmentation preserves the set") {
+    val rows = Ann.mips(spark, sf).collect()
+    // 10 ranked rows per probe, ip non-increasing in rank
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      assert(g.length == 10, s"probe $p: ${g.length} rows")
+      val byRank = g.sortBy(_.getAs[Int]("rn"))
+      assert(byRank.map(_.getAs[Int]("rn")).sameElements(1 to 10))
+      byRank.sliding(2).foreach { w =>
+        assert(w(0).getAs[Double]("ip") >= w(1).getAs[Double]("ip"),
+          s"probe $p: ip must be non-increasing in rank")
+      }
+    }
+    // top-1 matches a driver-side brute-force argmax of the dot product
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    emb.filter(_._1 < 5).foreach { case (p, pe) =>
+      val best = emb.map { case (c, ce) =>
+        (c, pe.zip(ce).map { case (x, y) => x.toDouble * y.toDouble }.sum)
+      }.maxBy { case (c, dot) => (dot, -c) }._1
+      val got = rows.find(r => r.getAs[Long]("probe_id") == p &&
+        r.getAs[Int]("rn") == 1).get.getAs[Long]("cand_id")
+      assert(got == best, s"probe $p: top-1 $got != brute-force $best")
+    }
+    // the norm-augmentation reduction is rank-preserving (cos of the
+    // augmented vectors is monotone in the dot product), so the
+    // augmented-cosine top-k must coincide with the MIPS top-k up to
+    // at most one borderline rounding flip at the rank-10 boundary
+    rows.foreach(r => assert(r.getAs[Long]("n_aug_common") >= 9,
+      s"probe ${r.getAs[Long]("probe_id")}: augmentation lost the top-k"))
+  }
+
   /** Run `body` with SPARK_GRAFT_INDEX_DIR unavailable (env is immutable
     * in-JVM), pointing a15 at `dir` via the tmpdir property it falls
     * back to. */

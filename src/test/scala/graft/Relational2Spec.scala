@@ -324,4 +324,21 @@ class Relational2Spec extends GraftSpec {
       assert(r.isNullAt(r.fieldIndex("missing")))
     }
   }
+
+  test("q144 ordinality: positional stats match a driver-side split-with-index") {
+    val texts = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    val byPos = texts.flatMap(_.split(" ").zipWithIndex.filter { case (w, i) =>
+      i < 8 && w.nonEmpty
+    }.map { case (w, i) => (i, w) }).groupBy(_._1)
+    val got = graft.operators.Relational.q144(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("pos")).sameElements(byPos.keys.toSeq.sorted))
+    got.foreach { r =>
+      val ws = byPos(r.getAs[Int]("pos")).map(_._2)
+      assert(r.getAs[Long]("n") == ws.length.toLong)
+      assert(r.getAs[Long]("n_distinct_words") == ws.distinct.length.toLong)
+      assert(r.getAs[String]("min_word") == ws.min)
+    }
+  }
 }

@@ -378,4 +378,28 @@ class TextAnalysisSpec extends GraftSpec {
     assert(src0Head >= 0.8 * src0.length,
       s"only $src0Head of ${src0.length} reference docs in head")
   }
+
+  test("t26 blocklist matches a driver-side recount; rate is exact floor basis points") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val bad = Set("dup", "spam")
+    val expected = docs.groupBy(d => (d._1, d._2)).view.mapValues { g =>
+      val hits = g.map(_._3.split(" ").count(bad))
+      (g.length.toLong, hits.count(_ > 0).toLong, hits.map(_.toLong).sum)
+    }.toMap
+    val got = graft.text.TextAnalysis.blocklist(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, fl, hits) = expected((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_flagged") == fl)
+      assert(r.getAs[Long]("total_hits") == hits)
+      assert(r.getAs[Long]("flag_rate_bp") == Math.floorDiv(10000L * fl, n))
+    }
+    // 'dup' is rare-but-present; 'spam' absent — the filter must
+    // discriminate, not blanket-flag
+    val flagged = got.map(_.getAs[Long]("n_flagged")).sum
+    assert(flagged > 0 && flagged < docs.length)
+  }
 }
