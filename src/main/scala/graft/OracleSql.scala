@@ -4436,6 +4436,29 @@ object OracleSql {
     // g06: the 4 synchronous min-label rounds unrolled — the per-round
     // argmax replayed as a ROW_NUMBER over (count desc, label asc),
     // exactly the (c, -label) struct-max the Spark side aggregates.
+    // g07: both canonicalized self-joins replayed on the shared
+    // deterministic edge set; COUNTs are BIGINT both engines, the full
+    // outer merge coalesces missing sides to 0.
+    "g07_cocitation" -> """
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS src,
+          unnest([doc_id * doc_id + 1, doc_id * 7 + 3, doc_id * 13 + 5]) AS d0
+        FROM documents),
+      ed AS (SELECT DISTINCT src, d0 % n AS dst FROM raw, n
+             WHERE src <> d0 % n),
+      cc AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_cocited
+             FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+             GROUP BY 1, 2),
+      bc AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS n_coupled
+             FROM ed x JOIN ed y ON x.dst = y.dst AND x.src < y.src
+             GROUP BY 1, 2)
+      SELECT COALESCE(cc.a, bc.a) AS a, COALESCE(cc.b, bc.b) AS b,
+        COALESCE(n_cocited, 0) AS n_cocited,
+        COALESCE(n_coupled, 0) AS n_coupled
+      FROM cc FULL OUTER JOIN bc ON cc.a = bc.a AND cc.b = bc.b
+      ORDER BY a, b""",
+
     "g06_label_prop" -> {
       val rounds = 4
       val steps = (1 to rounds).map { i =>

@@ -248,6 +248,7 @@ object SparkEntry {
     "g04_graph_stats" -> (graft.graph.LinkGraph.g04 _),
     "g05_kcore" -> (graft.graph.LinkGraph.g05 _),
     "g06_label_prop" -> (graft.graph.LinkGraph.g06 _),
+    "g07_cocitation" -> (graft.graph.LinkGraph.g07 _),
     // Time-series joins (operators Spark lacks, scale topologies)
     "q97_asof_join" -> (graft.operators.AsOfJoin.clickLastView _),
     "q98_range_join" -> (graft.operators.RangeJoin.signupAttribution _),

@@ -424,6 +424,49 @@ object LinkGraph {
       .orderBy(col("doc_id"))
   }
 
+  /** Co-citation and bibliographic coupling over any distinct directed
+    * (src, dst) frame — the unit-testable kernel. Co-citation (Small
+    * 1973): pairs cited BY the same page, counted per shared citer.
+    * Coupling (Kessler 1963): pairs CITING the same page, counted per
+    * shared reference. Both are (a < b)-canonicalized self-joins whose
+    * fan-out is bounded by degree — out-degree is 3 by construction
+    * (≤3 pairs per citer) and the quadratic map's in-degree
+    * multiplicity is the bounded residue count, so neither join can
+    * expand quadratically the way an unbounded hub would; everything
+    * shuffled is 8/16-byte ids. */
+  def cocitationOf(dir: DataFrame): DataFrame = {
+    val cocite = dir.as("x").join(dir.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("n_cocited"))
+    val couple = dir.as("x").join(dir.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("n_coupled"))
+    cocite.join(couple, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("n_cocited"), lit(0L)).as("n_cocited"),
+        coalesce(col("n_coupled"), lit(0L)).as("n_coupled"))
+  }
+
+  /** g07: co-citation + bibliographic coupling on the citation graph —
+    * the two classic link-similarity metrics (pages repeatedly cited
+    * together are topically related; pages citing the same sources are
+    * mirrors/templates — both are curation levers beside g01's rank
+    * and g06's communities). Exact integer counts on the same
+    * deterministic edge set every g-entry shares; the oracle replays
+    * the two canonicalized self-joins and the full outer merge. */
+  def g07(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    // STAGE the distinct edge frame: it feeds FOUR join inputs (both
+    // sides of both self-joins) — unstaged, the scan + explode +
+    // distinct shuffle re-run per input (the HITS staging discipline).
+    val dir = graft.plans.Checkpoints.stage(derivedEdges(docs, n)
+      .filter(col("src") =!= col("dst")).distinct())
+    cocitationOf(dir).orderBy(col("a"), col("b"))
+  }
+
   /** The g04 kernel over any distinct directed (src, dst) frame — the
     * unit-testable form (the spec pins the closed-form star/path values). */
   def graphStatsOf(dir: DataFrame): DataFrame = {

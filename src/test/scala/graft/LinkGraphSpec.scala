@@ -146,6 +146,40 @@ class LinkGraphSpec extends GraftSpec {
     assert(LinkGraph.kcoreOf(und, k = 5, rounds = 5).collect().isEmpty)
   }
 
+  test("cocitation kernel: closed-form counts on a two-citer fan") {
+    import spark.implicits._
+    // citers 10 and 11 both cite {1, 2}; 10 also cites 3.
+    val dir = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.cocitationOf(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_cocited"), r.getAs[Long]("n_coupled"))).toMap
+    // co-citation: (1,2) cited together by both citers; (1,3)/(2,3) by 10 only
+    assert(got((1L, 2L))._1 == 2L)
+    assert(got((1L, 3L))._1 == 1L && got((2L, 3L))._1 == 1L)
+    // coupling: citers 10 and 11 share references 1 and 2
+    assert(got((10L, 11L)) == (0L, 2L))
+    // no pair is invented: only the four above exist
+    assert(got.size == 4)
+  }
+
+  test("g07 entry: pair canonicalization, bounded fan-out, consistent totals") {
+    val rows = LinkGraph.g07(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be (a < b) canonical")
+      val cc = r.getAs[Long]("n_cocited"); val bc = r.getAs[Long]("n_coupled")
+      assert(cc >= 0 && bc >= 0 && (cc > 0 || bc > 0))
+      // out-degree 3 bounds co-citation multiplicity by the citer count;
+      // any single pair's shared-citer count is at most n (sanity) and
+      // its shared-reference count at most 3 (a citer has 3 references)
+      assert(bc <= 3, s"coupling ${r.getLong(0)},${r.getLong(1)}: $bc > out-degree bound")
+    }
+    // ordered presentation
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("labelProp: communities converge per component, min-label ties, isolated keeps own") {
     import spark.implicits._
     // two disjoint triangles + isolated node 6: each triangle collapses
