@@ -1971,6 +1971,26 @@ object OracleSql {
     // e16: the same lead-within-user derivation; FILTER-clause splits
     // the in-session dwells from session ends, and the mean is the
     // floor division of exact BIGINTs — no doubles anywhere.
+    // e18: the two leads + session-gap filter replayed; the share is an
+    // exact floor division over the window total (BIGINT casts where
+    // DuckDB widens SUM to HUGEINT).
+    "e18_path_mining" -> """
+      WITH w AS (
+        SELECT event_type AS p1,
+          lead(event_type, 1) OVER u AS p2,
+          lead(event_type, 2) OVER u AS p3,
+          lead(epoch_us(ts), 1) OVER u - epoch_us(ts) AS g1,
+          lead(epoch_us(ts), 2) OVER u - lead(epoch_us(ts), 1) OVER u AS g2
+        FROM events
+        WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (
+        SELECT p1, p2, p3, COUNT(*) AS n FROM w
+        WHERE p3 IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+        GROUP BY p1, p2, p3)
+      SELECT p1, p2, p3, n,
+        CAST((10000 * n) // (SUM(n) OVER ()) AS BIGINT) AS share_bp
+      FROM p ORDER BY n DESC, p1, p2, p3""",
+
     // e17: the trailing-24h burst replayed with the identical integer
     // RANGE frame; COUNT aggregates are BIGINT on both engines.
     "e17_burst_detection" -> """

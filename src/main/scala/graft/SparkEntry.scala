@@ -77,6 +77,7 @@ object SparkEntry {
     "e15_conversion_lag" -> (Events.conversionLag _),
     "e16_dwell_time" -> (Events.dwellTime _),
     "e17_burst_detection" -> (Events.burstDetection _),
+    "e18_path_mining" -> (Events.pathMining _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

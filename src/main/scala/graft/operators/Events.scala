@@ -453,6 +453,39 @@ object Events {
     * combined aggregate on event_type — the type cardinality is tiny,
     * so the final exchange is a handful of 40-byte rows; ties on ts
     * break by event_id so the lead is deterministic at any SF. */
+  /** e18: session path mining — the top 3-step event-type paths users
+    * actually walk (e11's transition matrix is the 2-step memoryless
+    * view; product analytics asks for the longer motifs — "view →
+    * click → purchase vs view → click → view"). Two (ts, event_id)-
+    * ordered leads per user produce each length-3 window; a path counts
+    * only when BOTH consecutive gaps sit inside the e02 session gap
+    * (30 min) so cross-session seams never fabricate paths; counts are
+    * exact integers and the share is EXACT integer basis points over
+    * the path total (floor division — the e16 discipline). Scale: one
+    * user-keyed window sort, then a map-side-combined aggregate onto
+    * the ≤|types|³ path key space — the final frame is bounded by the
+    * type vocabulary, not the corpus; the share window runs over that
+    * tiny frame. */
+  def pathMining(s: SparkSession, d: String): DataFrame = {
+    val sessUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("g1", lead(col("us"), 1).over(byUser) - col("us"))
+      .withColumn("g2", lead(col("us"), 2).over(byUser) - lead(col("us"), 1).over(byUser))
+      .filter(col("t3").isNotNull && col("g1") <= sessUs && col("g2") <= sessUs)
+      .groupBy(col("event_type").as("p1"), col("t2").as("p2"), col("t3").as("p3"))
+      .agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("share_bp",
+        expr("(10000 * n) div sum(n) over ()"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+  }
+
   /** e17: event-rate burst detection — the bot/abuse rate signal a crawl
     * or product pipeline gates ingestion on (automated clients cluster
     * far more events into a window than a human session produces). Per

@@ -28,6 +28,9 @@ case class PendingView(viewMs: Long)
 case class Conversion(user_id: Long, view_ms: Long, purchase_ms: Long,
                       lag_ms: Long)
 
+/** One trailing-window event count of a user (streaming burst signal). */
+case class BurstCount(user_id: Long, ts_ms: Long, burst: Long)
+
 /**
  * Structured Streaming forms of the event analytics (batch equivalents:
  * graft.operators.Events — oracle-verified). readStream → transform →
@@ -321,6 +324,38 @@ object EventPipelines {
             last = Some(e.event_type)
           }
           last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming form of the e17 trailing-window burst (batch:
+    * Events.burstDetection): per-user flatMapGroupsWithState whose state
+    * is ONLY the ascending event timestamps inside one trailing window
+    * of the newest event — O(events-per-window) per user, pruned every
+    * batch, never O(history) (the rate a burst detector flags is by
+    * definition bounded × window, so the state bound is the flag
+    * threshold itself at worst). Emits the trailing count per consumed
+    * event; downstream maxes per user. Same per-user event-time arrival
+    * contract as transitionPairs; the per-user MAX agrees with the
+    * batch RANGE frame even on timestamp ties, because the last peer of
+    * a tied group sees the whole group. */
+  def burstCounts(events: Dataset[Event],
+      windowMs: Long = 24L * 3600 * 1000): Dataset[BurstCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], BurstCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[List[Long]]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var buf = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[BurstCount]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            buf = (buf :+ t).filter(_ > t - windowMs)
+            out += BurstCount(uid, t, buf.length.toLong)
+          }
+          if (buf.nonEmpty) state.update(buf) else state.remove()
           out.iterator
       }
   }

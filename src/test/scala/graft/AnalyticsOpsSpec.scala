@@ -336,4 +336,31 @@ class AnalyticsOpsSpec extends GraftSpec {
     // the threshold discriminates: some users burst, most don't
     assert(got.exists(!_.getAs[Boolean]("is_burst")))
   }
+
+  test("e18 path mining matches a driver-side recount; shares are exact floor bp") {
+    val sessUs = 1800L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4)).toSeq
+      s.sliding(3).filter(_.length == 3).collect {
+        case Seq(a, b, c) if b._3 - a._3 <= sessUs && c._3 - b._3 <= sessUs =>
+          (a._2, b._2, c._2)
+      }
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Events.pathMining(spark, sf).collect()
+    assert(got.length == expected.size)
+    val total = expected.values.sum
+    got.foreach { r =>
+      val k = (r.getAs[String]("p1"), r.getAs[String]("p2"), r.getAs[String]("p3"))
+      assert(r.getAs[Long]("n") == expected(k), s"path $k")
+      assert(r.getAs[Long]("share_bp") ==
+        Math.floorDiv(10000L * expected(k), total), s"share $k")
+    }
+    // counts are presented descending
+    val ns = got.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse))
+  }
 }

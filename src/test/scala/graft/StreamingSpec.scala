@@ -517,4 +517,41 @@ class StreamingSpec extends GraftSpec {
       assert(rows.head.getAs[Long]("n_events") == 3)
     } finally q.stop()
   }
+
+  test("burstCounts: trailing-window counts across batches, state pruned (e17 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 1h window for in-test reachability; the topology is windowMs-generic
+    val q = EventPipelines.burstCounts(input.toDS(), windowMs = 3600L * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("burst_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 09:20:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 09:40:00"), 1, "view", 1.0),
+        Event(4, ts("2024-01-01 09:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT user_id, burst FROM burst_test ORDER BY user_id, ts_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // u1 accumulates 1,2,3 inside the hour; u2 sits at 1
+      assert(b1.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)), b1.mkString(","))
+      input.addData(
+        // 10:10: 09:00 has left the 1h window; 09:20 and 09:40 remain
+        Event(5, ts("2024-01-01 10:10:00"), 1, "view", 1.0),
+        // exactly windowMs after 09:00: the boundary event is EXCLUDED
+        Event(6, ts("2024-01-01 10:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val b2 = spark.sql(
+        "SELECT user_id, burst FROM burst_test WHERE ts_ms >= " +
+          ts("2024-01-01 10:00:00").getTime + " ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(b2.toSeq == Seq((1L, 3L), (2L, 1L)), b2.mkString(","))
+      // per-user max parity with the batch kernel's contract: the max of
+      // the emitted trailing counts IS max_burst over these events
+      val mx = spark.sql(
+        "SELECT user_id, max(burst) FROM burst_test GROUP BY user_id ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(mx.toSeq == Seq((1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
 }
