@@ -323,6 +323,8 @@ class PlanSpec extends GraftSpec {
     // the windows are the kernel's pass-2 running sum over <= 256 bins
     // and pass-3 running sum over distinct values inside the candidate
     // bins only, the same bounded frames every per-group caller pays.
+    // e18: the share window runs over the path-key aggregate — bounded
+    // by the event-type vocabulary cubed (~125 rows), not the corpus.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -341,7 +343,7 @@ class PlanSpec extends GraftSpec {
         if (n > 0) Some(name) else None
     }.toSet
     val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf",
-      "t24_ccnet_buckets", "t25_dsir")
+      "t24_ccnet_buckets", "t25_dsir", "e18_path_mining")
     assert(offenders == audited,
       s"global-window entries moved: unexpected=${offenders -- audited} " +
         s"missing=${audited -- offenders} — audit any new site (is the " +
