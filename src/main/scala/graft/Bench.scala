@@ -84,9 +84,16 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // Full spread (all three timed runs per query, ascending) to a file —
     // the stdout JSON line must stay inside the driver's ~2000-char
-    // window, so the band lives here instead.
+    // window, so the band lives here instead. The default name carries
+    // an explicit single-JVM marker and must NEVER collide with the
+    // committed `bench_spread_<sf>.json` artifacts: those come from
+    // scripts/spread.py's independent-JVM protocol, and a default that
+    // overwrote them silently replaced a cross-JVM measurement with
+    // this run's in-JVM one (exactly the provenance confusion the r12
+    // advice flagged — and a subset bench run in the repo root
+    // reproduced it once in r13 before this rename).
     val spreadPath = sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT",
-      s"bench_spread_$sfName.json")
+      s"bench_spread_inJVM_$sfName.json")
     val spreadJson = results.sortBy(_._1).map { case (k, ts) =>
       "\"" + k + "\":[" + ts.sorted.map(fmt).mkString(",") + "]"
     }.mkString("{\"sf\":\"" + sfName + "\",\"runs\":3,\"spread\":{", ",", "}}")
