@@ -182,7 +182,10 @@ object GraftCli {
   // DEALLOCATE PREPARE — Presto docs, SQL statement reference). Spark's
   // SQL dialect has no PREPARE statement, so the CLI routes these.
   private val Prepare = "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s+FROM\\s+(.+)$".r
-  private val Execute = "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*(?:USING\\s+(.+?))?\\s*$".r
+  // IMMEDIATE is excluded by name: EXECUTE IMMEDIATE is dynamic SQL the
+  // engine serves natively through the bare sql() path (s16), not a
+  // prepared-statement lookup.
+  private val Execute = "(?is)^\\s*EXECUTE\\s+(?!IMMEDIATE\\b)([A-Za-z_][A-Za-z_0-9]*)\\s*(?:USING\\s+(.+?))?\\s*$".r
   private val Deallocate = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   // Presto `SHOW STATS FOR table` (Presto docs, SHOW STATS) — the
   // planner-statistics surface the CLI exposes; Spark SQL has no
@@ -825,11 +828,37 @@ object GraftCli {
       "SET SESSION time_zone_id = 'UTC'",
       "SET SESSION query_max_memory_per_task = '128MB'",
       "SET SESSION adaptive_execution = false",
-      "RESET SESSION adaptive_execution")))
+      "RESET SESSION adaptive_execution"))),
+    // s16: EXECUTE IMMEDIATE — dynamic SQL with parameter markers, the
+    // other half of the prepared-execution surface beside s12's
+    // PREPARE/EXECUTE (there the statement is a session-named template;
+    // here the statement TEXT arrives as a value with USING-bound
+    // parameters — Presto clients that template SQL app-side land on
+    // exactly this shape). Served natively by the session's sql() path
+    // (Spark 4 front door), so quoting/binding defects fork the hash.
+    "s16_sql_execute_immediate" -> ((s, d) => open(s, d).sql(
+      """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DOUBLE) AS total
+            FROM orders
+            WHERE o_orderstatus = ? AND o_totalprice >= ?
+            GROUP BY o_orderpriority ORDER BY o_orderpriority'
+         USING 'F', 1000.0"""))
   )
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s16: the EXECUTE IMMEDIATE statement with its USING parameters
+    // substituted — a binding or quoting defect in the dynamic-SQL path
+    // forks the hash.
+    "s16_sql_execute_immediate" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s01_sql_agg" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -2237,6 +2237,29 @@ object OracleSql {
     // p12's oracle is the FROM-SCRATCH recompute over all events — the
     // defining invariant of incremental view maintenance (merge ≡
     // rebuild) is exactly what the hash compare pins.
+    // p16: the v1 mutation replayed (delete %10=7, revise %4=0, insert
+    // %25=0 under id+n) and classified through the same full-outer
+    // hash-compare; md5 is byte-identical across engines on UTF-8 text.
+    "p16_snapshot_diff" -> """
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      v0 AS (SELECT doc_id, md5(text) AS v0_md5 FROM documents),
+      v1 AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 4 = 0 THEN '[rev2] ' || text
+                   ELSE text END) AS v1_md5
+        FROM documents WHERE doc_id % 10 <> 7
+        UNION ALL
+        SELECT doc_id + n AS doc_id, md5('[new] ' || text) AS v1_md5
+        FROM documents, nn WHERE doc_id % 25 = 0)
+      SELECT COALESCE(v0.doc_id, v1.doc_id) AS doc_id,
+        CASE WHEN v0_md5 IS NULL THEN 'inserted'
+             WHEN v1_md5 IS NULL THEN 'deleted'
+             WHEN v0_md5 = v1_md5 THEN 'unchanged'
+             ELSE 'updated' END AS change,
+        v0_md5, v1_md5
+      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+      ORDER BY doc_id""",
+
     "p12_incremental_rollup" -> """
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         COUNT(*) AS n_events,

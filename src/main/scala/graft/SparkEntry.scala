@@ -140,6 +140,7 @@ object SparkEntry {
     "p12_incremental_rollup" -> (graft.pipeline.Incremental.incrementalRollup _),
     "p13_epoch_mix" -> (graft.pipeline.Splits.epochMixture _),
     "p14_token_budget" -> (graft.pipeline.Splits.tokenBudgetMixture _),
+    "p16_snapshot_diff" -> (graft.pipeline.Incremental.snapshotDiff _),
     "p15_reservoir_sample" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Splits.reservoirSample(s, d)),
     "q42_promo_ratio" -> (Relational.q42 _),

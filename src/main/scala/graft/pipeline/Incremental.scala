@@ -144,4 +144,41 @@ object Incremental {
         col("sum_val").cast("double").as("sum_value"))
       .orderBy(col("day"), col("event_type"))
   }
+
+  /**
+   * p16: snapshot diff — CHANGE-DATA-CAPTURE derivation between two
+   * corpus versions (the inverse of p03: upsert APPLIES a known change
+   * set; a warehouse sync usually has to DERIVE it first — the
+   * inserted/deleted/updated/unchanged classification every SCD load,
+   * replication audit, and incremental re-train decision starts from).
+   * v1 mutates v0 deterministically: every 10th doc deleted, every 4th
+   * surviving doc revised, every 25th doc re-inserted under a new id.
+   * Classification is a FULL OUTER join of the two (doc_id, md5) frames
+   * — the content hashes are computed AT THE SCAN, so document text
+   * never shuffles and the join moves 40-byte rows co-keyed on doc_id;
+   * at 100 TB this hash-compare join IS the standard CDC topology.
+   * The only driver-side value is the doc count (1-row scalar, the g01
+   * class) for the synthetic insert ids.
+   */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit("[rev2] "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + n).as("doc_id"),
+          concat(lit("[new] "), col("text")).as("text")))
+    docs.select(col("doc_id"), md5(col("text")).as("v0_md5"))
+      .join(v1.select(col("doc_id"), md5(col("text")).as("v1_md5")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("v0_md5").isNull, "inserted")
+          .when(col("v1_md5").isNull, "deleted")
+          .when(col("v0_md5") === col("v1_md5"), "unchanged")
+          .otherwise("updated").as("change"),
+        col("v0_md5"), col("v1_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

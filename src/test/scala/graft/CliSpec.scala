@@ -266,6 +266,22 @@ class CliSpec extends GraftSpec {
     assert(second.tail.map(_.takeWhile(_ != ',')) == Seq("0", "1", "2", "3"), lines.mkString("\n"))
   }
 
+  test("EXECUTE IMMEDIATE binds USING parameters through the real main") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val saved = System.out
+    System.setOut(outP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "EXECUTE IMMEDIATE 'SELECT r_regionkey, r_name FROM region " +
+        "WHERE r_regionkey < ? ORDER BY r_regionkey' USING 3"))
+    finally { System.setOut(saved); outP.flush() }
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    assert(lines.head == "r_regionkey,r_name", lines.mkString("\n"))
+    assert(lines.tail.map(_.takeWhile(_ != ',')) == Seq("0", "1", "2"),
+      lines.mkString("\n"))
+  }
+
   test("prepared-statement misuse: unknown name, arity mismatch, deallocate") {
     val errB = new java.io.ByteArrayOutputStream()
     val errP = new java.io.PrintStream(errB, true, "UTF-8")

@@ -426,4 +426,33 @@ class IncrementalSpec extends GraftSpec {
     assert(maxDay < "2024-01-24", s"state leaked post-cutoff days: $maxDay")
     assert(state.count() > 0)
   }
+
+  test("p16 snapshot diff classifies exactly the mutation classes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val n = docs.size.toLong
+    val rows = Incremental.snapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    // every base doc and every synthetic insert id is classified, once
+    assert(rows.size == docs.size + docs.count(_ % 25 == 0))
+    docs.foreach { id =>
+      val want =
+        if (id % 10 == 7) "deleted"
+        else if (id % 4 == 0) "updated"
+        else "unchanged"
+      assert(rows(id) == want, s"doc $id: ${rows(id)} != $want")
+    }
+    docs.filter(_ % 25 == 0).foreach { id =>
+      assert(rows(id + n) == "inserted", s"insert ${id + n}")
+    }
+    // hash columns carry the evidence: deleted rows lose v1, inserted v0
+    Incremental.snapshotDiff(spark, sf).collect().foreach { r =>
+      r.getAs[String]("change") match {
+        case "deleted"  => assert(r.isNullAt(r.fieldIndex("v1_md5")))
+        case "inserted" => assert(r.isNullAt(r.fieldIndex("v0_md5")))
+        case "updated"  => assert(r.getString(2) != r.getString(3))
+        case _          => assert(r.getString(2) == r.getString(3))
+      }
+    }
+  }
 }
