@@ -1971,6 +1971,31 @@ object OracleSql {
     // e16: the same lead-within-user derivation; FILTER-clause splits
     // the in-session dwells from session ends, and the mean is the
     // floor division of exact BIGINTs — no doubles anywhere.
+    // e19: the e15 first-view/first-later-purchase staging, day-bucketed
+    // floor-division lags, cumulative window counts, exact bp share.
+    "e19_conversion_survival" -> """
+      WITH fv AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+        GROUP BY e.user_id),
+      lags AS (
+        SELECT LEAST((epoch_us(p_ts) - epoch_us(v_ts)) // 86400000000, 7)
+          AS lag_day
+        FROM fv JOIN fp ON fv.user_id = fp.user_id),
+      c AS (SELECT lag_day, COUNT(*) AS n FROM lags GROUP BY lag_day)
+      SELECT lag_day, n,
+        CAST(SUM(n) OVER (ORDER BY lag_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_n,
+        CAST((10000 * SUM(n) OVER (ORDER BY lag_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          // SUM(n) OVER () AS BIGINT) AS cum_bp
+      FROM c ORDER BY lag_day""",
+
     // e18: the two leads + session-gap filter replayed; the share is an
     // exact floor division over the window total (BIGINT casts where
     // DuckDB widens SUM to HUGEINT).

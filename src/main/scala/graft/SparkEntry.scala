@@ -78,6 +78,7 @@ object SparkEntry {
     "e16_dwell_time" -> (Events.dwellTime _),
     "e17_burst_detection" -> (Events.burstDetection _),
     "e18_path_mining" -> (Events.pathMining _),
+    "e19_conversion_survival" -> (Events.conversionSurvival _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

@@ -453,6 +453,39 @@ object Events {
     * combined aggregate on event_type — the type cardinality is tiny,
     * so the final exchange is a handful of 40-byte rows; ties on ts
     * break by event_id so the lead is deterministic at any SF. */
+  /** e19: conversion survival curve — the cumulative time-to-convert
+    * distribution beside e15's per-cohort median/p90 (e15 answers "how
+    * slow is a typical cohort"; the survival curve answers "what share
+    * of all converters land within k days" — the horizon question an
+    * attribution window or a retargeting budget is actually set by).
+    * Same first-view → first-strictly-later-purchase staging as e15,
+    * lag bucketed to whole days (capped at 7 = "a week or more"),
+    * cumulative counts and the cumulative share in EXACT integer basis
+    * points (floor division); integer microseconds end-to-end, so no
+    * rounding seam exists anywhere. Scale: two user-keyed aggs (map-
+    * side combined) and one ≤8-row bucket frame — both global windows
+    * run over that bounded frame, never the corpus. */
+  def conversionSurvival(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstPurch = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val counts = firstView.join(firstPurch, Seq("user_id"))
+      .select(least(
+        expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 86400000000"),
+        lit(7L)).as("lag_day"))
+      .groupBy(col("lag_day")).agg(count(lit(1)).as("n"))
+    val cum = Window.orderBy(col("lag_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_bp", expr("(10000 * cum_n) div sum(n) over ()"))
+      .orderBy(col("lag_day"))
+  }
+
   /** e18: session path mining — the top 3-step event-type paths users
     * actually walk (e11's transition matrix is the 2-step memoryless
     * view; product analytics asks for the longer motifs — "view →

@@ -363,4 +363,30 @@ class AnalyticsOpsSpec extends GraftSpec {
     val ns = got.map(_.getAs[Long]("n"))
     assert(ns.sameElements(ns.sorted.reverse))
   }
+
+  test("e19 survival curve matches a driver-side recount; cumulative exact") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val lags = firstView.flatMap { case (u, v) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > v)
+      if (ps.isEmpty) None else Some(math.min((ps.map(_._3).min - v) / 86400000000L, 7L))
+    }.toSeq
+    val expected = lags.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Events.conversionSurvival(spark, sf).collect()
+    assert(got.length == expected.size)
+    val total = lags.length.toLong
+    var cum = 0L
+    got.foreach { r =>
+      val d = r.getAs[Long]("lag_day")
+      cum += expected(d)
+      assert(r.getAs[Long]("n") == expected(d), s"day $d")
+      assert(r.getAs[Long]("cum_n") == cum, s"cum day $d")
+      assert(r.getAs[Long]("cum_bp") == Math.floorDiv(10000L * cum, total))
+    }
+    // the last bucket's cumulative share is exactly 10000 bp
+    assert(got.last.getAs[Long]("cum_bp") == 10000L)
+  }
 }

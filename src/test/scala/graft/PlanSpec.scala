@@ -325,6 +325,8 @@ class PlanSpec extends GraftSpec {
     // bins only, the same bounded frames every per-group caller pays.
     // e18: the share window runs over the path-key aggregate — bounded
     // by the event-type vocabulary cubed (~125 rows), not the corpus.
+    // e19: both cumulative windows run over the ≤8-row lag-day bucket
+    // frame (day buckets capped at 7), never the corpus.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -343,7 +345,8 @@ class PlanSpec extends GraftSpec {
         if (n > 0) Some(name) else None
     }.toSet
     val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf",
-      "t24_ccnet_buckets", "t25_dsir", "e18_path_mining")
+      "t24_ccnet_buckets", "t25_dsir", "e18_path_mining",
+      "e19_conversion_survival")
     assert(offenders == audited,
       s"global-window entries moved: unexpected=${offenders -- audited} " +
         s"missing=${audited -- offenders} — audit any new site (is the " +
