@@ -31,6 +31,9 @@ case class Conversion(user_id: Long, view_ms: Long, purchase_ms: Long,
 /** One trailing-window event count of a user (streaming burst signal). */
 case class BurstCount(user_id: Long, ts_ms: Long, burst: Long)
 
+/** One completed in-session 3-step path of a user (streaming e18). */
+case class PathTriple(user_id: Long, p1: String, p2: String, p3: String)
+
 /**
  * Structured Streaming forms of the event analytics (batch equivalents:
  * graft.operators.Events — oracle-verified). readStream → transform →
@@ -356,6 +359,42 @@ object EventPipelines {
             out += BurstCount(uid, t, buf.length.toLong)
           }
           if (buf.nonEmpty) state.update(buf) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Streaming form of the e18 path mining (batch: Events.pathMining):
+    * per-user flatMapGroupsWithState keeping ONLY the last TWO
+    * (event_type, ts) pairs — O(1) state per user regardless of stream
+    * volume, the transitionPairs discipline one step longer — and
+    * emitting a PathTriple for every consumed event whose two trailing
+    * gaps both sit inside the session gap (a longer gap silently
+    * closes the window, exactly the batch filter). Downstream counts
+    * (p1, p2, p3) however it likes. Same per-user event-time arrival
+    * contract as transitionPairs. */
+  def pathTriples(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[PathTriple] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(String, Long)], PathTriple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event],
+         state: GroupState[List[(String, Long)]]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.getOrElse(Nil) // ≤2, oldest first
+          val out = scala.collection.mutable.ArrayBuffer[PathTriple]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            last match {
+              case List((p1, ts1), (p2, ts2))
+                if ts2 - ts1 <= gapMs && t - ts2 <= gapMs =>
+                out += PathTriple(uid, p1, p2, e.event_type)
+              case _ =>
+            }
+            last = (last :+ (e.event_type, t)).takeRight(2)
+          }
+          if (last.nonEmpty) state.update(last)
           out.iterator
       }
   }

@@ -518,6 +518,47 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("pathTriples: 3-step paths across batches with O(1) state (e18 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.pathTriples(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("path_test").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 09:20:00"), 1, "purchase", 1.0), // in-batch triple
+        Event(4, ts("2024-01-01 09:00:00"), 2, "view", 1.0),
+        Event(5, ts("2024-01-01 09:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT p1, p2, p3 FROM path_test WHERE user_id = 1")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(b1.toSeq == Seq(("view", "click", "purchase")), b1.mkString(","))
+      input.addData(
+        // u2's third event arrives a batch later: the state carried the
+        // first two, so the triple completes CROSS-batch
+        Event(6, ts("2024-01-01 09:12:00"), 2, "click", 1.0),
+        // u1: a 40-min gap breaks the session — event 3→7 must NOT form
+        // (click, purchase, view); the following tight pair then rebuilds
+        Event(7, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(8, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT user_id, p1, p2, p3 FROM path_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      assert(all.count(_._1 == 2L) == 1)
+      assert(all.filter(_._1 == 2L).head == ((2L, "view", "view", "click")))
+      // u1 still has only the one in-session triple: the gap suppressed
+      // both windows that spanned it
+      assert(all.count(_._1 == 1L) == 1, all.mkString(","))
+      // a third tight event now completes u1's rebuilt window
+      input.addData(Event(9, ts("2024-01-01 10:09:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.sql("SELECT p1, p2, p3 FROM path_test WHERE user_id = 1")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(u1.toSet == Set(("view", "click", "purchase")) && u1.length == 2)
+    } finally q.stop()
+  }
+
   test("burstCounts: trailing-window counts across batches, state pruned (e17 parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
