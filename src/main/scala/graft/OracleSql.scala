@@ -1971,6 +1971,34 @@ object OracleSql {
     // e16: the same lead-within-user derivation; FILTER-clause splits
     // the in-session dwells from session ends, and the mean is the
     // floor division of exact BIGINTs — no doubles anywhere.
+    // e20: the e14 replication replayed at 1/7/28 days; window ends via
+    // date generate_series (timestamps cast back to DATE), left joins
+    // from the MAU superset, 0-filled, exact floor-division stickiness.
+    "e20_stickiness" -> """
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      mx AS (SELECT MAX(day) AS max_day FROM act),
+      m AS (SELECT wend, COUNT(DISTINCT user_id) AS mau FROM (
+          SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+            CAST(day AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY))
+            AS DATE) AS wend
+          FROM act) t, mx WHERE wend <= max_day GROUP BY wend),
+      w AS (SELECT wend, COUNT(DISTINCT user_id) AS wau FROM (
+          SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+            CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+            AS DATE) AS wend
+          FROM act) t, mx WHERE wend <= max_day GROUP BY wend),
+      dd AS (SELECT day AS wend, COUNT(DISTINCT user_id) AS dau
+             FROM act GROUP BY day)
+      SELECT strftime(m.wend, '%Y-%m-%d') AS day,
+        CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
+        CAST(COALESCE(wau, 0) AS BIGINT) AS wau,
+        mau,
+        (10000 * CAST(COALESCE(dau, 0) AS BIGINT)) // mau AS stickiness_bp
+      FROM m LEFT JOIN w ON m.wend = w.wend
+             LEFT JOIN dd ON m.wend = dd.wend
+      ORDER BY day""",
+
     // e19: the e15 first-view/first-later-purchase staging, day-bucketed
     // floor-division lags, cumulative window counts, exact bp share.
     "e19_conversion_survival" -> """

@@ -79,6 +79,7 @@ object SparkEntry {
     "e17_burst_detection" -> (Events.burstDetection _),
     "e18_path_mining" -> (Events.pathMining _),
     "e19_conversion_survival" -> (Events.conversionSurvival _),
+    "e20_stickiness" -> (Events.stickiness _),
     // Text analysis
     "t01_langid" -> (TextAnalysis.langid _),
     "t02_quality_score" -> (TextAnalysis.quality _),

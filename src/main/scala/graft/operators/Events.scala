@@ -396,6 +396,43 @@ object Events {
       .orderBy(col("window_end"))
   }
 
+  /** e20: DAU / WAU / MAU + stickiness — the canonical engagement rollup
+    * (DAU/MAU is THE product-health ratio), generalizing e14's exact
+    * sliding-distinct topology to the 1/7/28-day windows: events reduce
+    * to distinct (day, user) ONCE, each pair replicates to its window-
+    * serviceable end days (a bounded ×1/×7/×28 explode of the already-
+    * reduced frame — never of raw events), per-end-day distinct counts
+    * with map-side partials, partial FUTURE windows suppressed via the
+    * 1-row max-day broadcast (partial lookback at the corpus start is
+    * the metric's standard semantics). The MAU frame's end-day set is a
+    * superset of WAU's and DAU's by construction (a window ending at an
+    * activity day exists in every wider window), so the report LEFT
+    * joins from MAU and 0-fills; stickiness is EXACT integer basis
+    * points (`10000·dau div mau` — mau ≥ 1 on every emitted row).
+    * The approximate scale path at bigger windows is s10's mergeable
+    * HLL union; this is the exact reference beside it (the e14
+    * pairing discipline). */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    def actives(window: Int, name: String) = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), window - 1))).as("wend"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("max_day"))
+      .groupBy(col("wend")).agg(countDistinct(col("user_id")).as(name))
+    actives(28, "mau")
+      .join(actives(7, "wau"), Seq("wend"), "left")
+      .join(actives(1, "dau"), Seq("wend"), "left")
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        col("mau"))
+      .withColumn("stickiness_bp", expr("(10000 * dau) div mau"))
+      .orderBy(col("day"))
+  }
+
   /** e15: conversion-lag distribution — the time-to-convert report product
     * analytics pairs with the e05 funnel (how MANY convert) to answer how
     * FAST they convert. Cohort = calendar day of a user's first view;

@@ -389,4 +389,31 @@ class AnalyticsOpsSpec extends GraftSpec {
     // the last bucket's cumulative share is exactly 10000 bp
     assert(got.last.getAs[Long]("cum_bp") == 10000L)
   }
+
+  test("e20 stickiness matches a driver-side window recount; dau <= wau <= mau") {
+    val act = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxDay = act.map(_._2).maxBy(_.toEpochDay)
+    def users(end: java.time.LocalDate, w: Int) = act.collect {
+      case (u, d) if !d.isAfter(end) &&
+        d.toEpochDay > end.toEpochDay - w => u
+    }.toSet
+    val got = graft.operators.Events.stickiness(spark, sf).collect()
+    // spine: every end day serviced by some 28-day window, none future
+    val spine = act.flatMap { case (_, d) =>
+      (0 until 28).map(k => d.plusDays(k)).filter(!_.isAfter(maxDay))
+    }.distinct.sorted(Ordering.by((x: java.time.LocalDate) => x.toEpochDay))
+    assert(got.map(_.getAs[String]("day")).sameElements(spine.map(_.toString)))
+    got.foreach { r =>
+      val end = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val (dau, wau, mau) =
+        (users(end, 1).size.toLong, users(end, 7).size.toLong, users(end, 28).size.toLong)
+      assert(r.getAs[Long]("dau") == dau, s"$end dau")
+      assert(r.getAs[Long]("wau") == wau, s"$end wau")
+      assert(r.getAs[Long]("mau") == mau, s"$end mau")
+      assert(dau <= wau && wau <= mau && mau >= 1)
+      assert(r.getAs[Long]("stickiness_bp") == Math.floorDiv(10000L * dau, mau))
+    }
+  }
 }
