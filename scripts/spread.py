@@ -27,18 +27,32 @@ only = sys.argv[4] if len(sys.argv) > 4 else None
 per_entry = {}
 totals = []
 for r in range(runs):
-    spread_path = tempfile.mktemp(suffix=f"_spread_run{r}.json")
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_SPREAD_OUT=spread_path)
-    if only:
-        env["SPARK_GRAFT_BENCH_ONLY"] = only
-    p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
-                       env=env, capture_output=True, text=True)
-    line = next(l for l in p.stdout.splitlines() if l.startswith('{"metric"'))
-    totals.append(json.loads(line)["value"])
-    with open(spread_path) as f:
-        run_spread = json.load(f)["spread"]
-    os.unlink(spread_path)
+    fd, spread_path = tempfile.mkstemp(suffix=f"_spread_run{r}.json")
+    os.close(fd)
+    try:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_SPREAD_OUT=spread_path)
+        if only:
+            env["SPARK_GRAFT_BENCH_ONLY"] = only
+        p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           env=env, capture_output=True, text=True)
+        if p.returncode != 0:
+            print(p.stdout[-4000:], file=sys.stderr)
+            print(p.stderr[-4000:], file=sys.stderr)
+            sys.exit(f"[spread] run {r + 1}/{runs}: bench JVM failed "
+                     f"(exit {p.returncode}) — see output above")
+        line = next((l for l in p.stdout.splitlines()
+                     if l.startswith('{"metric"')), None)
+        if line is None:
+            print(p.stdout[-4000:], file=sys.stderr)
+            sys.exit(f"[spread] run {r + 1}/{runs}: no metric line in "
+                     "bench stdout")
+        totals.append(json.loads(line)["value"])
+        with open(spread_path) as f:
+            run_spread = json.load(f)["spread"]
+    finally:
+        if os.path.exists(spread_path):
+            os.unlink(spread_path)
     for name, ts in run_spread.items():
         per_entry.setdefault(name, []).append(ts)
     print(f"[spread] run {r + 1}/{runs}: total={totals[-1]}s", file=sys.stderr)

@@ -51,8 +51,12 @@ object CboSupport {
     tables.foreach { t =>
       val name = tableName(t)
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      // the location is a filesystem path interpolated into SQL — escape
+      // embedded single quotes so a quoted directory can't break the
+      // statement (SQL string literals double them)
+      val loc = Tables.path(dir, t).replace("'", "''")
       spark.sql(
-        s"CREATE TABLE $name USING parquet LOCATION '${Tables.path(dir, t)}'")
+        s"CREATE TABLE $name USING parquet LOCATION '$loc'")
       spark.sql(
         s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
     }

@@ -255,9 +255,14 @@ object EventPipelines {
     * history at once; the restriction is the price of bounded state and
     * is explicit in the API). Purchases with no prior view hold no
     * state; a post-eviction purchase emits nothing (spec-pinned — the
-    * eviction is observable, not just an internals claim). Exact under
-    * per-user event-time-ordered arrival, the same lag-shape contract
-    * as [[transitionPairs]]. */
+    * eviction is observable, not just an internals claim). The horizon
+    * is enforced at EMISSION too, not only via the timeout: a purchase
+    * whose lag exceeds the horizon never pairs — it evicts the pending
+    * view in place (the view provably expired unconverted), so output
+    * does not depend on whether the timeout or the purchase reaches the
+    * operator first (batch boundaries, other users' watermark progress).
+    * Exact under per-user event-time-ordered arrival, the same
+    * lag-shape contract as [[transitionPairs]]. */
   def conversionPairs(events: Dataset[Event], watermark: String = "1 hour",
       horizonMs: Long = 24L * 3600 * 1000): Dataset[Conversion] = {
     import events.sparkSession.implicits._
@@ -282,8 +287,18 @@ object EventPipelines {
                     pending = Some(PendingView(e.ts.getTime))
                 case _ => // purchase
                   pending.filter(p => e.ts.getTime > p.viewMs).foreach { p =>
-                    emitted = Some(Conversion(uid, p.viewMs, e.ts.getTime,
-                      e.ts.getTime - p.viewMs))
+                    if (e.ts.getTime - p.viewMs <= horizonMs)
+                      emitted = Some(Conversion(uid, p.viewMs, e.ts.getTime,
+                        e.ts.getTime - p.viewMs))
+                    else
+                      // over-horizon purchase: the pending view's window has
+                      // provably expired unconverted — evict it HERE, not at
+                      // the timeout, so eviction semantics are independent of
+                      // batch boundaries / watermark progress (an in-batch
+                      // over-horizon purchase must behave exactly like the
+                      // timeout firing first). A later view re-arms, same as
+                      // after a timeout eviction.
+                      pending = None
                   }
               }
             }
@@ -351,14 +366,22 @@ object EventPipelines {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[List[Long]]) =>
           val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var buf = state.getOption.getOrElse(Nil)
+          // deque, not List: timestamps arrive ascending, so the window
+          // slides by appending at the tail and pruning expired entries
+          // from the head — O(1) amortized per event. The immutable
+          // `(buf :+ t).filter(...)` form this replaced rebuilt the whole
+          // list per event: O(n²) per batch for exactly the high-rate
+          // users a burst detector exists to flag.
+          val buf = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.getOrElse(Nil))
           val out = scala.collection.mutable.ArrayBuffer[BurstCount]()
           sorted.foreach { e =>
             val t = e.ts.getTime
-            buf = (buf :+ t).filter(_ > t - windowMs)
+            buf.append(t)
+            while (buf.nonEmpty && buf.head <= t - windowMs) buf.removeHead()
             out += BurstCount(uid, t, buf.length.toLong)
           }
-          if (buf.nonEmpty) state.update(buf) else state.remove()
+          if (buf.nonEmpty) state.update(buf.toList) else state.remove()
           out.iterator
       }
   }

@@ -254,6 +254,34 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("conversionPairs: in-batch over-horizon purchase never pairs (emission guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipelines.conversionPairs(input.toDS(), horizonMs = 2L * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("conv_guard").start()
+    try {
+      // ALL in one batch, so the event-time timeout cannot fire first:
+      // without the emission guard u7's 3h-lag purchase would pair here
+      // (the nondeterminism ADVICE r13 flagged — output depended on batch
+      // boundaries). With it, the over-horizon purchase evicts the
+      // pending view in place and the NEXT view re-arms.
+      input.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 7, "view", 1.0),
+        Event(2, ts("2024-01-01 12:00:00"), 7, "purchase", 9.0),  // lag 3h > 2h: NO pair
+        Event(3, ts("2024-01-01 12:30:00"), 7, "view", 1.0),      // re-arms post-eviction
+        Event(4, ts("2024-01-01 13:00:00"), 7, "purchase", 9.0),  // pairs: lag 30m
+        Event(5, ts("2024-01-01 09:00:00"), 8, "view", 1.0),      // in-horizon control
+        Event(6, ts("2024-01-01 10:00:00"), 8, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, view_ms, lag_ms FROM conv_guard ORDER BY user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (7L, ts("2024-01-01 12:30:00").getTime, 30L * 60 * 1000),
+        (8L, ts("2024-01-01 09:00:00").getTime, 60L * 60 * 1000)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("streaming rollup maintenance: versioned state equals a from-scratch rebuild (p12 parity)") {
     import org.apache.spark.sql.types.DecimalType
     implicit val sqlCtx = spark.sqlContext
