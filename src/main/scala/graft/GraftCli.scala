@@ -207,6 +207,12 @@ object GraftCli {
   // copy) and runs FOR ALL COLUMNS — the stats SHOW STATS reports and
   // plans.CboSupport.withCbo turns into join-order decisions.
   private val Analyze = "(?is)^\\s*ANALYZE\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  // Presto DELETE FROM t [WHERE ...] (Presto 0.248 serves DELETE on its
+  // writable connectors). Spark SQL rejects DELETE on v1 parquet tables,
+  // so the CLI routes it to a distributed anti-filter rewrite of the
+  // managed table (see deleteFrom).
+  private val Delete =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z_0-9]*)(?:\\s+WHERE\\s+(.+?))?\\s*$".r
   private val SetSession = "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*=\\s*(.+?)\\s*$".r
   private val ResetSession = "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   private val ShowSession = "(?is)^\\s*SHOW\\s+SESSION\\s*$".r
@@ -498,6 +504,75 @@ object GraftCli {
     sb.toString
   }
 
+  /** DELETE FROM t [WHERE cond] as a distributed rewrite of the managed
+    * parquet table — the Presto-0.248 DELETE surface on writable
+    * connectors, served Spark-side the way a hive-connector DELETE
+    * actually works underneath: keep the surviving rows, swap the data.
+    *
+    * The surviving rows (WHERE-false or WHERE-null — SQL deletes only
+    * rows where the predicate is TRUE) are written ONCE by executors to
+    * a sibling managed table, then the catalog swaps names (drop +
+    * rename) — no driver materialization, no read-and-overwrite of the
+    * same files mid-scan, and the plan is an ordinary filtered parquet
+    * write at any scale (a 100 TB DELETE is one filtered pass, the same
+    * cost shape as Presto's partition rewrite). Source temp views
+    * (the sf-dir catalog) are read-only and refused, like DELETE against
+    * a non-writable Presto connector. Returns rows deleted (Presto's
+    * DELETE report), from parquet-metadata counts. */
+  private[graft] def deleteFrom(spark: SparkSession, table: String,
+      where: Option[String]): Long = {
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    if (!spark.catalog.tableExists(t)) throw new IllegalArgumentException(
+      s"DELETE FROM: table $t does not exist")
+    if (spark.catalog.getTable(t).tableType == "TEMPORARY")
+      throw new IllegalArgumentException(
+        s"DELETE FROM: $t is a read-only source view (DELETE needs a " +
+          "managed table — CREATE TABLE ... AS SELECT first)")
+    val df = spark.table(t)
+    val remaining = where match {
+      case Some(w) => df.filter(
+        !org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(w).cast("boolean"),
+          org.apache.spark.sql.functions.lit(false)))
+      case None => df.filter(org.apache.spark.sql.functions.lit(false))
+    }
+    val before = df.count()
+    val tmp = s"${t}__graft_delete_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    dropStaleLocation(spark, tmp)
+    remaining.write.saveAsTable(tmp)
+    val after = spark.table(tmp).count()
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    before - after
+  }
+
+  /** Remove a STALE warehouse directory for `name` — one the catalog no
+    * longer knows (a previous JVM's in-memory catalog dropped with the
+    * session, but managed-table files persist on disk, so a later CTAS
+    * fails with LOCATION_ALREADY_EXISTS). A location the live catalog
+    * still owns is left alone: DROP TABLE handles both halves there. */
+  private[graft] def dropStaleLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(wh,
+        name.toLowerCase(java.util.Locale.ROOT))
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  /** s17's front door: route a DELETE statement through the REAL router
+    * regex + rewrite (the entry needs the routed path, not a direct
+    * helper call). Returns rows deleted. */
+  private[graft] def deleteStatement(spark: SparkSession, stmt: String): Long =
+    stmt.stripSuffix(";") match {
+      case Delete(table, whereCond) =>
+        deleteFrom(spark, table, Option(whereCond))
+      case other => throw new IllegalArgumentException(
+        s"not a DELETE statement: $other")
+    }
+
   /** Run one ;-stripped statement: route EXPLAIN ANALYZE and the
     * prepared-statement verbs, render everything else (including
     * CREATE/DROP VIEW, which Spark SQL serves natively through the
@@ -547,6 +622,10 @@ object GraftCli {
         err.println(s"[graft-cli] ANALYZE $t -> catalog table " +
           s"${graft.plans.CboSupport.tableName(t)} (row count + column stats " +
           "recorded; enable CBO to feed the planner)")
+      case Delete(table, whereCond) =>
+        val n = deleteFrom(spark, table, Option(whereCond))
+        err.println(s"[graft-cli] DELETE $n row(s) from " +
+          table.toLowerCase(java.util.Locale.ROOT))
       case SetSession(name, value) =>
         setSession(spark, name, value)
         err.println(s"[graft-cli] SET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")
@@ -845,11 +924,39 @@ object GraftCli {
             FROM orders
             WHERE o_orderstatus = ? AND o_totalprice >= ?
             GROUP BY o_orderpriority ORDER BY o_orderpriority'
-         USING 'F', 1000.0"""))
+         USING 'F', 1000.0""")),
+    // s17: DELETE FROM through the front door (Presto 0.248 DELETE on
+    // writable connectors) — CTAS a managed copy, route the DELETE
+    // through the real statement regex + anti-filter rewrite + catalog
+    // swap, then aggregate the survivors. The oracle replays the
+    // survivor set directly from the source table, so a rewrite that
+    // drops the wrong rows (predicate NULL semantics, the swap losing
+    // files) forks the hash.
+    "s17_sql_delete" -> ((s, d) => {
+      val sess = open(s, d)
+      sess.sql("DROP TABLE IF EXISTS s17_dml_del")
+      dropStaleLocation(sess, "s17_dml_del")
+      sess.sql("""CREATE TABLE s17_dml_del AS
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem""")
+      deleteStatement(sess,
+        "DELETE FROM s17_dml_del WHERE l_returnflag = 'R' AND l_quantity > 25")
+      sess.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM s17_dml_del GROUP BY l_returnflag ORDER BY l_returnflag""")
+    })
   )
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s17: survivors of the routed DELETE, replayed from the source
+    // table (NOT-TRUE predicate semantics: WHERE-null rows survive)
+    "s17_sql_delete" -> """
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE NOT (l_returnflag = 'R' AND l_quantity > 25)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     // s16: the EXECUTE IMMEDIATE statement with its USING parameters
     // substituted — a binding or quoting defect in the dynamic-SQL path
     // forks the hash.

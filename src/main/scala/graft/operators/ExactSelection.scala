@@ -167,6 +167,62 @@ object ExactSelection {
     * 0.07 × 100 = 7.000000000000001 → rank 8, where ANSI and DuckDB's
     * exact-decimal quantile_disc say 7). Sound for percentiles with ≤ 6
     * decimals and groups up to ~9e12 rows (p_num·n < 2^63). */
+  /** GLOBAL (single-group) exact discrete percentiles, returned as driver
+    * VALUES — for callers that label a corpus against corpus-wide cuts
+    * (t24's tertiles, t25's selection threshold): the cuts become plan
+    * literals, so the labeling projection needs no cut join at all.
+    *
+    * Same three bounded passes as [[percentilesDisc]] with the per-group
+    * machinery specialized away; every driver materialization is BOUNDED
+    * BY A CONSTANT, never by row count (the audited-collect discipline):
+    * pass 1 collects ONE stats row, pass 2 collects the ≤ 256-bin
+    * histogram, pass 3 reduces to one `min` per requested percentile
+    * inside one job. Rank arithmetic and in-bin selection replicate
+    * [[percentilesDisc]] expression-for-expression (the exact integer
+    * rank, the shared equi-width bin formula with lo/hi folded to
+    * literals), so the values are bit-identical to the DataFrame form. */
+  def percentilesDiscGlobal(base: DataFrame, ps: Seq[Double]): Seq[Double] = {
+    val statsRow = base
+      .agg(count(col("x")).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) return ps.map(_ => Double.NaN)
+    val lo = statsRow.getDouble(1)
+    val hi = statsRow.getDouble(2)
+    // exact integer rank per percentile — percentilesDisc's formula
+    // verbatim: k = max(1, ceil(round(p·1e6)·n / 1e6)) via integer
+    // ceiling division (positive operands, so SQL div == Scala /)
+    val ks = ps.map(p => math.max(1L, (math.round(p * 1000000L) * n + 999999L) / 1000000L))
+    // the kernel's shared bin expression with the group's lo/hi as
+    // literals (constant-folded to the identical IEEE arithmetic)
+    def binOf(x: org.apache.spark.sql.Column) =
+      if (hi == lo) lit(1L)
+      else least(greatest(
+        (floor((x - lit(lo)) * Bins / (lit(hi) - lit(lo))) + 1).cast("bigint"),
+        lit(1L)), lit(Bins.toLong))
+    // pass 2: ≤ Bins histogram rows; cumulate locally
+    val bins = base.select(binOf(col("x")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val cumBins = bins.map { case (b, c) => val before = cum; cum += c; (b, before, cum) }
+    val cand = ks.map(k => (k, cumBins.find(_._3 >= k).get))
+    val candBinSet = cand.map(_._2._1).distinct
+    // pass 3: distinct-value counts inside the candidate bins, running sum
+    // per bin, then ONE aggregation row carrying min-above-rank per k
+    val vcum = base.select(col("x"), binOf(col("x")).as("bin"))
+      .filter(col("bin").isin(candBinSet.map(Long.box): _*))
+      .groupBy(col("bin"), col("x")).agg(count(lit(1)).as("vcnt"))
+      .withColumn("vcum", sum(col("vcnt"))
+        .over(Window.partitionBy(col("bin")).orderBy(col("x"))))
+    val aggs = cand.zipWithIndex.map { case ((k, (b, before, _)), i) =>
+      min(when(col("bin") === lit(b) && (lit(before) + col("vcum")) >= lit(k),
+        col("x"))).as(s"v$i")
+    }
+    val row = vcum.agg(aggs.head, aggs.tail: _*).head()
+    ps.indices.map(row.getDouble)
+  }
+
   def percentilesDisc(base: DataFrame, ps: Seq[Double]): DataFrame = {
     def name(p: Double): String = {
       val v = p * 100

@@ -69,6 +69,9 @@ object RuntimeFilters {
     withBloomConfs(s) {
       val df = urgentRevenue(s, d)
       val rows = df.collect()
+      // post-execution adaptive plan: the injected bloom-filtered join is
+      // what the manifest must audit, not the LocalTableScan wrapper
+      graft.plans.PlanDigest.recordSidePlan("adaptive bloom", df)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }
 

@@ -145,6 +145,10 @@ object SkewJoin {
       val (large, small) = hotInputs(s, d)
       val df = weighted(large.repartition(8).join(small, Seq("k")))
       val rows = df.collect()
+      // recorded AFTER execution: OptimizeSkewedJoin exists only in the
+      // final adaptive plan, and that plan — not the LocalTableScan
+      // wrapper the entry returns — is what the manifest must audit
+      graft.plans.PlanDigest.recordSidePlan(s"adaptive skew=$on", df)
       (s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),
         df.queryExecution.executedPlan.toString)
     }

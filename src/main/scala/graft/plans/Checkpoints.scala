@@ -28,8 +28,19 @@ object Checkpoints {
   val ReliableConf = "spark.graft.checkpoint.reliable"
 
   /** Materialize `df` eagerly at the mode the session conf selects. */
-  def stage(df: DataFrame): DataFrame = {
+  def stage(df: DataFrame): DataFrame = stage(df, "staged")
+
+  /** [[stage]] with a caller-chosen manifest label — callers that may
+    * serve the staged frame from a cache on later calls (Ann's ground
+    * truths) record the SAME label on both paths, keeping the manifest
+    * independent of cache state. */
+  def stage(df: DataFrame, label: String): DataFrame = {
     val spark = df.sparkSession
+    // manifest audit: the plan that materializes here is invisible
+    // downstream (consumers see an RDD scan) — record it as a side plan
+    // so PLAN_MANIFEST stays the audit of record (no-op outside
+    // PlanManifestSpec)
+    PlanDigest.recordSidePlan(label, df)
     val reliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
     if (reliable) {
       require(spark.sparkContext.getCheckpointDir.isDefined,

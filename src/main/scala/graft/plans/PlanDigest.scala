@@ -32,6 +32,36 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
  */
 object PlanDigest {
 
+  /** Side-plan capture — closes the manifest's blind spot at in-entry
+    * materialization points. An entry that materializes INSIDE its entry
+    * function (a [[Checkpoints.stage]] call, or the x06–x08 pattern of
+    * running a join to completion inside a conf window and re-wrapping
+    * the bounded result) leaves the manifest recording only the
+    * post-materialization wrapper (RDDScanExec / LocalTableScanExec) —
+    * silent exactly where the interesting plan lives (r13 verdict). With
+    * capture enabled (PlanManifestSpec only; a plain boolean check
+    * otherwise, zero overhead in bench/production), those sites record
+    * the materialized subplan here and the spec appends each one to the
+    * entry's manifest section. For a plan recorded AFTER execution
+    * (the adaptive-window sites), [[canonical]] reads
+    * AdaptiveSparkPlanExec's CURRENT plan — i.e. the final post-AQE
+    * topology, which is the point: runtime skew splits and bloom joins
+    * exist only there. */
+  @volatile var captureSidePlans: Boolean = false
+  private val sidePlans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  /** Record `df`'s canonical digest under `label` (no-op unless capture
+    * is enabled). Call at the materialization site, BEFORE for staged
+    * frames (pre-execution planner choice) or AFTER collect for
+    * adaptive-window frames (final runtime plan). */
+  def recordSidePlan(label: String, df: DataFrame): Unit =
+    if (captureSidePlans)
+      sidePlans.synchronized { sidePlans += label -> canonical(df) }
+
+  /** Take and clear everything recorded since the last drain. */
+  def drainSidePlans(): Seq[(String, String)] =
+    sidePlans.synchronized { val r = sidePlans.toVector; sidePlans.clear(); r }
+
   /** The initial physical plan: what the planner chose before AQE starts
     * re-writing at runtime (pre-execution, AdaptiveSparkPlanExec still
     * holds its initial plan — runtime re-plans are a feature, not drift,
@@ -44,7 +74,19 @@ object PlanDigest {
     val sb = new StringBuilder
     def walk(p: SparkPlan, depth: Int): Unit = {
       sb.append("  " * depth).append(describe(p)).append('\n')
-      p.children.foreach(walk(_, depth + 1))
+      p match {
+        // post-execution adaptive plans (the x06–x08 side captures) wrap
+        // every materialized stage in a QueryStageExec whose subtree
+        // hangs off .plan, not .children — descend or the digest stops
+        // at the wrapper
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan, depth + 1)
+        // a nested adaptive plan (e.g. the bloom-filter build subquery)
+        // renders its final plan, same rule as the root
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.executedPlan, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
       // scalar/IN subqueries hang off expressions, not children — their
       // plans regress just as silently (a subquery broadcast flip)
       p.subqueries.foreach { sq =>
@@ -63,6 +105,12 @@ object PlanDigest {
     case j: BroadcastNestedLoopJoinExec => s"BroadcastNestedLoopJoinExec(${j.joinType})"
     case e: ShuffleExchangeExec =>
       s"ShuffleExchangeExec(${e.outputPartitioning.getClass.getSimpleName})"
+    // the skew-handling fact itself: whether AQE split an oversized
+    // partition by mapper ranges (x07 off-arm false, x08 on-arm true)
+    case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+      val skewed = r.partitionSpecs.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      s"AQEShuffleReadExec(skewSplit=$skewed)"
     case s: org.apache.spark.sql.execution.FileSourceScanExec =>
       s"FileSourceScanExec[cols=${s.output.length}]"
     case _ => p.getClass.getSimpleName

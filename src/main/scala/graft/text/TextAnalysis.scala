@@ -780,7 +780,10 @@ object TextAnalysis {
    * the shared exact-selection kernel ([[graft.operators.ExactSelection
    * .percentilesDisc]] — three bounded passes, no all-values buffer),
    * and the cut VALUES ride along in the result so the hash pins the
-   * selection, not just the labels.
+   * selection, not just the labels. (The single-group form is the
+   * driver-values variant [[graft.operators.ExactSelection
+   * .percentilesDiscGlobal]] — same passes, constant-bounded collects —
+   * so the cuts are plan literals and labeling is join-free.)
    *
    * Scale: reference counts are reference-sized (broadcast at the
    * join); scoring is one corpus pass; the cuts are the q10/q137
@@ -791,24 +794,34 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    // source rides through the bigram explode and the per-doc aggregate
+    // (it is functionally dependent on doc_id) so the labeled result
+    // needs NO corpus-wide join back to the documents table
     def bigramsOf(df: DataFrame) = df.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val ref = toks.filter(col("source") === "src0")
-    val refBi = bigramsOf(ref)
-    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bigramsOf(ref).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // the unigram context counts are the w2-marginal of the bigram
+    // counts (exact: sum of c2 over w2 == reference bigrams starting at
+    // w1) — derived from c2 rather than a second reference explode+shuffle
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = ref.select(explode(col("w")).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
-    val scored = bigramsOf(toks)
+    // Staged (localCheckpoint) because FOUR consumers sit downstream:
+    // ExactSelection's three bounded percentile passes, plus the final
+    // labeling projection — without staging each one recomputes the whole
+    // corpus-scoring pipeline (r13 manifest: 37 scans / 61 exchanges).
+    // The staged frame is slim: (doc_id, source, n_bigrams, score).
+    val scored = graft.plans.Checkpoints.stage(bigramsOf(toks)
       .join(c2, Seq("w1", "w2"), "left_outer")
       .join(broadcast(c1), Seq("w1"), "left_outer")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")).as("logp"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       // 4dp HALF_UP rounding of sum/count happens in exact INTEGER
       // space: the per-ln DECIMAL(18,6) sum scales to whole micro-units
       // (a long, exact), and round(S/(1e6·n), 4) = (S + 50n) div (100n)
@@ -821,22 +834,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("logp").cast(DecimalType(18, 6))) * lit(-1000000L))
           .cast("long").as("s_micro"))
-      .select(col("doc_id"), col("n_bigrams"),
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
         (expr("(s_micro + 50 * n_bigrams) DIV (100 * n_bigrams)")
-          .cast("double") / 10000.0).as("score"))
-    val cuts = graft.operators.ExactSelection.percentilesDisc(
-        scored.select(lit("all").as("g"), col("score").as("x")),
-        Seq(0.3333333333333333, 0.6666666666666666))
-      .toDF("g", "cut1", "cut2")
-      .select(col("cut1"), col("cut2"))
+          .cast("double") / 10000.0).as("score")))
+    // corpus-wide tertile cuts as driver VALUES (three bounded jobs over
+    // the staged slim frame — [[ExactSelection.percentilesDiscGlobal]]);
+    // the labels become a pure projection, no cut join
+    val Seq(cut1, cut2) = graft.operators.ExactSelection.percentilesDiscGlobal(
+      scored.select(col("score").as("x")),
+      Seq(0.3333333333333333, 0.6666666666666666))
     scored
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("source"), col("n_bigrams"), col("score"),
-        when(col("score") <= col("cut1"), "head")
-          .when(col("score") <= col("cut2"), "middle")
+        when(col("score") <= cut1, "head")
+          .when(col("score") <= cut2, "middle")
           .otherwise("tail").as("bucket"),
-        col("cut1"), col("cut2"))
+        lit(cut1).as("cut1"), lit(cut2).as("cut2"))
       .orderBy(col("doc_id"))
   }
 
@@ -857,8 +869,10 @@ object TextAnalysis {
    * per-feature subtraction (the t19/t24 discipline) so the per-doc sum
    * is exact and order-free. The selection cut is the 75th discrete
    * percentile of the weights from the shared exact-selection kernel
-   * ([[graft.operators.ExactSelection.percentilesDisc]]) and rides in
-   * the result so the hash pins the selection itself.
+   * (the single-group driver-values form [[graft.operators.ExactSelection
+   * .percentilesDiscGlobal]] — constant-bounded collects, cut as a plan
+   * literal) and rides in the result so the hash pins the selection
+   * itself.
    *
    * Scale: both bucket-count tables are ≤ 8192 rows regardless of corpus
    * size — they broadcast; feature rows shuffle as 8-byte bucket ids with
@@ -868,6 +882,28 @@ object TextAnalysis {
    * importance model, one streaming pass to score, rank-based keep.
    */
   def dsir(s: SparkSession, d: String): DataFrame = {
+    // Staged (localCheckpoint): ExactSelection's percentile passes plus
+    // the final selection projection would otherwise each recompute the
+    // full featurize-and-score pipeline (the t24 finding). Slim frame:
+    // (doc_id, source, n_feat, logw) — source rides through the per-doc
+    // aggregate (functionally dependent on doc_id), so the labeled
+    // result needs no corpus-wide join back to documents.
+    val scored = graft.plans.Checkpoints.stage(dsirScored(s, d))
+    // the 75th-percentile weight cut as a driver VALUE (constant-bounded
+    // collects — [[graft.operators.ExactSelection.percentilesDiscGlobal]])
+    val Seq(cut) = graft.operators.ExactSelection.percentilesDiscGlobal(
+      scored.select(col("logw").as("x")), Seq(0.75))
+    scored
+      .select(col("doc_id"), col("source"), col("n_feat"), col("logw"),
+        lit(cut).as("cut"), (col("logw") >= cut).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t25's UNSTAGED per-doc score frame (doc_id, source, n_feat, logw) —
+    * the featurize-and-score pipeline [[dsir]] stages before the cut.
+    * Exposed `private[graft]` because the staged entry plan shows only an
+    * RDD scan; PlanSpec's fused-featurizer pin audits THIS plan. */
+  private[graft] def dsirScored(s: SparkSession, d: String): DataFrame = {
     val Seed = 0x5851f42d4c957f2dL // t25-only (MMIX LCG multiplier)
     val B = 8192L // 2^13 buckets — the kernel masks to the low 13 bits
     val docs = Tables.documents(s, d)
@@ -878,18 +914,17 @@ object TextAnalysis {
     // token — the t23 fix applied to the explode side)
     val feats = docs.select(col("doc_id"), col("source"),
       explode(GraftFunctions.hashedNgramBuckets(w, Seed, 13)).as("b"))
-    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter(col("source") === "src0")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // bucket log-ratio table: ≤ 8192 rows; totals ride along via window-free
-    // cross joins of 1-row aggregates (tiny frames, broadcast)
-    val nr = raw.agg(sum(col("cr")).as("nr"))
-    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    // raw and target bucket counts in ONE corpus pass (the target slice
+    // is a subset of raw, so a conditional count shares the aggregate);
+    // totals derive from the ≤ 8192-row count table, not another pass
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("source") === "src0", 1)).as("ct"))
+    val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     import org.apache.spark.sql.types.DecimalType
-    val lr = raw.join(tgt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+    val lr = counts.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+        (log((col("ct") + lit(1)).cast("double") /
             (col("nt") + lit(B)).cast("double")).cast(DecimalType(18, 6)) -
          log((col("cr") + lit(1)).cast("double") /
             (col("nr") + lit(B)).cast("double")).cast(DecimalType(18, 6)))
@@ -897,20 +932,10 @@ object TextAnalysis {
     // the 6→4 scale reduction happens in DECIMAL space (HALF_UP both
     // engines); rounding after a double cast would fork on sums landing
     // exactly on a .xxxx5 boundary (the shortest-string-vs-binary trap)
-    val scored = feats.join(broadcast(lr), Seq("b"))
-      .groupBy(col("doc_id"))
+    feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_feat"),
         sum(col("lr")).cast(DecimalType(18, 4)).cast("double").as("logw"))
-    val cut = graft.operators.ExactSelection.percentilesDisc(
-        scored.select(lit("all").as("g"), col("logw").as("x")), Seq(0.75))
-      .toDF("g", "cut")
-      .select(col("cut"))
-    scored
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("source"), col("n_feat"), col("logw"),
-        col("cut"), (col("logw") >= col("cut")).as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   /** t26: blocklist filtering — the C4 "bad words" curation step (Raffel

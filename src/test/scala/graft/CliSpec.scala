@@ -246,6 +246,50 @@ class CliSpec extends GraftSpec {
     GraftCli.sql(spark, sf, "DROP TABLE graft_dml_dup")
   }
 
+  test("DELETE FROM round-trips through the real main: rewrite, NULL predicate, misuse") {
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val (so, se) = (System.out, System.err)
+    System.setOut(outP); System.setErr(errP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "DROP TABLE IF EXISTS graft_dml_del",
+      "CREATE TABLE graft_dml_del AS SELECT r_regionkey AS k, r_name AS v FROM region",
+      "INSERT INTO graft_dml_del VALUES (77, NULL)",
+      // AFRICA/AMERICA/ASIA match; the NULL-v row's predicate is NULL, so
+      // it SURVIVES (SQL deletes only predicate-TRUE rows)
+      "DELETE FROM graft_dml_del WHERE v LIKE 'A%'",
+      "SELECT k FROM graft_dml_del ORDER BY k",
+      "DELETE FROM graft_dml_del", // no WHERE: delete everything
+      "SELECT COUNT(*) AS n FROM graft_dml_del",
+      "DELETE FROM graft_dml_del_missing WHERE k = 1", // missing table
+      "DELETE FROM region WHERE r_regionkey = 0"))     // read-only source view
+    finally { System.setOut(so); System.setErr(se); outP.flush(); errP.flush() }
+    val out = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    val err = new String(errB.toByteArray, "UTF-8")
+    // survivors after the predicate delete: EUROPE(3), MIDDLE EAST(4), NULL row(77)
+    val iK = out.indexOf("k")
+    assert(iK >= 0 && out.slice(iK + 1, iK + 4) == Seq("3", "4", "77"),
+      s"stdout:\n${out.mkString("\n")}")
+    assert(out.takeRight(1) == Seq("0"), s"full DELETE left rows:\n${out.mkString("\n")}")
+    // deleted-count reports (Presto's DELETE report shape) on stderr
+    assert(err.contains("DELETE 3 row(s) from graft_dml_del"), err)
+    // misuse: exactly two clean statement-scoped errors, run continued
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 2, s"expected 2 clean errors:\n$err")
+    assert(errors.exists(_.contains("graft_dml_del_missing")), err)
+    assert(errors.exists(_.toLowerCase.contains("read-only")), err)
+    // the schema survives an empty rewrite, and the table is still managed parquet
+    val cols = GraftCli.sql(spark, sf, "DESCRIBE graft_dml_del")
+      .collect().map(_.getString(0)).takeWhile(_.nonEmpty)
+    assert(cols.toSeq == Seq("k", "v"), cols.mkString(","))
+    // the source view was untouched by the refused DELETE
+    assert(GraftCli.sql(spark, sf, "SELECT COUNT(*) FROM region").head().getLong(0) == 5L)
+    GraftCli.sql(spark, sf, "DROP TABLE graft_dml_del")
+  }
+
   test("PREPARE / EXECUTE USING round-trips through the real main") {
     val outB = new java.io.ByteArrayOutputStream()
     val outP = new java.io.PrintStream(outB, true, "UTF-8")

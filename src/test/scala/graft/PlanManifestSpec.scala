@@ -24,9 +24,22 @@ class PlanManifestSpec extends GraftSpec {
     }.toMap
 
   test("every inventory entry's physical plan matches the committed manifest") {
-    val current = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> graft.plans.PlanDigest.canonical(fn(spark, sf))
-    }
+    // Side-plan capture: entries that materialize inside their entry
+    // function (Checkpoints.stage, the x06–x08 adaptive conf windows)
+    // record the materialized subplan; it is appended to the entry's
+    // section so the manifest audits the real plan, not the
+    // RDDScan/LocalTableScan wrapper (r13 verdict finding).
+    graft.plans.PlanDigest.captureSidePlans = true
+    val current = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        graft.plans.PlanDigest.drainSidePlans() // clear any stale capture
+        val main = graft.plans.PlanDigest.canonical(fn(spark, sf))
+        val sides = graft.plans.PlanDigest.drainSidePlans()
+        name -> (main + sides.zipWithIndex.map { case ((label, tree), i) =>
+          s"--- materialized in-entry [$i]: $label\n$tree"
+        }.mkString)
+      }
+    } finally graft.plans.PlanDigest.captureSidePlans = false
     if (sys.env.contains("GRAFT_REGEN_PLANS")) {
       val rendered = current.map { case (n, t) => s"=== $n\n$t" }.mkString
       java.nio.file.Files.writeString(manifestPath, rendered)

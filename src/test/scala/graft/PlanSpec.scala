@@ -318,11 +318,11 @@ class PlanSpec extends GraftSpec {
     // each run the window over an already-reduced or bounded frame
     // (q43's bounded slice; q87's and t13's windows over aggregate
     // frames), which is exactly when a global window is the correct
-    // scalable form. t24/t25: their ExactSelection group is the constant
-    // "all", which FoldablePropagation folds out of the partition spec —
-    // the windows are the kernel's pass-2 running sum over <= 256 bins
-    // and pass-3 running sum over distinct values inside the candidate
-    // bins only, the same bounded frames every per-group caller pays.
+    // scalable form. t24/t25 left this set in r14: their cuts now come
+    // from ExactSelection.percentilesDiscGlobal, whose kernel windows
+    // (the same bounded pass-2/pass-3 running sums) execute inside the
+    // driver-values helper during entry construction and partition by
+    // bin — the returned labeling plan carries no window at all.
     // e18: the share window runs over the path-key aggregate — bounded
     // by the event-type vocabulary cubed (~125 rows), not the corpus.
     // e19: both cumulative windows run over the ≤8-row lag-day bucket
@@ -345,8 +345,7 @@ class PlanSpec extends GraftSpec {
         if (n > 0) Some(name) else None
     }.toSet
     val audited = Set("q43_window_dist", "q87_ratio_to_report", "t13_zipf",
-      "t24_ccnet_buckets", "t25_dsir", "e18_path_mining",
-      "e19_conversion_survival")
+      "e18_path_mining", "e19_conversion_survival")
     assert(offenders == audited,
       s"global-window entries moved: unexpected=${offenders -- audited} " +
         s"missing=${audited -- offenders} — audit any new site (is the " +
@@ -362,8 +361,11 @@ class PlanSpec extends GraftSpec {
     // model-based-selection entries stay on the fused codegen kernel:
     // per-token work must appear only as hashedngrambuckets /
     // hashedngramscore, never as a lambda HOF.
+    // t25 is audited through its UNSTAGED scoring frame: the entry plan
+    // itself is a projection over the staged RDD, the kernel lives in
+    // the frame dsir() checkpoints (dsirScored)
     Seq("t23_quality_lr" -> graft.text.TextAnalysis.qualityLr(spark, sf),
-        "t25_dsir" -> graft.text.TextAnalysis.dsir(spark, sf))
+        "t25_dsir" -> graft.text.TextAnalysis.dsirScored(spark, sf))
       .foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString.toLowerCase
         Seq("transform(", "aggregate(lambda", "lambdafunction").foreach { bad =>
