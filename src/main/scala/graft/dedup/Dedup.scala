@@ -63,22 +63,34 @@ object Dedup {
     * dropping is standard (the docs still collide in other bands). */
   private val MaxBucket = 1000
 
-  /** Pairs (a < b) of docs sharing an LSH bucket. One signature pass, one
-    * hash shuffle on (band, band_key), pair expansion bounded per bucket —
-    * never a self-join (which would recompute signatures per side) and
-    * never a cross join. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame =
-    bands
-      .groupBy(col("band"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
-          |       y -> struct(least(ids[i], y) AS a, greatest(ids[i], y) AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+  /** Pairs (a < b) of docs sharing an LSH bucket. ONE signature pass
+    * (the banded frame — slim: doc_id + band + 8-byte key — is staged,
+    * so neither the cap count nor the join sides recompute signatures),
+    * hash shuffles on (band, band_key) only, pair expansion bounded per
+    * bucket, never a cross join.
+    *
+    * The expansion itself is a codegen hash SELF-JOIN over the
+    * duplicated-bucket slice: each (doc, band) row is unique, so
+    * id_a < id_b enumerates every unordered bucket pair exactly once —
+    * identical pairs to the collect_list + nested-transform form it
+    * replaces, which built each bucket's pair array through INTERPRETED
+    * lambda evaluation (r14 measured the winnowing twin at 13.5 s for
+    * 840k pairs at sf1.0; the join form is sub-second). The cap filter
+    * moves to a codegen count aggregate — the count IS size(ids). */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val banded = graft.plans.Checkpoints.stage(bands)
+    val ok = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, MaxBucket))
+      .select(col("band"), col("band_key"))
+    val rows = banded.join(ok, Seq("band", "band_key"), "left_semi")
+    rows.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+      .join(rows.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+  }
 
   /**
    * d02: MinHash-LSH near-dup summary. Each doc reports how many LSH
@@ -112,12 +124,15 @@ object Dedup {
    */
   def minhashEstimate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val withSets = docs
+    // Staged (localCheckpoint): both sides of the adjacent-id self-join
+    // reference this frame — unstaged, the minhash signature pass (the
+    // expensive half) ran twice
+    val withSets = graft.plans.Checkpoints.stage(docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), shingles3.as("shingles"))
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("shingles"), MinhashK).as("sig"),
-        array_distinct(col("shingles")).as("ss"))
+        array_distinct(col("shingles")).as("ss")))
     val a = withSets.select(col("doc_id").as("id_a"),
       col("sig").as("sig_a"), col("ss").as("ss_a"))
     val b = withSets.select((col("doc_id") - 1).as("id_a"),
@@ -449,8 +464,8 @@ object Dedup {
 
   /** The d10 kernel over any (doc_id, text) frame — the unit-testable
     * form (the spec checks the shared-run guarantee on hand-built docs). */
-  def winnowingOf(docs: DataFrame): DataFrame =
-    docs
+  def winnowingOf(docs: DataFrame): DataFrame = {
+    val fps = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), shingles3.as("shingles"))
       // hash + window minima + dedup in ONE codegen kernel call per row
@@ -458,18 +473,30 @@ object Dedup {
       // shingle AND per window — measured 8.6s vs 0.6s at sf0.1)
       .select(col("doc_id"),
         explode(GraftFunctions.winnowFps(col("shingles"), WinnowW)).as("fp"))
-      .groupBy(col("fp"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
-          |       y -> struct(least(ids[i], y) AS a, greatest(ids[i], y) AS b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    // staged slim (doc_id, 8-byte fp): the cap count and both join sides
+    // below read the checkpoint — ONE kernel pass total
+    val staged = graft.plans.Checkpoints.stage(fps)
+    // dup-first (the d13 discipline): fingerprints are overwhelmingly
+    // singletons; a codegen count aggregate (map-side combined) finds
+    // the duplicated ones so nothing downstream touches the singleton
+    // mass. Cap semantics identical — the count IS size(ids).
+    val dupFps = staged.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, MaxBucket)).select(col("fp"))
+    // pair expansion as a codegen hash SELF-JOIN on the duplicated slice
+    // (each unordered pair once per fp — fps are per-doc distinct from
+    // the kernel, so id_a < id_b enumerates exactly the bucket pairs).
+    // The collect_list + nested-transform HOF this replaces built the
+    // per-bucket pair array INTERPRETED — measured 13.5 s for 840k pairs
+    // at sf1.0 vs sub-second for the join; same cap, same counts.
+    val dupRows = staged.join(dupFps, Seq("fp"), "left_semi")
+    dupRows.select(col("fp"), col("doc_id").as("id_a"))
+      .join(dupRows.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Shingle width for duplicated-span extraction — the 8-gram standard
     * from published LLM decontamination/dedup procedures (same width as
@@ -560,7 +587,12 @@ object Dedup {
    */
   def containment(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = lshCandidatePairs(minhashBands(minhashSignatures(docs)))
+    // Staged (localCheckpoint): FOUR consumers (pairDocs' two halves, the
+    // intersection base, the final report join) would otherwise each
+    // recompute the whole signature→band→pair pipeline (r14 manifest:
+    // 16 scans / 31 exchanges, the t24 pattern). Slim: (id_a, id_b).
+    val pairs = graft.plans.Checkpoints.stage(
+      lshCandidatePairs(minhashBands(minhashSignatures(docs))))
     // the SAME shingle definition the signatures hash (incl. the short-doc
     // partial-gram edge case), distinct per doc, 8-byte hashed
     val gramRows = docs
@@ -572,7 +604,10 @@ object Dedup {
     // only grams seen in ≥ 2 such docs, can appear in an intersection
     val pairDocs = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val scoped = gramRows.join(pairDocs, Seq("doc_id"), "left_semi")
+    // staged too: consumed by the shared-gram filter AND the survivor
+    // semi-join; candidate-doc-scoped, so far smaller than the corpus
+    val scoped = graft.plans.Checkpoints.stage(
+      gramRows.join(pairDocs, Seq("doc_id"), "left_semi"))
     val shared = scoped.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val sharedGrams = scoped.join(shared, Seq("h"), "left_semi")
@@ -623,6 +658,12 @@ object Dedup {
   def lshCurve(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(s, d)
+    // Deliberately NOT staged despite four downstream references: the
+    // frame's payload is the exploded shingle sets — several times the
+    // corpus text — so materializing it costs far more than re-running
+    // the narrow scan+explode per consumer (measured r14: staging took
+    // d16 from 2.1 s to 16.5 s at sf1.0). The t24 staging rule applies
+    // to SLIM multi-consumer frames; wide ones re-scan.
     val withSets = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(shingles3).as("ss"))

@@ -456,11 +456,16 @@ object Events {
       .join(firstView, Seq("user_id"))
       .filter(col("ts") > col("v_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    val lags = firstView
+    // Staged (localCheckpoint): the counts aggregate plus ExactSelection's
+    // three bounded percentile passes all consume this frame — unstaged,
+    // each one recomputed the full first-view/first-purchase staging from
+    // the events scan (r14 manifest: 27 scans / 40 exchanges, the t24
+    // pattern). Slim frame: (user_id, day, lag_us).
+    val lags = graft.plans.Checkpoints.stage(firstView
       .join(firstPurch, Seq("user_id"), "left_outer")
       .select(col("user_id"),
         date_format(col("v_ts"), "yyyy-MM-dd").as("day"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us")))
     val counts = lags.groupBy(col("day"))
       .agg(count(lit(1)).as("n_viewers"), count(col("lag_us")).as("n_converted"))
     val cuts = ExactSelection.percentilesDisc(
