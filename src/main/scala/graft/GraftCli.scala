@@ -524,10 +524,16 @@ object GraftCli {
     val t = table.toLowerCase(java.util.Locale.ROOT)
     if (!spark.catalog.tableExists(t)) throw new IllegalArgumentException(
       s"DELETE FROM: table $t does not exist")
-    if (spark.catalog.getTable(t).tableType == "TEMPORARY")
+    // refuse non-writable relations UP FRONT: a temp view is the sf-dir
+    // source catalog, a persistent VIEW has no storage to rewrite — left
+    // unchecked it would survive until DROP TABLE fails mid-swap and
+    // orphan the tmp table
+    val tableType = spark.catalog.getTable(t).tableType
+    if (tableType == "TEMPORARY" || tableType == "VIEW")
       throw new IllegalArgumentException(
-        s"DELETE FROM: $t is a read-only source view (DELETE needs a " +
-          "managed table — CREATE TABLE ... AS SELECT first)")
+        s"DELETE FROM: $t is a read-only ${if (tableType == "VIEW") "view"
+          else "source view"} (DELETE needs a managed table — " +
+          "CREATE TABLE ... AS SELECT first)")
     val df = spark.table(t)
     val remaining = where match {
       case Some(w) => df.filter(
@@ -542,8 +548,18 @@ object GraftCli {
     dropStaleLocation(spark, tmp)
     remaining.write.saveAsTable(tmp)
     val after = spark.table(tmp).count()
-    spark.sql(s"DROP TABLE $t")
+    // rename-aside swap: move the original OUT OF THE WAY before the tmp
+    // table takes its name, and drop it only once the new table is in
+    // place — a crash at any point leaves either the original (as t or
+    // t__graft_delete_old) or the completed new table, never neither
+    // (the naive DROP-then-RENAME loses the table if the JVM dies
+    // between the two statements)
+    val old = s"${t}__graft_delete_old"
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    dropStaleLocation(spark, old)
+    spark.sql(s"ALTER TABLE $t RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    spark.sql(s"DROP TABLE $old")
     before - after
   }
 
@@ -955,7 +971,7 @@ object GraftCli {
       SELECT l_returnflag, COUNT(*) AS n_rows,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
-      WHERE NOT (l_returnflag = 'R' AND l_quantity > 25)
+      WHERE NOT coalesce(l_returnflag = 'R' AND l_quantity > 25, false)
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     // s16: the EXECUTE IMMEDIATE statement with its USING parameters
     // substituted — a binding or quoting defect in the dynamic-SQL path

@@ -70,21 +70,44 @@ object Ann {
    * determinism: the side plan is recorded under the same label on both
    * the compute and the cache-hit path.
    */
-  private case class GroundTruth(staged: DataFrame, unstaged: DataFrame)
+  private case class GroundTruth(staged: DataFrame, planDigest: String)
   private val gtCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), GroundTruth]()
+
+  /** Drop every cached ground truth and Lloyd trajectory. The caches are
+    * keyed by (session, sf-dir[, metric]) and otherwise live for the
+    * session: they pin the SparkSession reference plus the staged frames'
+    * localCheckpoint blocks, and a caller that REGENERATES the sf-dir's
+    * parquet inside the same session would be served stale values. Any
+    * path that rewrites an sf-dir in-session (data regen tools, test
+    * fixtures) must call this first. */
+  def clearCaches(): Unit = {
+    gtCache.clear()
+    lloydCache.clear()
+  }
+
+  /** Test probe: (ground-truth entries, Lloyd entries) currently cached. */
+  private[graft] def cacheSizes: (Int, Int) = (gtCache.size, lloydCache.size)
 
   private def cachedGroundTruth(s: SparkSession, d: String, metric: String)(
       build: => DataFrame): DataFrame = {
     val key = (s, d, metric)
     val hit = gtCache.get(key)
     if (hit != null) {
-      graft.plans.PlanDigest.recordSidePlan(s"ground-truth $metric", hit.unstaged)
+      // replay the digest snapshotted at compute time: the original
+      // DataFrame's AdaptiveSparkPlanExec has since executed and mutated
+      // to its final runtime tree, so re-canonicalizing it would make the
+      // manifest entry depend on which suite warmed the cache
+      graft.plans.PlanDigest.recordSidePlanDigest(
+        s"ground-truth $metric", hit.planDigest)
       hit.staged
     } else {
       val unstaged = build
+      // snapshot BEFORE stage() executes the frame (pre-execution
+      // planner choice — the same tree stage() records on this path)
+      val digest = graft.plans.PlanDigest.canonical(unstaged)
       val staged = graft.plans.Checkpoints.stage(unstaged, s"ground-truth $metric")
-      gtCache.put(key, GroundTruth(staged, unstaged))
+      gtCache.put(key, GroundTruth(staged, digest))
       staged
     }
   }

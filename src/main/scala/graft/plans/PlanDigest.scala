@@ -58,6 +58,15 @@ object PlanDigest {
     if (captureSidePlans)
       sidePlans.synchronized { sidePlans += label -> canonical(df) }
 
+  /** Record a digest string snapshotted earlier (cache-hit paths: a frame
+    * staged once and served from a cache must replay the COMPUTE-time
+    * digest — re-canonicalizing the original DataFrame after execution
+    * reads the mutated post-AQE AdaptiveSparkPlanExec tree, so the
+    * manifest entry would depend on which suite warmed the cache). */
+  def recordSidePlanDigest(label: String, digest: String): Unit =
+    if (captureSidePlans)
+      sidePlans.synchronized { sidePlans += label -> digest }
+
   /** Take and clear everything recorded since the last drain. */
   def drainSidePlans(): Seq[(String, String)] =
     sidePlans.synchronized { val r = sidePlans.toVector; sidePlans.clear(); r }

@@ -247,6 +247,12 @@ class CliSpec extends GraftSpec {
   }
 
   test("DELETE FROM round-trips through the real main: rewrite, NULL predicate, misuse") {
+    // force the suite's JVM-wide session BEFORE main: main borrows a
+    // preexisting session and leaves it running, but in a single-test
+    // run (testOnly -- -z) nothing has touched the lazy session yet, so
+    // main would create its own, run every statement there, and STOP it
+    // — leaving the post-main assertions querying a fresh empty catalog
+    spark.sparkContext
     val outB = new java.io.ByteArrayOutputStream()
     val outP = new java.io.PrintStream(outB, true, "UTF-8")
     val errB = new java.io.ByteArrayOutputStream()
@@ -264,7 +270,12 @@ class CliSpec extends GraftSpec {
       "DELETE FROM graft_dml_del", // no WHERE: delete everything
       "SELECT COUNT(*) AS n FROM graft_dml_del",
       "DELETE FROM graft_dml_del_missing WHERE k = 1", // missing table
-      "DELETE FROM region WHERE r_regionkey = 0"))     // read-only source view
+      "DELETE FROM region WHERE r_regionkey = 0",      // read-only source view
+      // persistent VIEW: refused UP FRONT (no storage to rewrite) — before
+      // the r15 guard this passed the TEMPORARY-only check and died midway
+      // at DROP TABLE, orphaning the tmp table
+      "CREATE OR REPLACE VIEW graft_dml_delview AS SELECT 0 AS k",
+      "DELETE FROM graft_dml_delview WHERE k = 0"))
     finally { System.setOut(so); System.setErr(se); outP.flush(); errP.flush() }
     val out = new String(outB.toByteArray, "UTF-8").linesIterator
       .filter(_.nonEmpty).toSeq
@@ -272,15 +283,23 @@ class CliSpec extends GraftSpec {
     // survivors after the predicate delete: EUROPE(3), MIDDLE EAST(4), NULL row(77)
     val iK = out.indexOf("k")
     assert(iK >= 0 && out.slice(iK + 1, iK + 4) == Seq("3", "4", "77"),
-      s"stdout:\n${out.mkString("\n")}")
+      s"stdout:\n${out.mkString("\n")}\nstderr:\n$err")
     assert(out.takeRight(1) == Seq("0"), s"full DELETE left rows:\n${out.mkString("\n")}")
     // deleted-count reports (Presto's DELETE report shape) on stderr
     assert(err.contains("DELETE 3 row(s) from graft_dml_del"), err)
-    // misuse: exactly two clean statement-scoped errors, run continued
+    // misuse: exactly three clean statement-scoped errors, run continued
     val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
-    assert(errors.size == 2, s"expected 2 clean errors:\n$err")
+    assert(errors.size == 3, s"expected 3 clean errors:\n$err")
     assert(errors.exists(_.contains("graft_dml_del_missing")), err)
-    assert(errors.exists(_.toLowerCase.contains("read-only")), err)
+    assert(errors.exists(e => e.toLowerCase.contains("read-only") &&
+      e.contains("region")), err)
+    assert(errors.exists(e => e.toLowerCase.contains("read-only") &&
+      e.contains("graft_dml_delview")), err)
+    // the rename-aside swap cleans up after itself: no tmp/old scaffolding
+    // tables survive a completed run
+    val leftover = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.contains("__graft_delete_tmp") || n.contains("__graft_delete_old"))
+    assert(leftover.isEmpty, s"swap scaffolding left behind: ${leftover.mkString(",")}")
     // the schema survives an empty rewrite, and the table is still managed parquet
     val cols = GraftCli.sql(spark, sf, "DESCRIBE graft_dml_del")
       .collect().map(_.getString(0)).takeWhile(_.nonEmpty)
@@ -288,6 +307,7 @@ class CliSpec extends GraftSpec {
     // the source view was untouched by the refused DELETE
     assert(GraftCli.sql(spark, sf, "SELECT COUNT(*) FROM region").head().getLong(0) == 5L)
     GraftCli.sql(spark, sf, "DROP TABLE graft_dml_del")
+    GraftCli.sql(spark, sf, "DROP VIEW graft_dml_delview")
   }
 
   test("PREPARE / EXECUTE USING round-trips through the real main") {

@@ -264,6 +264,36 @@ class LinkGraphSpec extends GraftSpec {
     assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a out of [-1,1]")
   }
 
+  test("g01 pagerank: the per-iteration edge shuffle is REUSED, not recomputed") {
+    // The 100 TB posture of g01 rests on one claim (LinkGraph.pagerank's
+    // contribEdges comment): the degree-annotated edge subtree is
+    // IDENTICAL in every iteration, so its shuffle materializes once and
+    // every later iteration reads the reused stage — the dominant edge
+    // dataset never re-shuffles per iteration. AQE realizes a reused
+    // stage as a QueryStageExec wrapping ReusedExchangeExec, which exists
+    // only in the final runtime plan — execute first, then count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = LinkGraph.g01(spark, sf)
+    df.collect()
+    def countReuse(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[ReusedExchangeExec]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countReuse).sum + p.subqueries.map(countReuse).sum
+    }
+    val reuses = countReuse(df.queryExecution.executedPlan)
+    // 5 iterations consume the edge stage 5 times: 1 materialization +
+    // ≥ 4 reuses (other subtree reuses can only add)
+    assert(reuses >= 4,
+      s"expected >= 4 reused exchange stages across 5 pagerank iterations, " +
+        s"got $reuses:\n${df.queryExecution.executedPlan}")
+  }
+
   test("g01 entry: top-k is a bounded TakeOrderedAndProject, never a global sort") {
     val plan = LinkGraph.g01(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
