@@ -902,9 +902,13 @@ object OracleSql {
       v AS (SELECT COUNT(DISTINCT tok) AS vocab
             FROM (SELECT unnest(ws) AS tok FROM tw)),
       lm AS (
+        -- 4dp mean in exact INTEGER space (the t24 discipline; ln < 0 so
+        -- the negated micro-unit sum is positive) — a double division
+        -- before round() forked one doc at sf1.0
         SELECT doc_id,
-          round(CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
-                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+          CAST((CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
+                              AS DECIMAL(18,6))) * -1000000 AS BIGINT)
+                + 50 * COUNT(*)) // (100 * COUNT(*)) AS DOUBLE) / -10000.0 AS avg_logp
         FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
         GROUP BY doc_id),
       joined AS (
@@ -1828,7 +1832,10 @@ object OracleSql {
         LATERAL (SELECT unnest(range(0, d.nb)) AS i) i)
       SELECT doc_id, CAST(frame AS INTEGER) AS frame_idx,
         CAST(COUNT(*) AS INTEGER) AS frame_bytes,
-        round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS frame_mean
+        -- 4dp mean in exact INTEGER space (t24 discipline): byte sums are
+        -- exact, round(S/n, 4) = (2·S·1e4 + n) // (2n) half-up
+        CAST((2 * SUM(c) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+          / 10000.0 AS frame_mean
       FROM (SELECT doc_id, i // 64 AS frame, c FROM codes) t
       WHERE frame % 4 = 0
       GROUP BY doc_id, frame
@@ -2648,8 +2655,11 @@ object OracleSql {
       f AS (SELECT word, COUNT(*) AS wn FROM w GROUP BY 1),
       t AS (SELECT COUNT(*) AS tot FROM w)
       SELECT doc_id, COUNT(*) AS n_tokens,
-        round(CAST(SUM(CAST(ln(CAST(wn AS DOUBLE) / CAST(tot AS DOUBLE))
-                            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+        -- 4dp mean in exact INTEGER space (t24 discipline; ln < 0) — a
+        -- double division before round() forks on .xxxx5 midpoints
+        CAST((CAST(SUM(CAST(ln(CAST(wn AS DOUBLE) / CAST(tot AS DOUBLE))
+                            AS DECIMAL(18,6))) * -1000000 AS BIGINT)
+              + 50 * COUNT(*)) // (100 * COUNT(*)) AS DOUBLE) / -10000.0 AS avg_logp
       FROM w JOIN f USING(word), t
       GROUP BY doc_id ORDER BY doc_id""",
 
@@ -3070,11 +3080,17 @@ object OracleSql {
           (SELECT cent_id FROM cent
            ORDER BY ${cos("e.emb", "cemb")} DESC, cent_id DESC LIMIT 1) AS cell
         FROM e),
+      -- replay the MaxBucket cell cap: a cell larger than 1000 members
+      -- generates NO pairs (the engine's bounded-expansion contract) —
+      -- first binds at sf1.0, where cells exceed the cap
+      csize AS (SELECT cell, COUNT(*) AS cn FROM assigned GROUP BY cell),
       pairs AS (
         SELECT a.cell, b.vec_id AS victim
         FROM assigned a JOIN assigned b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE round(${cos("a.emb", "b.emb")}, 4) >= 0.35),
+        JOIN csize s ON s.cell = a.cell
+        WHERE s.cn BETWEEN 2 AND 1000
+          AND round(${cos("a.emb", "b.emb")}, 4) >= 0.35),
       dropped AS (
         SELECT cell, COUNT(DISTINCT victim) AS n_dropped FROM pairs GROUP BY cell)
       SELECT a.cell, COUNT(*) AS n_members,
@@ -4682,8 +4698,11 @@ object OracleSql {
       v AS (SELECT COUNT(DISTINCT tok) AS vocab
             FROM (SELECT unnest(ws) AS tok FROM w))
       SELECT doc_id, COUNT(*) AS n_bigrams,
-        round(CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
-                            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+        -- 4dp mean in exact INTEGER space (t24 discipline; ln < 0) — a
+        -- double division before round() forked one doc at sf1.0
+        CAST((CAST(SUM(CAST(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE))
+                            AS DECIMAL(18,6))) * -1000000 AS BIGINT)
+              + 50 * COUNT(*)) // (100 * COUNT(*)) AS DOUBLE) / -10000.0 AS avg_logp
       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
       GROUP BY doc_id ORDER BY doc_id""",
 

@@ -176,13 +176,22 @@ object Dedup {
       .groupBy(col("blk"), col("blk_val"))
       .agg(collect_list(col("rec")).as("recs"))
       .filter(size(col("recs")).between(2, MaxBucket))
+      // the signatures must follow the (a, b) = (least, greatest) id
+      // ordering: a pair found in TWO blocks arrives once per block, and
+      // collect_list order is partition-dependent — with sh_a/sh_b in
+      // list order the two copies are different tuples and BOTH survive
+      // the distinct (double-counted n_near, first seen at the sf1.0
+      // decade gate; invisible at sf0.1 where block orders agreed)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(recs) - 2),
           |  i -> transform(slice(recs, i + 2, size(recs) - i - 1),
           |       y -> struct(
           |         least(recs[i].doc_id, y.doc_id) AS a,
           |         greatest(recs[i].doc_id, y.doc_id) AS b,
-          |         recs[i].sh AS sh_a, y.sh AS sh_b))))""".stripMargin))
+          |         CASE WHEN recs[i].doc_id < y.doc_id THEN recs[i].sh
+          |              ELSE y.sh END AS sh_a,
+          |         CASE WHEN recs[i].doc_id < y.doc_id THEN y.sh
+          |              ELSE recs[i].sh END AS sh_b))))""".stripMargin))
         .as("p"))
       .select(col("p.a"), col("p.b"), col("p.sh_a"), col("p.sh_b"))
       .distinct()

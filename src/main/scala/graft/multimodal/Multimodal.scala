@@ -196,14 +196,20 @@ object Multimodal {
         val headerLen = ImageHeaders.parse(r.payload).map(_.headerLen).getOrElse(0)
         r.payload.drop(headerLen).grouped(frameBytes).zipWithIndex
           .collect { case (frame, idx) if idx % every == 0 =>
+            // 4dp mean in exact INTEGER space (the t24 discipline): byte
+            // sums are exact longs, so round(S/n, 4) = (2·S·1e4 + n) div
+            // (2n) half-up — rounding a double quotient forks engines on
+            // .xxxx5 midpoints (e.g. n = 40 byte tail frames)
             val mean = if (frame.isEmpty) 0.0
-              else frame.map(b => (b & 0xff).toDouble).sum / frame.length
+              else {
+                val sumB = frame.map(b => (b & 0xff).toLong).sum
+                val n = frame.length.toLong
+                ((2L * sumB * 10000L + n) / (2L * n)).toDouble / 10000.0
+              }
             (r.doc_id, idx, frame.length, mean)
           }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_mean")
-      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
-        round(col("frame_mean"), 4).as("frame_mean"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 

@@ -285,10 +285,20 @@ object TextAnalysis {
       .select(col("doc_id"),
         log(col("wn").cast("double") / col("tot").cast("double")).as("logp"))
       .groupBy(col("doc_id"))
+      // 4dp rounding of the per-doc mean in exact INTEGER space (the t24
+      // discipline): logp < 0 always (wn < tot), so the negated decimal
+      // sum scales to positive whole micro-units and round(S/(1e6·n), 4)
+      // = (S + 50n) div (100n); rounding after a DOUBLE division forks
+      // engines on .xxxx5 midpoints (caught by the r15 sf1.0 full gate
+      // on the bigram twin). The final /-10000.0 is one IEEE divide of
+      // an integer both engines share bit-for-bit.
       .agg(
         count(lit(1)).as("n_tokens"),
-        round((sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1))), 4).as("avg_logp"))
+        (sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          * lit(-1000000L)).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(s_micro + 50 * n_tokens) DIV (100 * n_tokens)")
+          .cast("double") / -10000.0).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -605,10 +615,20 @@ object TextAnalysis {
         log((col("c2") + lit(1)).cast("double") /
           (col("c1") + col("vocab")).cast("double")).as("logp"))
       .groupBy(col("doc_id"))
+      // 4dp rounding of the per-doc mean in exact INTEGER space (the t24
+      // discipline): logp < 0 always (c2 + 1 <= c1 + vocab), so the
+      // negated decimal sum scales to positive whole micro-units and
+      // round(S/(1e6·n), 4) = (S + 50n) div (100n). Rounding after the
+      // previous DOUBLE division forked one of 50k docs at sf1.0 on a
+      // .xxxx5 midpoint (c03's fluency inherited it) — the r15 full
+      // decade gate's find, same class as t24's r13 fork.
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1)), 4).as("avg_logp"))
+        (sum(col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          * lit(-1000000L)).cast("long").as("s_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(s_micro + 50 * n_bigrams) DIV (100 * n_bigrams)")
+          .cast("double") / -10000.0).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
