@@ -216,6 +216,19 @@ object GraftCli {
   private val SetSession = "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*=\\s*(.+?)\\s*$".r
   private val ResetSession = "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
   private val ShowSession = "(?is)^\\s*SHOW\\s+SESSION\\s*$".r
+  // Presto prepared-statement METADATA (Presto 0.248 DESCRIBE INPUT /
+  // DESCRIBE OUTPUT) — client libraries type their parameter markers and
+  // result sets from these BEFORE fetching. Spark has no prepared
+  // statements, so the CLI serves both from its session statement store.
+  private val DescribeInput =
+    "(?is)^\\s*DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  private val DescribeOutput =
+    "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+  // Presto SHOW COLUMNS FROM t (DESCRIBE t is its alias there): a TYPED
+  // column report. Spark's native SHOW COLUMNS emits names only, so the
+  // CLI routes to the DESCRIBE relation's columns section.
+  private val ShowColumns =
+    "(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
 
   /** One session property: Presto-style name/type/default plus the
     * mapping into (`toConf`) and out of (`fromConf`) the Spark conf
@@ -504,6 +517,108 @@ object GraftCli {
     sb.toString
   }
 
+  /** Count `?` parameter markers outside single-quoted literals — the
+    * binder's scan, shared so DESCRIBE INPUT/OUTPUT agree with EXECUTE
+    * on what counts as a parameter. */
+  private[graft] def countParameters(template: String): Int = {
+    var inStr = false
+    var n = 0
+    template.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '?') n += 1
+    }
+    n
+  }
+
+  /** DESCRIBE OUTPUT name — Presto 0.248's prepared-statement result-set
+    * metadata (what a client library calls to type a result set before
+    * fetching a row). The template is ANALYZED with every `?` bound to
+    * NULL: binding cannot change the SELECT list's shape, and a
+    * NULL-typed projection reports the same coerced type the analyzer
+    * gives any execution. Nothing executes — the schema comes off the
+    * analyzed plan. Returns (ordinal, column_name, type) in SELECT-list
+    * order. */
+  private[graft] def describeOutput(spark: SparkSession,
+      prepared: scala.collection.Map[String, String], name: String): DataFrame = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    val template = prepared.getOrElse(key, throw new IllegalArgumentException(
+      s"DESCRIBE OUTPUT: no prepared statement named $key (PREPARE it first)"))
+    val bound = spark.sql(bindParameters(template,
+      Seq.fill(countParameters(template))("NULL")))
+    import spark.implicits._
+    bound.schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      (i + 1, f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT))
+    }.toDF("ordinal", "column_name", "type")
+  }
+
+  /** DESCRIBE INPUT name — the parameter-marker half of Presto's
+    * prepared-statement metadata: one row per `?`, 1-based position plus
+    * the inferred type. Inference walks the PARSED (unresolved) template
+    * for a marker sitting directly against a column in a binary
+    * comparison/arithmetic or IN list, then types that column from the
+    * NULL-bound ANALYZED plan (subtree outputs include scan columns the
+    * SELECT list prunes). A marker with no such column context reports
+    * `unknown` — Presto does the same for non-inferable parameters. */
+  private[graft] def describeInput(spark: SparkSession,
+      prepared: scala.collection.Map[String, String], name: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{PosParameter, UnresolvedAttribute}
+    import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In}
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    val template = prepared.getOrElse(key, throw new IllegalArgumentException(
+      s"DESCRIBE INPUT: no prepared statement named $key (PREPARE it first)"))
+    val parsed = spark.sessionState.sqlParser.parsePlan(template)
+    val positions = scala.collection.mutable.SortedSet[Int]()
+    val paired = scala.collection.mutable.Map[Int, String]()
+    def scan(e: Expression): Unit = {
+      e match {
+        case b: BinaryOperator => (b.left, b.right) match {
+          case (p: PosParameter, a: UnresolvedAttribute) =>
+            paired(p.pos) = a.nameParts.last
+          case (a: UnresolvedAttribute, p: PosParameter) =>
+            paired(p.pos) = a.nameParts.last
+          case _ => ()
+        }
+        case In(a: UnresolvedAttribute, list) =>
+          list.foreach {
+            case p: PosParameter => paired(p.pos) = a.nameParts.last
+            case _ => ()
+          }
+        case _ => ()
+      }
+      e match { case p: PosParameter => positions += p.pos; case _ => () }
+      e.children.foreach(scan)
+    }
+    parsed.foreach(_.expressions.foreach(scan))
+    val bound = spark.sql(bindParameters(template,
+      Seq.fill(countParameters(template))("NULL")))
+    val attrTypes: Map[String, String] = bound.queryExecution.analyzed
+      .collect { case n => n.output }.flatten
+      .map(a => a.name.toLowerCase(java.util.Locale.ROOT) ->
+        a.dataType.sql.toLowerCase(java.util.Locale.ROOT)).toMap
+    import spark.implicits._
+    positions.toSeq.zipWithIndex.map { case (pos, i) =>
+      (i + 1, paired.get(pos)
+        .flatMap(n => attrTypes.get(n.toLowerCase(java.util.Locale.ROOT)))
+        .getOrElse("unknown"))
+    }.toDF("position", "type")
+  }
+
+  /** SHOW COLUMNS FROM t — Presto's typed column listing (in Presto,
+    * DESCRIBE t is an alias of this). Spark's native SHOW COLUMNS emits
+    * names only, so the route serves the DESCRIBE relation's columns
+    * section as (column_name, data_type). The collect is bounded by the
+    * table's column count; unknown tables surface Spark's catalog error,
+    * statement-scoped. */
+  private[graft] def showColumns(spark: SparkSession, table: String): DataFrame = {
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    val rows = spark.sql(s"DESCRIBE $t").collect()
+      .takeWhile(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getString(1)))
+      .toDF("column_name", "data_type")
+  }
+
   /** DELETE FROM t [WHERE cond] as a distributed rewrite of the managed
     * parquet table — the Presto-0.248 DELETE surface on writable
     * connectors, served Spark-side the way a hive-connector DELETE
@@ -650,6 +765,12 @@ object GraftCli {
         err.println(s"[graft-cli] RESET SESSION ${name.toLowerCase(java.util.Locale.ROOT)}")
       case ShowSession() =>
         render(showSession(spark), format, out)
+      case DescribeInput(name) =>
+        render(describeInput(spark, prepared, name), format, out)
+      case DescribeOutput(name) =>
+        render(describeOutput(spark, prepared, name), format, out)
+      case ShowColumns(table) =>
+        render(showColumns(spark, table), format, out)
       case bare => render(spark.sql(bare), format, out)
     } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
@@ -960,8 +1081,52 @@ object GraftCli {
       sess.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM s17_dml_del GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+    // s18: DESCRIBE INPUT / DESCRIBE OUTPUT — Presto 0.248's prepared-
+    // statement metadata surface, the half of s12's PREPARE/EXECUTE that
+    // client libraries call to type parameter markers and result sets
+    // BEFORE fetching. PREPARE routes through the real statement regex
+    // into a session store; both DESCRIBEs run against it. One frame:
+    // parameter rows (position + inferred type, `unknown` where no
+    // column context exists) then result rows (ordinal, name, type).
+    "s18_sql_describe_io" -> ((s, d) => describeIoEntry(s, d)),
+    // s19: SHOW COLUMNS FROM t — the Presto CLI staple (DESCRIBE t is
+    // its Presto alias), served TYPED via the routed DESCRIBE relation.
+    "s19_sql_show_columns" -> ((s, d) => {
+      open(s, d)
+      showColumns(s, "orders").orderBy(col("column_name"))
     })
   )
+
+  /** s18's front door: PREPARE through the REAL router regex, then both
+    * DESCRIBE INPUT and DESCRIBE OUTPUT against the same store, unioned
+    * with a kind discriminator. The statement exercises all three
+    * inference shapes: a comparison-adjacent marker (typed from the
+    * column), an IN-list marker, and a marker with no column context
+    * (reports `unknown`). */
+  private[graft] def describeIoEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = open(spark, sfDir)
+    val store = scala.collection.mutable.Map[String, String]()
+    ("""PREPARE sq FROM
+       SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_orderstatus = ? AND o_totalprice >= ?
+         AND o_custkey IN (?) AND coalesce(NULL, ?) IS NULL
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""": String) match {
+      case Prepare(n, q) => store(n.toLowerCase(java.util.Locale.ROOT)) = q
+      case other => throw new IllegalStateException(s"unroutable PREPARE: $other")
+    }
+    import org.apache.spark.sql.functions.lit
+    describeInput(sess, store, "sq")
+      .select(lit("input").as("kind"), col("position").as("ord"),
+        lit("?").as("name"), col("type"))
+      .unionAll(describeOutput(sess, store, "sq")
+        .select(lit("output").as("kind"), col("ordinal").as("ord"),
+          col("column_name").as("name"), col("type")))
+      .orderBy(col("kind"), col("ord"))
+  }
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
@@ -973,6 +1138,35 @@ object GraftCli {
       FROM lineitem
       WHERE NOT coalesce(l_returnflag = 'R' AND l_quantity > 25, false)
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // s18: the prepared statement is FIXED, so its parameter and
+    // result-set metadata are constants — the oracle pins them as VALUES
+    // (the planesValues discipline): marker types read from the orders
+    // schema, the no-context marker pinned `unknown`, result types from
+    // the SELECT list's coercions.
+    "s18_sql_describe_io" -> """
+      SELECT * FROM (VALUES
+        ('input', 1, '?', 'string'),
+        ('input', 2, '?', 'double'),
+        ('input', 3, '?', 'bigint'),
+        ('input', 4, '?', 'unknown'),
+        ('output', 1, 'o_orderpriority', 'string'),
+        ('output', 2, 'n', 'bigint'),
+        ('output', 3, 'total', 'double'))
+        AS t(kind, ord, name, type)
+      ORDER BY kind, ord""",
+    // s19: orders' typed column listing as VALUES — the parquet schema
+    // is the driver's testdata contract, so the pin doubles as a schema
+    // tripwire.
+    "s19_sql_show_columns" -> """
+      SELECT * FROM (VALUES
+        ('o_custkey', 'bigint'),
+        ('o_orderdate', 'timestamp_ntz'),
+        ('o_orderkey', 'bigint'),
+        ('o_orderpriority', 'string'),
+        ('o_orderstatus', 'string'),
+        ('o_totalprice', 'double'))
+        AS t(column_name, data_type)
+      ORDER BY column_name""",
     // s16: the EXECUTE IMMEDIATE statement with its USING parameters
     // substituted — a binding or quoting defect in the dynamic-SQL path
     // forks the hash.

@@ -330,6 +330,70 @@ class CliSpec extends GraftSpec {
     assert(second.tail.map(_.takeWhile(_ != ',')) == Seq("0", "1", "2", "3"), lines.mkString("\n"))
   }
 
+  test("DESCRIBE INPUT / DESCRIBE OUTPUT round-trip through the real main") {
+    spark.sparkContext // force the suite session so main borrows it
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val (so, se) = (System.out, System.err)
+    System.setOut(outP); System.setErr(errP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "PREPARE meta_q FROM SELECT o_orderpriority, COUNT(*) AS n FROM orders " +
+        "WHERE o_totalprice >= ? AND o_orderstatus = ? GROUP BY o_orderpriority",
+      "DESCRIBE INPUT meta_q",
+      "DESCRIBE OUTPUT meta_q",
+      "DESCRIBE INPUT never_prepared")) // unknown statement: clean error
+    finally { System.setOut(so); System.setErr(se); outP.flush(); errP.flush() }
+    val out = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    val err = new String(errB.toByteArray, "UTF-8")
+    // parameter positions typed from their comparison columns
+    val iIn = out.indexOf("position,type")
+    assert(iIn >= 0 && out.slice(iIn + 1, iIn + 3) == Seq("1,double", "2,string"),
+      s"stdout:\n${out.mkString("\n")}")
+    // result-set metadata in SELECT-list order
+    val iOut = out.indexOf("ordinal,column_name,type")
+    assert(iOut >= 0 && out.slice(iOut + 1, iOut + 3) ==
+      Seq("1,o_orderpriority,string", "2,n,bigint"), s"stdout:\n${out.mkString("\n")}")
+    // unknown statement: one statement-scoped error naming it, run alive
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 1 && errors.head.contains("never_prepared"), err)
+  }
+
+  test("SHOW COLUMNS and SHOW CREATE TABLE round-trip through the real main") {
+    spark.sparkContext // force the suite session so main borrows it
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val (so, se) = (System.out, System.err)
+    System.setOut(outP); System.setErr(errP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "SHOW COLUMNS FROM region",                       // typed, source view
+      "DROP TABLE IF EXISTS graft_showcol",
+      "CREATE TABLE graft_showcol AS SELECT 1 AS k, 'x' AS v",
+      "SHOW COLUMNS IN graft_showcol",                  // IN spelling, managed
+      "SHOW CREATE TABLE graft_showcol",                // native Spark route
+      "SHOW COLUMNS FROM graft_no_such_table"))         // clean error
+    finally { System.setOut(so); System.setErr(se); outP.flush(); errP.flush() }
+    val out = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    val err = new String(errB.toByteArray, "UTF-8")
+    val iRegion = out.indexOf("column_name,data_type")
+    assert(iRegion >= 0 && out.slice(iRegion + 1, iRegion + 3) ==
+      Seq("r_regionkey,int", "r_name,string"), s"stdout:\n${out.mkString("\n")}")
+    // the managed table's typed listing (second header occurrence)
+    assert(out.containsSlice(Seq("k,int")) && out.containsSlice(Seq("v,string")),
+      s"stdout:\n${out.mkString("\n")}")
+    // SHOW CREATE TABLE: Spark's createtab_stmt names the table + columns
+    assert(out.exists(l => l.contains("CREATE TABLE") && l.contains("graft_showcol")),
+      s"stdout:\n${out.mkString("\n")}")
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 1 && errors.head.contains("graft_no_such_table"), err)
+    GraftCli.sql(spark, sf, "DROP TABLE graft_showcol")
+  }
+
   test("EXECUTE IMMEDIATE binds USING parameters through the real main") {
     val outB = new java.io.ByteArrayOutputStream()
     val outP = new java.io.PrintStream(outB, true, "UTF-8")
