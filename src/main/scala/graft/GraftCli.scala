@@ -1095,7 +1095,38 @@ object GraftCli {
     "s19_sql_show_columns" -> ((s, d) => {
       open(s, d)
       showColumns(s, "orders").orderBy(col("column_name"))
-    })
+    }),
+    // s20: the Presto text/digest stragglers through the SQL front door —
+    // word_stem (Porter 1980), user-facing ngrams() (both branches:
+    // sliding windows and the n >= length whole-array convention),
+    // crc32/xxhash64 (Spark builtins, already SQL surface) and
+    // hmac_sha256. The word list is FIXED (planesValues discipline) and
+    // spans the Porter rule tables (plurals, 1b restoration, -ational/
+    // -fulness/-biliti step 2, step 3/4 strips, 5a/5b); the oracle pins
+    // expected values — crc32 and hmac_sha256 are independently
+    // checkable against zlib.crc32 / RFC 2104 implementations.
+    "s20_sql_text_functions" -> ((s, d) => sql(s, d, """
+      SELECT w,
+        word_stem(w) AS stem,
+        crc32(encode(w, 'utf-8')) AS crc,
+        xxhash64(w) AS xx,
+        lower(hex(hmac_sha256(encode(w, 'utf-8'), encode('graft', 'utf-8')))) AS hmac,
+        array_join(transform(ngrams(split('the quick brown fox', ' '), 2),
+          g -> array_join(g, ' ')), '|') AS grams2,
+        array_join(transform(ngrams(split(w, ' '), 5),
+          g -> array_join(g, ' ')), '|') AS grams_whole
+      FROM VALUES ('caresses'), ('ponies'), ('ties'), ('caress'), ('cats'),
+        ('feed'), ('agreed'), ('plastered'), ('motoring'), ('sing'),
+        ('hopping'), ('tanned'), ('falling'), ('hissing'), ('failing'),
+        ('filing'), ('happy'), ('sky'), ('relational'), ('conditional'),
+        ('rational'), ('digitizer'), ('operator'), ('hopefulness'),
+        ('callousness'), ('triplicate'), ('formative'), ('formalize'),
+        ('electrical'), ('hopeful'), ('goodness'), ('revival'),
+        ('allowance'), ('inference'), ('adjustable'), ('defensible'),
+        ('replacement'), ('adoption'), ('communism'), ('activate'),
+        ('effective'), ('probate'), ('rate'), ('cease'), ('controlling')
+        AS t(w)
+      ORDER BY w"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1167,6 +1198,62 @@ object GraftCli {
         ('o_totalprice', 'double'))
         AS t(column_name, data_type)
       ORDER BY column_name""",
+    // s20: the statement's word list is fixed, so every function value is
+    // a pinned constant (crc32 independently verified against zlib.crc32,
+    // hmac_sha256 against RFC 2104 HMAC-SHA256 — both re-checked at pin
+    // time); the two ngrams columns are constants of the fixed phrase.
+    "s20_sql_text_functions" -> """
+      SELECT w, stem, crc, xx, hmac,
+        'the quick|quick brown|brown fox' AS grams2,
+        w AS grams_whole
+      FROM (VALUES
+        ('activate', 'activ', 3060139181, -4905616413729154229, '3f9ee7f04d6a252e1bd9b843893a4051e9de9012763a711a850f1e3a8837d21b'),
+        ('adjustable', 'adjust', 2665911131, 3639606311575500972, 'e2d75a041ad764c39b6ae73eabec0a8495bab339784ea4800fd92ec19c5a966e'),
+        ('adoption', 'adopt', 3990795945, -5599912534188403973, '128067f4683063bb0e7eeac462e75e79d1606031c4be34e74cab8fc0bf77e350'),
+        ('agreed', 'agre', 2215087486, 4800545526062416865, 'caccfba8dd4a001b6c0b589e31f30d46ddab4e8733bf8d4fb8628d4868de3eba'),
+        ('allowance', 'allow', 1724401795, -3298048230462173936, '3c79e1dcf4fe12e27ca23e54ce227dbe406751197f25e74c11697aa8c706faaf'),
+        ('callousness', 'callous', 1629442294, 8720133159269623174, '765ae474e8423c4c5bef33c5dd9a20d6230d42e3037c7e73e2abd011f9cf566f'),
+        ('caress', 'caress', 3653560773, 4891967992403642794, '980e2f25dbb1beb16956c9b202f916ccf8a8879d77a9f86f7e3b2d1cd308bc82'),
+        ('caresses', 'caress', 4278455688, 8194662454011410892, '098249df2c21c825c76fe70dd996942f3e1cc0b6afce70da5c46b0f923612287'),
+        ('cats', 'cat', 3281894034, 8830729755645695571, 'b7aedef800cea8f535f6f9dafc5f74bb44dcb96fd5654c53115a3861dc094b2f'),
+        ('cease', 'ceas', 1687675716, -9210914579439899048, 'f1b2df584dbcd95325e880b89ac4919e9ce27dbb9c72aafa6a6981c1cf57069c'),
+        ('communism', 'commun', 1325073033, 5606524687469154437, '60f4ad5aa2ae196bf69d4d00e76a904b70438a362dd6b1cd45a8ca76c3caf780'),
+        ('conditional', 'condit', 1091358568, 2338620843827730038, 'be51fc03a54739bf5bb5e089ca3d00105236c047c2ab6262bba9d7b1c8cb7dae'),
+        ('controlling', 'control', 4264507251, -6765401016708352018, 'a7e32b99de312bd2341935c8ca52cb2f49cc19d4aa96964371319b96132f5a69'),
+        ('defensible', 'defens', 2535006311, 868598823775215374, 'd3815830087cbe96bf73f3e299d75076e8e91363e0bd2ea5e5b419e6b9594078'),
+        ('digitizer', 'digit', 4233351069, -123129200223760828, 'bd735be7a91c7969bab70eb10ee8b75494af51fadb3a9f660fc5cf255ef0361d'),
+        ('effective', 'effect', 1867652881, -1144660075353436173, '5aec4c9f06ef8b2a8511f64f2d3f18982b90e7bf36e6a4ed36b1a4fc5c5aade4'),
+        ('electrical', 'electr', 1807379272, -6570125295465218520, 'b02ba22e8a91134d22624c385f36fb2f0dee11244c0b6adc3b472a5f42c9a897'),
+        ('failing', 'fail', 1021207972, 8695560213730640627, 'bc89592cf14d586e73f98dc4cef1984f548a812211271e191cf7796d59c11ff8'),
+        ('falling', 'fall', 4097764052, -6163710460295062457, '63cea5d7173942260bc157adbf7b949adee0aed66aa511ba4212763f4b7dbd8a'),
+        ('feed', 'feed', 591414443, 3205641039842103251, 'de9364c094e33d8142c98afb204cbace63c45839f18a885fdef3b3b43b50a5bc'),
+        ('filing', 'file', 3843248670, 7950562922688529517, '67fbb27b65ca1ad06fd246d36fea4e9aa07705e2c4a4a9039cfa892f035b5e3b'),
+        ('formalize', 'formal', 1972003155, -1592891783531921757, '6b67e9dd7ddc9d70cc59063190b689bade5a4f710e4951709cb212476950fc59'),
+        ('formative', 'form', 1284657455, -7676493745356919957, 'f76387ac2552bd64345ad75822ea5b7d7f9f0646e737fc02b662767b2966672d'),
+        ('goodness', 'good', 253339021, -1014635668271014529, 'cbacdfa55c5ef35f88538186372cd31d562dc5fb1b2ba30829978891b3173b92'),
+        ('happy', 'happi', 3203236809, 3044319753066043397, '67eb44a6639fd94f3d1235a47a78559da3e8344408eb28ffb6df941a36585524'),
+        ('hissing', 'hiss', 2727892094, 6301512610318438557, 'eb691e72fca058a7222d6283e03ff9fc3920a7fdd5d382ace49db3b9613283d5'),
+        ('hopeful', 'hope', 1940623583, -9085360334193598037, '097494d5ea591c811bcd1edfc397d0023105e022085ff2acc556d5ad4855635b'),
+        ('hopefulness', 'hope', 2120485071, -2308537584337207719, 'b7fbb07722991ab2217c8870a7691fc610a0b1fa66e62a925e249a591b1f6d91'),
+        ('hopping', 'hop', 567566941, -3717812106173280634, 'bff87b70e66c694609bc944cf4860da53736675a6e373aaa81a7fbf377a4fc08'),
+        ('inference', 'infer', 3713829353, 2390675683067751965, 'c73227b702ac5df24314b576c22b72d5eb1f8f16b049325f729245bb10fd0c0e'),
+        ('motoring', 'motor', 1987826478, 9028388245902143482, '7f5b47ddfa8fe7e981d06972c8c697964b7000f911b6f9c35c3a63cc5772b26d'),
+        ('operator', 'oper', 3618023297, 1216894282671212459, '227735485fa06fc09fa69041ff1e1dcadf4a6bf8a194a4ab4a626fb356054a18'),
+        ('plastered', 'plaster', 873700626, -3266375879269689177, 'e072a4d18f287a6e52875a341cfbbcc086665ae8f7e0432afefe18b6cd3d3dab'),
+        ('ponies', 'poni', 3975906053, 7109819345711606755, 'a91431a2f025989fac87e4de41ec10b4fe6b8ec214d0e6e710c07f564ca945b9'),
+        ('probate', 'probat', 2185098425, -8581020983169020873, 'f89805aec2eb80dc8d64c741eb793e4f64dd87c0cb0bd2395fb7496fef659b7b'),
+        ('rate', 'rate', 3756801849, 4708917400128111169, '2eee34894acb9594457acc8c13f54ac7d80164c4d41bac5d01ba687318b032d7'),
+        ('rational', 'ration', 3152618196, -4466863064964357401, 'fb4ecaaea8448acd12e44a550bc123c8764c69f63a0a9b2246812a013dd5d38e'),
+        ('relational', 'relat', 2956470172, -1256036670883866820, 'c752ae40aa6b4de55678f39fc2f912e7abaa8d64941f8106e92e390444faa9ac'),
+        ('replacement', 'replac', 1423307850, 1533037183853026209, 'ef619ea45ad51cae2145fc83d578c36743c7957c6f327e5b4df7159fb2861592'),
+        ('revival', 'reviv', 3867168260, -3006916718637886733, '5018a5f96e03802a3ec84662a6dd6be136b1a545ec814743a44ddca0fd32d450'),
+        ('sing', 'sing', 929075731, -8594554807535138601, 'f300987aec4cf79a6fd2fe3386a54e91b57ef5abd16a3ea5382b2d70e83d4446'),
+        ('sky', 'sky', 103183599, -3518807578293796959, 'b9e5e172673cc1dd9e94dcd2e7a1ee5f680e1124f7b05345e3a7615e5efa1b14'),
+        ('tanned', 'tan', 1321659440, 2270126746366719049, '7ea5a2f3aedde7b8a3a1ecf7e4be5878b0d82dd801f04776ff53c49372cc5636'),
+        ('ties', 'ti', 1402578716, 2321608483029616334, '055c855d57be0eba098bc7e61bf4b15517428636dd1233eb2bc448c22a59af82'),
+        ('triplicate', 'triplic', 480823230, 5067692719085848944, '27bf76f23aee9f72f0d8dd96f0f2a0bbf43756e8b81e8d91fb49cd008d198ce6'))
+        AS t(w, stem, crc, xx, hmac)
+      ORDER BY w""",
     // s16: the EXECUTE IMMEDIATE statement with its USING parameters
     // substituted — a binding or quoting defect in the dynamic-SQL path
     // forks the hash.

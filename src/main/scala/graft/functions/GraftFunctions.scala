@@ -268,7 +268,13 @@ object GraftFunctions {
     "st_centroid_y" -> (args => RingCentroid(args(0), args(1), 1)),
     "st_geometry_from_text" -> (args => WktParse(args.head)),
     "st_as_text" -> (args => WktText(args(0), args(1), args(2))),
-    "bpe_merge" -> (args => BpeMerge(args(0), args(1), args(2))))
+    "bpe_merge" -> (args => BpeMerge(args(0), args(1), args(2))),
+    // Presto text/digest stragglers (r15): word_stem (Porter), the
+    // user-facing ngrams(), and the keyed digest. crc32/xxhash64 are
+    // Spark builtins already on the SQL surface — no registration needed.
+    "word_stem" -> (args => WordStem(args.head)),
+    "ngrams" -> (args => NGrams(args(0), literalInt("ngrams", args(1)))),
+    "hmac_sha256" -> (args => HmacSha256(args(0), args(1))))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

@@ -934,6 +934,179 @@ object Kernels {
     }
     new GenericInternalRow(Array[Any](n, sum))
   }
+
+  // ---- Porter stemmer (Porter 1980, "An algorithm for suffix
+  // stripping", Program 14(3) — the public-domain algorithm Presto's
+  // word_stem serves). Implemented from the paper's rule tables; operates
+  // on lowercase ASCII letters, returns non-letter-bearing or short
+  // inputs unchanged (Presto stems only all-letter words > 2 chars).
+
+  private def isVowelAt(w: Array[Char], i: Int): Boolean = w(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowelAt(w, i - 1)
+    case _ => false
+  }
+
+  /** Porter's measure m of w[0..end]: the number of VC sequences. */
+  private def measure(w: Array[Char], end: Int): Int = {
+    var m = 0
+    var i = 0
+    var prevV = false
+    while (i <= end) {
+      val v = isVowelAt(w, i)
+      if (prevV && !v) m += 1
+      prevV = v
+      i += 1
+    }
+    m
+  }
+
+  private def hasVowel(w: Array[Char], end: Int): Boolean = {
+    var i = 0
+    while (i <= end) { if (isVowelAt(w, i)) return true; i += 1 }
+    false
+  }
+
+  /** *d — ends with a double consonant. */
+  private def doubleC(w: Array[Char], end: Int): Boolean =
+    end >= 1 && w(end) == w(end - 1) && !isVowelAt(w, end)
+
+  /** *o — ends cvc where the final c is not w, x or y. */
+  private def cvc(w: Array[Char], end: Int): Boolean =
+    end >= 2 && !isVowelAt(w, end) && isVowelAt(w, end - 1) &&
+      !isVowelAt(w, end - 2) &&
+      w(end) != 'w' && w(end) != 'x' && w(end) != 'y'
+
+  def porterStem(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (s.length < 3 || !s.forall(c => c >= 'a' && c <= 'z')) return in
+    val w = s.toCharArray
+    var end = w.length - 1 // index of last char of the current stem
+
+    def ends(suf: String): Boolean = {
+      val n = suf.length
+      if (n > end + 1) return false
+      var i = 0
+      while (i < n) {
+        if (w(end - n + 1 + i) != suf.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    /** m() of the stem that remains after removing `suf`. */
+    def mAfter(suf: String): Int = measure(w, end - suf.length)
+    def setTo(suf: String, to: String): Unit = {
+      val base = end - suf.length + 1
+      var i = 0
+      while (i < to.length) { w(base + i) = to.charAt(i); i += 1 }
+      end = base + to.length - 1
+    }
+
+    // Step 1a
+    if (ends("sses")) setTo("sses", "ss")
+    else if (ends("ies")) setTo("ies", "i")
+    else if (!ends("ss") && ends("s")) setTo("s", "")
+    // Step 1b
+    var rule23 = false
+    if (ends("eed")) { if (mAfter("eed") > 0) setTo("eed", "ee") }
+    else if (ends("ed") && hasVowel(w, end - 2)) { setTo("ed", ""); rule23 = true }
+    else if (ends("ing") && end >= 3 && hasVowel(w, end - 3)) {
+      setTo("ing", ""); rule23 = true
+    }
+    if (rule23) {
+      if (ends("at")) setTo("at", "ate")
+      else if (ends("bl")) setTo("bl", "ble")
+      else if (ends("iz")) setTo("iz", "ize")
+      else if (doubleC(w, end) &&
+        w(end) != 'l' && w(end) != 's' && w(end) != 'z') end -= 1
+      else if (measure(w, end) == 1 && cvc(w, end)) setTo("", "e")
+    }
+    // Step 1c
+    if (ends("y") && hasVowel(w, end - 1)) w(end) = 'i'
+    // Step 2 (each rule conditional on m > 0 for the remaining stem)
+    val step2 = Array(
+      ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+      ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+      ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+      ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+      ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+      ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"))
+    var i2 = 0
+    var done2 = false
+    while (i2 < step2.length && !done2) {
+      val (suf, to) = step2(i2)
+      if (ends(suf)) { if (mAfter(suf) > 0) setTo(suf, to); done2 = true }
+      i2 += 1
+    }
+    // Step 3
+    val step3 = Array(
+      ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+      ("ical", "ic"), ("ful", ""), ("ness", ""))
+    var i3 = 0
+    var done3 = false
+    while (i3 < step3.length && !done3) {
+      val (suf, to) = step3(i3)
+      if (ends(suf)) { if (mAfter(suf) > 0) setTo(suf, to); done3 = true }
+      i3 += 1
+    }
+    // Step 4 (m > 1); ION additionally needs the stem to end s or t
+    val step4 = Array(
+      "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+      "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    var i4 = 0
+    var done4 = false
+    while (i4 < step4.length && !done4) {
+      val suf = step4(i4)
+      if (ends(suf)) {
+        val base = end - suf.length
+        val ok = measure(w, base) > 1 &&
+          (suf != "ion" || (base >= 0 && (w(base) == 's' || w(base) == 't')))
+        if (ok) setTo(suf, "")
+        done4 = true
+      }
+      i4 += 1
+    }
+    // Step 5a
+    if (w(end) == 'e') {
+      val m = measure(w, end - 1)
+      if (m > 1 || (m == 1 && !cvc(w, end - 1))) end -= 1
+    }
+    // Step 5b
+    if (measure(w, end) > 1 && doubleC(w, end) && w(end) == 'l') end -= 1
+
+    UTF8String.fromString(new String(w, 0, end + 1))
+  }
+
+  /** Presto ngrams(array<varchar>, n): every length-n sliding window; a
+    * shorter array yields one n-gram holding the whole array (Presto's
+    * convention for n >= length). */
+  def ngrams(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    if (n >= len) {
+      val whole = new Array[Any](len)
+      var i = 0
+      while (i < len) { whole(i) = words.getUTF8String(i); i += 1 }
+      return new GenericArrayData(Array[Any](new GenericArrayData(whole)))
+    }
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val g = new Array[Any](n)
+      var j = 0
+      while (j < n) { g(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = new GenericArrayData(g)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** HMAC-SHA256 (RFC 2104 with SHA-256) — Presto's hmac_sha256. */
+  def hmacSha256(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -1884,4 +2057,63 @@ case class WktText(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WktText =
     copy(first = f, second = s, third = t)
+}
+
+/** word_stem(string) -> string — Presto's Porter stemmer (word_stem(x)
+  * with the default 'en' stemmer serves the 1980 Porter algorithm).
+  * Non-lowercase-letter inputs pass through unchanged, like Presto's
+  * behavior on non-words. */
+case class WordStem(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.porterStem(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.porterStem($c)")
+
+  override protected def withNewChildInternal(c: Expression): WordStem =
+    copy(child = c)
+}
+
+/** ngrams(array<string>, n) -> array<array<string>> — Presto's user-facing
+  * ngrams(): every length-n sliding window; n >= length yields one n-gram
+  * holding the whole array (Presto's convention). The hashed-n-gram
+  * KERNELS (hashedNgramBuckets/Score) remain the shuffle-narrow scale
+  * path; this is the exploratory SQL surface. */
+case class NGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngrams: n must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+
+  override protected def nullSafeEval(in: Any): Any =
+    Kernels.ngrams(in.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): NGrams =
+    copy(child = c)
+}
+
+/** hmac_sha256(binary, binary) -> binary — Presto's keyed digest (RFC
+  * 2104 with SHA-256); data first, key second, like Presto. */
+case class HmacSha256(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(data: Any, key: Any): Any =
+    Kernels.hmacSha256(data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, k) => s"graft.functions.Kernels.hmacSha256($d, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HmacSha256 =
+    copy(left = l, right = r)
 }

@@ -112,6 +112,86 @@ class ExpressionsSpec extends GraftSpec {
     assert(r.getBoolean(2))
   }
 
+
+  test("word_stem: the Porter 1980 rule tables, step by step") {
+    graft.functions.GraftFunctions.install(spark)
+    // one vector per rule family, from the paper's own examples —
+    // step 1a plurals, 1b ed/ing + restoration, 1c y->i, step 2/3
+    // suffix maps, step 4 strips (incl. the s/t-guarded ION), 5a/5b
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+      "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "digitizer" -> "digit",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good", "revival" -> "reviv",
+      "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "adjustable" -> "adjust",
+      "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controlling" -> "control", "rolling" -> "roll")
+    vectors.foreach { case (in, want) =>
+      val got = spark.sql(s"SELECT word_stem('$in')").head().getString(0)
+      assert(got == want, s"word_stem($in) = $got, want $want")
+    }
+    // non-lowercase-letter inputs pass through unchanged (Presto stems
+    // words only), short words untouched, NULL stays NULL
+    val r = spark.sql(
+      "SELECT word_stem('Running'), word_stem('a1b2'), word_stem('ox'), " +
+        "word_stem(CAST(NULL AS STRING))").head()
+    assert(r.getString(0) == "Running" && r.getString(1) == "a1b2" &&
+      r.getString(2) == "ox" && r.isNullAt(3))
+  }
+
+  test("ngrams: sliding windows, whole-array convention, empty input") {
+    graft.functions.GraftFunctions.install(spark)
+    val r = spark.sql(
+      "SELECT ngrams(array('a','b','c','d'), 2) AS g2, " +
+        "ngrams(array('a','b'), 5) AS whole, " +
+        "ngrams(array('a','b','c'), 3) AS exact, " +
+        "ngrams(CAST(array() AS ARRAY<STRING>), 2) AS empty").head()
+    assert(r.getSeq[Seq[String]](0) ==
+      Seq(Seq("a", "b"), Seq("b", "c"), Seq("c", "d")))
+    assert(r.getSeq[Seq[String]](1) == Seq(Seq("a", "b")))
+    assert(r.getSeq[Seq[String]](2) == Seq(Seq("a", "b", "c")))
+    assert(r.getSeq[Seq[String]](3).isEmpty)
+    // n is a literal-only argument, like minhash_sig's k
+    val err = intercept[Exception](
+      spark.sql("SELECT ngrams(array('a'), length('ab'))"))
+    assert(err.getMessage.contains("ngrams"), err.getMessage)
+  }
+
+  test("hmac_sha256 matches RFC 4231 test case 2 and the digest builtins stay on-surface") {
+    graft.functions.GraftFunctions.install(spark)
+    // RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    val hm = spark.sql("SELECT lower(hex(hmac_sha256(" +
+      "encode('what do ya want for nothing?', 'utf-8'), " +
+      "encode('Jefe', 'utf-8'))))").head().getString(0)
+    assert(hm ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // crc32 / xxhash64: Spark builtins the Presto digest family maps to —
+    // pin one known crc (zlib crc32 of "graft") so surface drift shows
+    val crc = spark.sql("SELECT crc32(encode('graft', 'utf-8'))").head().getLong(0)
+    val ref = new java.util.zip.CRC32()
+    ref.update("graft".getBytes("UTF-8"))
+    assert(crc == ref.getValue, s"crc32 drifted: $crc vs ${ref.getValue}")
+    // xxhash64: deterministic across calls/sessions (seed 42 builtin)
+    assert(spark.sql("SELECT xxhash64('graft')").head().getLong(0) ==
+      spark.sql("SELECT xxhash64('graft')").head().getLong(0))
+  }
+
   test("SQL hash64 accepts plain INT literal seeds and rejects non-literals") {
     graft.functions.GraftFunctions.install(spark)
     // the natural SQL call form: 42 parses as an IntegerType literal
