@@ -864,7 +864,10 @@ object GraftCli {
       ORDER BY total DESC, c_custkey LIMIT 25""")),
     "s05_sql_graft_fn" -> ((s, d) => sql(s, d, """
       SELECT a.vec_id,
-        round(cosine_sim(a.embedding, b.embedding), 4) AS sim_next
+        -- + 0.0 folds IEEE negative zero to +0.0: a near-zero cosine can
+        -- round to -0.0 in one engine and 0.0 in the other (equal under
+        -- ==, different in any text rendering — r15 sf1.0 gate)
+        round(cosine_sim(a.embedding, b.embedding), 4) + 0.0 AS sim_next
       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       ORDER BY a.vec_id""")),
     "s06_sql_native_agg" -> ((s, d) => sql(s, d, """
@@ -1094,7 +1097,11 @@ object GraftCli {
     // its Presto alias), served TYPED via the routed DESCRIBE relation.
     "s19_sql_show_columns" -> ((s, d) => {
       open(s, d)
-      showColumns(s, "orders").orderBy(col("column_name"))
+      // part, not orders: orders' timestamp column reads as timestamp_ntz
+      // from the driver's parquet but as (ltz) timestamp from
+      // GenData-written decade data, which a pinned oracle cannot span —
+      // part's types are layout-stable (bigint/int/string/double)
+      showColumns(s, "part").orderBy(col("column_name"))
     }),
     // s20: the Presto text/digest stragglers through the SQL front door —
     // word_stem (Porter 1980), user-facing ngrams() (both branches:
@@ -1185,17 +1192,18 @@ object GraftCli {
         ('output', 3, 'total', 'double'))
         AS t(kind, ord, name, type)
       ORDER BY kind, ord""",
-    // s19: orders' typed column listing as VALUES — the parquet schema
-    // is the driver's testdata contract, so the pin doubles as a schema
-    // tripwire.
+    // s19: part's typed column listing as VALUES — the parquet schema is
+    // the testdata contract, so the pin doubles as a schema tripwire
+    // (part chosen over orders: its types are identical across the
+    // driver's single-file parquet and GenData's decade directories).
     "s19_sql_show_columns" -> """
       SELECT * FROM (VALUES
-        ('o_custkey', 'bigint'),
-        ('o_orderdate', 'timestamp_ntz'),
-        ('o_orderkey', 'bigint'),
-        ('o_orderpriority', 'string'),
-        ('o_orderstatus', 'string'),
-        ('o_totalprice', 'double'))
+        ('p_brand', 'string'),
+        ('p_name', 'string'),
+        ('p_partkey', 'bigint'),
+        ('p_retailprice', 'double'),
+        ('p_size', 'int'),
+        ('p_type', 'string'))
         AS t(column_name, data_type)
       ORDER BY column_name""",
     // s20: the statement's word list is fixed, so every function value is
@@ -1291,8 +1299,9 @@ object GraftCli {
       ORDER BY total DESC, c_custkey LIMIT 25""",
     "s05_sql_graft_fn" -> """
       SELECT a.vec_id,
+        -- + 0.0 folds -0.0, matching the Spark side's normalization
         round(list_dot_product(ea, eb) /
-              (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 4)
+              (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 4) + 0.0
           AS sim_next
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings) a
       JOIN (SELECT vec_id AS vb, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings) b

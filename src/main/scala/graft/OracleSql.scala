@@ -271,7 +271,9 @@ object OracleSql {
         strftime(l_shipdate, '%Y-%m-%d') AS ship_date
       FROM lineitem
       WHERE l_quantity > 45 AND l_returnflag = 'R'
-      ORDER BY l_orderkey, l_linenumber""",
+      -- total order: (l_orderkey, l_linenumber) is not unique in the
+      -- synthetic data (r15 sf1.0 gate)
+      ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_date""",
 
     "q03_join_inner" -> s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -455,7 +457,9 @@ object OracleSql {
         l_orderkey % 7 AS mod7,
         CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn
       FROM lineitem WHERE l_orderkey < 400
-      ORDER BY l_orderkey, l_linenumber""",
+      -- total order over all outputs: key ties exist (r15 sf1.0 gate)
+      ORDER BY l_orderkey, l_linenumber, abs_price, qty_sevenths,
+        sqrt_qty, disc_sq, sgn""",
 
     "q20_subquery_scalar" -> s"""
       SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
@@ -592,7 +596,9 @@ object OracleSql {
         TRY_CAST(regexp_extract(l_returnflag, '([0-9]+)', 1) AS DOUBLE) AS bad_cast,
         l_orderkey + 1 AS safe_add
       FROM lineitem WHERE l_orderkey < 300
-      ORDER BY l_orderkey, l_linenumber""",
+      -- total order; NULLS FIRST pinned (Spark's ASC default) — DuckDB
+      -- defaults NULLS LAST
+      ORDER BY l_orderkey, l_linenumber, div_guarded ASC NULLS FIRST""",
 
     "t05_normalize" -> """
       SELECT doc_id,
@@ -1548,8 +1554,11 @@ object OracleSql {
 
     "q89_unixtime" -> """
       SELECT o_orderkey,
-        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-        strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS roundtrip
+        -- floor before the cast: DuckDB CAST(double AS BIGINT) ROUNDS,
+        -- Spark's unix_timestamp truncates — forked on sub-second
+        -- timestamps at the r15 sf1.0 gate
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+        strftime(to_timestamp(floor(epoch(o_orderdate))), '%Y-%m-%d %H:%M:%S') AS roundtrip
       FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
 
     "q90_hashes" -> """
@@ -2281,9 +2290,12 @@ object OracleSql {
       incoming AS (
         SELECT doc_id, h FROM hashed WHERE doc_id >= 400
         UNION ALL
-        SELECT doc_id + 10000, h FROM hashed WHERE doc_id < 400 AND doc_id % 40 = 0
+        -- alias offsets sit far above any real doc_id (50k at sf1.0):
+        -- +10000 collided with real ids at the r15 sf1.0 gate, making
+        -- ORDER BY doc_id non-total
+        SELECT doc_id + 10000000, h FROM hashed WHERE doc_id < 400 AND doc_id % 40 = 0
         UNION ALL
-        SELECT doc_id + 20000, h FROM hashed WHERE doc_id >= 400 AND doc_id % 50 = 0),
+        SELECT doc_id + 20000000, h FROM hashed WHERE doc_id >= 400 AND doc_id % 50 = 0),
       batch AS (SELECT doc_id, h,
         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS batch_rank
         FROM incoming)
@@ -2749,7 +2761,9 @@ object OracleSql {
         floor(l_extendedprice / nullif(l_quantity, 0.0) * 10000 + 0.5) / 10000
           AS unit_price
       FROM lineitem WHERE l_orderkey <= 100
-      ORDER BY l_orderkey, l_linenumber""",
+      -- total order over all outputs; NULLS FIRST pinned like q38
+      ORDER BY l_orderkey, l_linenumber, hi, lo, bucket,
+        unit_price ASC NULLS FIRST""",
 
     "d04_ngram_jaccard" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -51,7 +51,12 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // the ORDER BY must be total over the output or tied rows land in
+      // engine-dependent order (forked at the r15 sf1.0 full gate; the
+      // smaller SFs were only accidentally stable)
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("ship_date"))
 
   // --- q03: 3-way inner join + agg + top-n (TPC-H Q3 shape) -------------
   def q03(s: SparkSession, d: String): DataFrame = {
@@ -291,7 +296,11 @@ object Relational {
         round(log(col("l_extendedprice")), 6).as("ln_price"),
         (col("l_orderkey") % 7).as("mod7"),
         signum(col("l_discount") - 0.05).cast("int").as("sgn"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // total order over ALL output columns: (l_orderkey, l_linenumber)
+      // ties exist in the data (r15 sf1.0 gate) and a partial tiebreak
+      // could still leave identical-key rows in engine order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_price"),
+        col("qty_sevenths"), col("sqrt_qty"), col("disc_sq"), col("sgn"))
 
   // --- q20: correlated scalar subquery (TPC-H Q17 shape) ----------------
   def q20(s: SparkSession, d: String): DataFrame = {
@@ -499,7 +508,10 @@ object Relational {
         try_to_number(regexp_extract(col("l_returnflag"), "([0-9]+)", 1), lit("999"))
           .cast("double").as("bad_cast"),
         try_add(col("l_orderkey"), lit(1L)).as("safe_add"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // total order over the non-derived outputs: key ties exist in the
+      // data (r15 sf1.0 gate); bad_cast/safe_add are key-determined
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        asc_nulls_first("div_guarded"))
 
   // --- q39: filter vs global aggregate + NOT EXISTS (TPC-H Q22 shape) ----
   def q39(s: SparkSession, d: String): DataFrame = {
@@ -1383,7 +1395,10 @@ object Relational {
         // ops, identical on any engine (the a04 tie-pinning discipline)
         (floor(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)) *
           10000d + 0.5d) / 10000d).as("unit_price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // total order over ALL output columns: key ties exist in the data
+      // (r15 sf1.0 gate); NULLS FIRST pinned — DuckDB defaults NULLS LAST
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("hi"), col("lo"),
+        col("bucket"), asc_nulls_first("unit_price"))
 
   // --- q106: re-aggregatable distinct sketches (Presto approx_set +
   // merge(HLL)) — the pattern that makes distinct counts MERGEABLE across

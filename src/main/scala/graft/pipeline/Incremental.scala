@@ -80,11 +80,14 @@ object Incremental {
     // (every 40th existing doc re-ingested under a new id — the common
     // web-recrawl case), and a double submission within the batch itself
     // (every 50th fresh doc repeated under a new id)
+    // alias offsets sit far above any real doc_id (50k at sf1.0): +10000
+    // collided with real ids at the r15 sf1.0 gate, which made the final
+    // ORDER BY doc_id non-total and the row order engine-dependent
     val batch = hashed.filter(col("doc_id") >= 400)
       .unionByName(hashed.filter(col("doc_id") < 400 && col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+        .select((col("doc_id") + 10000000).as("doc_id"), col("h")))
       .unionByName(hashed.filter(col("doc_id") >= 400 && col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 20000).as("doc_id"), col("h")))
+        .select((col("doc_id") + 20000000).as("doc_id"), col("h")))
     val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     batch
       .withColumn("batch_rank", row_number().over(wFirst))
