@@ -413,8 +413,15 @@ object Events {
     * HLL union; this is the exact reference beside it (the e14
     * pairing discipline). */
   def stickiness(s: SparkSession, d: String): DataFrame = {
-    val days = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // Staged (localCheckpoint): FOUR consumers sit downstream — the
+    // three actives() window expansions (28/7/1) plus the max-day scalar
+    // — and unstaged each one re-scanned events and re-paid the distinct
+    // shuffle (r15 staging audit: 6 scans / 13 exchanges → 1 corpus
+    // scan). The staged frame is slim: (user_id, day) distinct user-days,
+    // far smaller than the event log it summarizes.
+    val days = graft.plans.Checkpoints.stage(Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct(),
+      "stickiness user-days")
     val maxDay = days.agg(max(col("day")).as("max_day"))
     def actives(window: Int, name: String) = days
       .select(col("user_id"),

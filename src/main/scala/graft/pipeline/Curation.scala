@@ -135,11 +135,31 @@ object Curation {
         .select(lit(tbl).as("tbl"), lit(chk).as("chk"),
           col("n_checked"), col("n_violations"))
 
-    val fkLiOrders = report("lineitem", "fk_orderkey_orphan",
-      li.select(col("l_orderkey"))
-        .join(ord.select(col("o_orderkey")).distinct(),
-          col("l_orderkey") === col("o_orderkey"), "left_outer"),
-      col("o_orderkey").isNull)
+    // ONE lineitem pass serves both row-level lineitem checks (r15
+    // staging audit): the left join against the DISTINCT orderkey dim
+    // preserves lineitem's row count exactly (at most one match per
+    // row), so fk-orphan and discount-range aggregate over the same
+    // frame with identical n_checked = |lineitem| — one corpus scan
+    // instead of two, and the two report rows explode from the single
+    // aggregate row (no second action, no exchange-reuse dependence).
+    // The temporal check below keeps its OWN join against RAW orders:
+    // its n_checked counts (line, order) MATCHES — a different
+    // cardinality under duplicate orderkeys that a shared frame would
+    // silently change (the c04 counter-example to further fusion; a
+    // data-quality check may not assume the key it audits is unique).
+    val liRowChecks = li.select(col("l_orderkey"), col("l_discount"))
+      .join(ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v_range"))
+      .select(explode(array(
+        struct(lit("lineitem").as("tbl"), lit("fk_orderkey_orphan").as("chk"),
+          col("n").as("n_checked"), col("v_fk").as("n_violations")),
+        struct(lit("lineitem").as("tbl"), lit("range_discount").as("chk"),
+          col("n").as("n_checked"), col("v_range").as("n_violations")))).as("r"))
+      .select(col("r.tbl"), col("r.chk"), col("r.n_checked"), col("r.n_violations"))
     val fkOrdCust = report("orders", "fk_custkey_orphan",
       ord.select(col("o_custkey"))
         .join(cust.select(col("c_custkey")).distinct(),
@@ -150,11 +170,21 @@ object Curation {
       col("n") > 1)
     val nullName = report("customer", "null_name",
       cust.select(col("c_name")), col("c_name").isNull)
-    val rangeDisc = report("lineitem", "range_discount",
-      li.select(col("l_discount")),
-      col("l_discount") < 0.0 || col("l_discount") > 0.1)
-    val rangeValue = report("events", "range_value_negative",
-      ev.select(col("value")), col("value") < 0.0)
+    // same fusion for the two events checks: both are row-level over the
+    // full table (identical n_checked), so one scan + one aggregate
+    // serves both report rows
+    val evRowChecks = ev.select(col("value"), col("ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_range"),
+        sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2024-02-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_fresh"))
+      .select(explode(array(
+        struct(lit("events").as("tbl"), lit("range_value_negative").as("chk"),
+          col("n").as("n_checked"), col("v_range").as("n_violations")),
+        struct(lit("events").as("tbl"), lit("ts_outside_window").as("chk"),
+          col("n").as("n_checked"), col("v_fresh").as("n_violations")))).as("r"))
+      .select(col("r.tbl"), col("r.chk"), col("r.n_checked"), col("r.n_violations"))
     val dupText = report("documents", "duplicate_text",
       docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n")),
       col("n") > 1)
@@ -163,14 +193,8 @@ object Curation {
         .join(ord.select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey")),
       col("l_shipdate") < col("o_orderdate"))
-    val fresh = report("events", "ts_outside_window",
-      ev.select(col("ts")),
-      col("ts") < lit("2024-01-01").cast("timestamp") ||
-        col("ts") >= lit("2024-02-01").cast("timestamp"))
-
-    Seq(fkOrdCust, pkOrders, nullName, rangeDisc, rangeValue, dupText,
-      shipBefore, fresh)
-      .foldLeft(fkLiOrders)(_ unionByName _)
+    Seq(fkOrdCust, pkOrders, nullName, evRowChecks, dupText, shipBefore)
+      .foldLeft(liRowChecks)(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("tbl"), col("chk"))
   }
