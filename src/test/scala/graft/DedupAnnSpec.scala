@@ -95,6 +95,20 @@ class DedupAnnSpec extends GraftSpec {
       s"probe fan-out must be a broadcast, not a cartesian:\n$plan")
   }
 
+  test("Ann.clearCaches drops the session caches and a rebuild reproduces the values") {
+    // warm the ground-truth cache (a08 consumes the float-cosine exact
+    // top-k through cachedGroundTruth)
+    val before = Ann.binaryHammingRecall(spark, sf).collect().toSeq
+    assert(Ann.cacheSizes._1 >= 1, s"expected a warmed gtCache: ${Ann.cacheSizes}")
+    Ann.clearCaches()
+    assert(Ann.cacheSizes == ((0, 0)), s"clearCaches left entries: ${Ann.cacheSizes}")
+    // the cache changes who computes, never what: a cold rebuild must
+    // reproduce the warmed values exactly
+    val after = Ann.binaryHammingRecall(spark, sf).collect().toSeq
+    assert(after == before)
+    assert(Ann.cacheSizes._1 >= 1, "rebuild should re-warm the cache")
+  }
+
   test("p08 split leakage: pairs straddle splits, counts consistent with d02's pair set") {
     val res = graft.pipeline.Splits.splitLeakage(spark, sf).collect()
     res.foreach { r =>
