@@ -413,15 +413,18 @@ object Events {
     * HLL union; this is the exact reference beside it (the e14
     * pairing discipline). */
   def stickiness(s: SparkSession, d: String): DataFrame = {
-    // Staged (localCheckpoint): FOUR consumers sit downstream — the
-    // three actives() window expansions (28/7/1) plus the max-day scalar
-    // — and unstaged each one re-scanned events and re-paid the distinct
-    // shuffle (r15 staging audit: 6 scans / 13 exchanges → 1 corpus
-    // scan). The staged frame is slim: (user_id, day) distinct user-days,
-    // far smaller than the event log it summarizes.
-    val days = graft.plans.Checkpoints.stage(Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct(),
-      "stickiness user-days")
+    // Deliberately NOT staged — the r15 staging audit's measured
+    // counter-example (the d16 class): the (user_id, day) distinct frame
+    // has FOUR consumers, but on this data it is 40% of the event log
+    // (401k user-days per 1M events at sf1.0), so materializing it costs
+    // more than the re-scans it saves — staged measured 1.32 s vs 1.02 s
+    // unstaged at sf1.0. The slim-multi-consumer rubric requires the
+    // shared frame to be much smaller than its source; a clickstream
+    // with many events per user-day crosses that threshold and would
+    // flip this to Checkpoints.stage — the condition, not the site, is
+    // the rule.
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val maxDay = days.agg(max(col("day")).as("max_day"))
     def actives(window: Int, name: String) = days
       .select(col("user_id"),
