@@ -272,9 +272,20 @@ object GraftFunctions {
     // Presto text/digest stragglers (r15): word_stem (Porter), the
     // user-facing ngrams(), and the keyed digest. crc32/xxhash64 are
     // Spark builtins already on the SQL surface — no registration needed.
-    "word_stem" -> (args => WordStem(args.head)),
+    // word_stem accepts Presto's 2-arg form; only the default 'en'
+    // stemmer (Porter) is served, any other language is refused loudly
+    "word_stem" -> (args => {
+      if (args.length > 1) {
+        val lang = literalString("word_stem", args(1))
+        require(lang == "en", s"word_stem: only 'en' is supported, got '$lang'")
+      }
+      WordStem(args.head)
+    }),
     "ngrams" -> (args => NGrams(args(0), literalInt("ngrams", args(1)))),
-    "hmac_sha256" -> (args => HmacSha256(args(0), args(1))))
+    "hmac_md5" -> (args => HmacDigest(args(0), args(1), "HmacMD5")),
+    "hmac_sha1" -> (args => HmacDigest(args(0), args(1), "HmacSHA1")),
+    "hmac_sha256" -> (args => HmacDigest(args(0), args(1), "HmacSHA256")),
+    "hmac_sha512" -> (args => HmacDigest(args(0), args(1), "HmacSHA512")))
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

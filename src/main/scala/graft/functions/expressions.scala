@@ -1101,12 +1101,17 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** HMAC-SHA256 (RFC 2104 with SHA-256) — Presto's hmac_sha256. */
-  def hmacSha256(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
-    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
-    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+  /** RFC 2104 HMAC under a JCA algorithm name — Presto's hmac_md5 /
+    * hmac_sha1 / hmac_sha256 / hmac_sha512 family shares this kernel. */
+  def hmac(data: Array[Byte], key: Array[Byte], algo: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance(algo)
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
     mac.doFinal(data)
   }
+
+  /** HMAC-SHA256 (RFC 2104 with SHA-256) — Presto's hmac_sha256. */
+  def hmacSha256(data: Array[Byte], key: Array[Byte]): Array[Byte] =
+    hmac(data, key, "HmacSHA256")
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -2100,20 +2105,21 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
-/** hmac_sha256(binary, binary) -> binary — Presto's keyed digest (RFC
-  * 2104 with SHA-256); data first, key second, like Presto. */
-case class HmacSha256(left: Expression, right: Expression)
+/** hmac_<algo>(binary, binary) -> binary — Presto's keyed digest family
+  * (RFC 2104; hmac_md5 / hmac_sha1 / hmac_sha256 / hmac_sha512); data
+  * first, key second, like Presto. `algo` is the JCA Mac name. */
+case class HmacDigest(left: Expression, right: Expression, algo: String)
   extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BinaryType
 
   override protected def nullSafeEval(data: Any, key: Any): Any =
-    Kernels.hmacSha256(data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]])
+    Kernels.hmac(data.asInstanceOf[Array[Byte]], key.asInstanceOf[Array[Byte]], algo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (d, k) => s"graft.functions.Kernels.hmacSha256($d, $k)")
+    defineCodeGen(ctx, ev, (d, k) => s"""graft.functions.Kernels.hmac($d, $k, "$algo")""")
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): HmacSha256 =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HmacDigest =
     copy(left = l, right = r)
 }

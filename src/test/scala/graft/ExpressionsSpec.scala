@@ -181,6 +181,22 @@ class ExpressionsSpec extends GraftSpec {
       "encode('Jefe', 'utf-8'))))").head().getString(0)
     assert(hm ==
       "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // the Presto siblings: sha512 from the same RFC 4231 case, sha1/md5
+    // from RFC 2202 test case 2 (same key/data)
+    val sib = spark.sql(
+      "SELECT lower(hex(hmac_sha512(encode('what do ya want for nothing?', 'utf-8'), encode('Jefe', 'utf-8'))))," +
+        " lower(hex(hmac_sha1(encode('what do ya want for nothing?', 'utf-8'), encode('Jefe', 'utf-8'))))," +
+        " lower(hex(hmac_md5(encode('what do ya want for nothing?', 'utf-8'), encode('Jefe', 'utf-8'))))").head()
+    assert(sib.getString(0) ==
+      "164b7a7bfcf819e2e395fbe73b56e0a387bd64222e831fd610270cd7ea250554" +
+        "9758bf75c05a994a6d034f65f8f0e6fdcaeab1a34d4a6b4b636e070a38bce737")
+    assert(sib.getString(1) == "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79")
+    assert(sib.getString(2) == "750c783e6ab0b503eaa86e310a5db738")
+    // word_stem's Presto 2-arg form: 'en' passes through, anything else
+    // is refused with a clear message
+    assert(spark.sql("SELECT word_stem('running', 'en')").head().getString(0) == "run")
+    val langErr = intercept[Exception](spark.sql("SELECT word_stem('running', 'fr')"))
+    assert(langErr.getMessage.contains("word_stem"), langErr.getMessage)
     // crc32 / xxhash64: Spark builtins the Presto digest family maps to —
     // pin one known crc (zlib crc32 of "graft") so surface drift shows
     val crc = spark.sql("SELECT crc32(encode('graft', 'utf-8'))").head().getLong(0)
