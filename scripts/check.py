@@ -8,6 +8,10 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional: --only-dumped checks just the entries Verify actually wrote
+# (subset iteration / the decade gate's changed-entry mode) instead of
+# erroring on every name missing from a partial dump
+only_dumped = "--only-dumped" in sys.argv[3:]
 
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
@@ -26,8 +30,16 @@ def norm(df):
 def h(df):
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
+names = sorted(oracle)
+if only_dumped:
+    skipped = [n for n in names if not os.path.exists(f"{out_dir}/{n}")]
+    names = [n for n in names if os.path.exists(f"{out_dir}/{n}")]
+    if skipped:
+        print(f"[check] --only-dumped: checking {len(names)}, "
+              f"skipping {len(skipped)} not in this dump")
+
 ok = fail = 0
-for name in sorted(oracle):
+for name in names:
     try:
         spark_df = norm(pd.read_parquet(f"{out_dir}/{name}"))
         duck_df = norm(con.execute(oracle[name]).df())
@@ -52,4 +64,5 @@ for name in sorted(oracle):
         print(f"ERROR {name}: {str(e)[:300]}")
 
 rows_only = [n for n in json.load(open(f"{out_dir}/names.json"))] if False else []
-print(f"\n{ok} ok, {fail} fail of {len(oracle)} oracled queries")
+print(f"\n{ok} ok, {fail} fail of {len(names)} oracled queries")
+sys.exit(1 if fail else 0)

@@ -220,15 +220,44 @@ object GraftCli {
   // DESCRIBE OUTPUT) — client libraries type their parameter markers and
   // result sets from these BEFORE fetching. Spark has no prepared
   // statements, so the CLI serves both from its session statement store.
+  // the name captures ALSO match qualified (dotted) identifiers so a
+  // `DESCRIBE INPUT db.q` cannot silently fall through to Spark's native
+  // DESCRIBE — prepared-statement names are session-scoped and unqualified
+  // in Presto, so the handlers reject dots with a statement-scoped error
   private val DescribeInput =
-    "(?is)^\\s*DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+    "(?is)^\\s*DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z_0-9]*(?:\\.[A-Za-z_][A-Za-z_0-9]*)*)\\s*$".r
   private val DescribeOutput =
-    "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+    "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z_0-9]*(?:\\.[A-Za-z_][A-Za-z_0-9]*)*)\\s*$".r
   // Presto SHOW COLUMNS FROM t (DESCRIBE t is its alias there): a TYPED
   // column report. Spark's native SHOW COLUMNS emits names only, so the
-  // CLI routes to the DESCRIBE relation's columns section.
+  // CLI routes to the DESCRIBE relation's columns section. Qualified
+  // names (db.t) route here too — DESCRIBE resolves them natively.
   private val ShowColumns =
-    "(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+    "(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+([A-Za-z_][A-Za-z_0-9]*(?:\\.[A-Za-z_][A-Za-z_0-9]*)*)\\s*$".r
+  // Presto 0.248 SHOW PARTITIONS FROM t (sugar for SELECT from the
+  // "t$partitions" system table there): one row per partition, one TYPED
+  // column per partition key. Spark's native SHOW PARTITIONS (no FROM)
+  // emits k=v strings; the CLI serves the typed Presto shape.
+  private val ShowPartitions =
+    ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+(?:FROM|IN)\\s+" +
+      "([A-Za-z_][A-Za-z_0-9]*(?:\\.[A-Za-z_][A-Za-z_0-9]*)*)\\s*$").r
+  // Presto 0.248 transaction statements. Every graft connector is
+  // autocommit (parquet/catalog writes commit per statement, like
+  // Presto's hive connector), so START TRANSACTION opens a statement-
+  // tracking envelope with Presto's documented semantics: a failed
+  // statement ABORTS the transaction and everything but ROLLBACK is
+  // refused until it ends; COMMIT/ROLLBACK outside a transaction, or
+  // nested START, are statement-scoped errors.
+  private val StartTransaction =
+    "(?is)^\\s*START\\s+TRANSACTION(?:\\s+(.+?))?\\s*$".r
+  private val CommitStmt = "(?is)^\\s*COMMIT(?:\\s+WORK)?\\s*$".r
+  private val RollbackStmt = "(?is)^\\s*ROLLBACK(?:\\s+WORK)?\\s*$".r
+  // Presto's remaining EXPLAIN modes: TYPE VALIDATE (analyze only —
+  // success or the analyzer's error, nothing plans or executes) and
+  // TYPE IO (the tables/columns/filters the plan would read, off the
+  // optimized physical plan — again, nothing executes).
+  private val ExplainTyped =
+    "(?is)^\\s*EXPLAIN\\s*\\(\\s*TYPE\\s+(VALIDATE|IO)\\s*\\)\\s*(.+)$".r
 
   /** One session property: Presto-style name/type/default plus the
     * mapping into (`toConf`) and out of (`fromConf`) the Spark conf
@@ -491,43 +520,71 @@ object GraftCli {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Bind EXECUTE arguments into a prepared template: each `?` OUTSIDE
-    * single-quoted literals is replaced positionally by the
-    * corresponding USING expression text (Presto binds values; for the
-    * literal/expression arguments the CLI grammar allows, textual
-    * splice into the parse position is equivalent). Arity mismatches in
-    * either direction fail with a clear message BEFORE any SQL runs. */
+  /** The ONE `?`-marker scanner: walks a template emitting every char
+    * through `copy` and calling `marker` at each `?` the SQL grammar
+    * could actually parse as a parameter — i.e. outside single-quoted
+    * literals, double-quoted/backtick identifiers, and `--`/block
+    * comments (a `?` in any of those is payload text, not a marker).
+    * bindParameters and countParameters are both thin wrappers, so the
+    * binder and DESCRIBE INPUT/OUTPUT can never disagree on arity. */
+  private def scanTemplate(template: String, copy: Char => Unit,
+                           marker: () => Unit): Unit = {
+    val n = template.length
+    var i = 0
+    var mode = 0 // 0 sql, 1 'str', 2 "ident", 3 `ident`, 4 --line, 5 /*block*/
+    while (i < n) {
+      val c = template.charAt(i)
+      mode match {
+        case 0 =>
+          if (c == '-' && i + 1 < n && template.charAt(i + 1) == '-') {
+            copy('-'); copy('-'); i += 1; mode = 4
+          } else if (c == '/' && i + 1 < n && template.charAt(i + 1) == '*') {
+            copy('/'); copy('*'); i += 1; mode = 5
+          } else if (c == '?') marker()
+          else {
+            copy(c)
+            if (c == '\'') mode = 1
+            else if (c == '"') mode = 2
+            else if (c == '`') mode = 3
+          }
+        case 1 => copy(c); if (c == '\'') mode = 0
+        case 2 => copy(c); if (c == '"') mode = 0
+        case 3 => copy(c); if (c == '`') mode = 0
+        case 4 => copy(c); if (c == '\n') mode = 0
+        case 5 =>
+          if (c == '*' && i + 1 < n && template.charAt(i + 1) == '/') {
+            copy('*'); copy('/'); i += 1; mode = 0
+          } else copy(c)
+      }
+      i += 1
+    }
+  }
+
+  /** Bind EXECUTE arguments into a prepared template: each parameter
+    * marker (per scanTemplate's grammar-aware scan) is replaced
+    * positionally by the corresponding USING expression text (Presto
+    * binds values; for the literal/expression arguments the CLI grammar
+    * allows, textual splice into the parse position is equivalent).
+    * Arity mismatches in either direction fail with a clear message
+    * BEFORE any SQL runs. */
   private[graft] def bindParameters(template: String, args: Seq[String]): String = {
     val sb = new StringBuilder
-    var inStr = false
     var idx = 0
-    template.foreach { c =>
-      if (inStr) { sb += c; if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true; sb += c
-        case '?' =>
-          if (idx >= args.length) throw new IllegalArgumentException(
-            s"EXECUTE: statement has more parameters (?) than USING arguments (${args.length})")
-          sb ++= args(idx); idx += 1
-        case other => sb += other
-      }
-    }
+    scanTemplate(template, sb += _, () => {
+      if (idx >= args.length) throw new IllegalArgumentException(
+        s"EXECUTE: statement has more parameters (?) than USING arguments (${args.length})")
+      sb ++= args(idx); idx += 1
+    })
     if (idx != args.length) throw new IllegalArgumentException(
       s"EXECUTE: ${args.length} USING arguments for $idx parameter(s) in the prepared statement")
     sb.toString
   }
 
-  /** Count `?` parameter markers outside single-quoted literals — the
-    * binder's scan, shared so DESCRIBE INPUT/OUTPUT agree with EXECUTE
-    * on what counts as a parameter. */
+  /** Count parameter markers — the binder's own scan, shared so
+    * DESCRIBE INPUT/OUTPUT agree with EXECUTE on what counts. */
   private[graft] def countParameters(template: String): Int = {
-    var inStr = false
     var n = 0
-    template.foreach { c =>
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (c == '\'') inStr = true
-      else if (c == '?') n += 1
-    }
+    scanTemplate(template, _ => (), () => n += 1)
     n
   }
 
@@ -541,6 +598,9 @@ object GraftCli {
     * order. */
   private[graft] def describeOutput(spark: SparkSession,
       prepared: scala.collection.Map[String, String], name: String): DataFrame = {
+    if (name.contains(".")) throw new IllegalArgumentException(
+      s"DESCRIBE OUTPUT: prepared-statement names are session-scoped and " +
+        s"unqualified; got '$name'")
     val key = name.toLowerCase(java.util.Locale.ROOT)
     val template = prepared.getOrElse(key, throw new IllegalArgumentException(
       s"DESCRIBE OUTPUT: no prepared statement named $key (PREPARE it first)"))
@@ -564,6 +624,9 @@ object GraftCli {
       prepared: scala.collection.Map[String, String], name: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{PosParameter, UnresolvedAttribute}
     import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Expression, In}
+    if (name.contains(".")) throw new IllegalArgumentException(
+      s"DESCRIBE INPUT: prepared-statement names are session-scoped and " +
+        s"unqualified; got '$name'")
     val key = name.toLowerCase(java.util.Locale.ROOT)
     val template = prepared.getOrElse(key, throw new IllegalArgumentException(
       s"DESCRIBE INPUT: no prepared statement named $key (PREPARE it first)"))
@@ -592,10 +655,19 @@ object GraftCli {
     parsed.foreach(_.expressions.foreach(scan))
     val bound = spark.sql(bindParameters(template,
       Seq.fill(countParameters(template))("NULL")))
+    // one name can reach the plan from several relations (a join where
+    // both sides carry `id`): only report a type when every attribute of
+    // that name AGREES — a last-wins toMap could silently mistype a
+    // marker from whichever relation happened to enumerate last
     val attrTypes: Map[String, String] = bound.queryExecution.analyzed
       .collect { case n => n.output }.flatten
       .map(a => a.name.toLowerCase(java.util.Locale.ROOT) ->
-        a.dataType.sql.toLowerCase(java.util.Locale.ROOT)).toMap
+        a.dataType.sql.toLowerCase(java.util.Locale.ROOT))
+      .groupBy(_._1)
+      .map { case (n, pairs) =>
+        val types = pairs.map(_._2).distinct
+        n -> (if (types.size == 1) types.head else "unknown")
+      }
     import spark.implicits._
     positions.toSeq.zipWithIndex.map { case (pos, i) =>
       (i + 1, paired.get(pos)
@@ -637,8 +709,22 @@ object GraftCli {
   private[graft] def deleteFrom(spark: SparkSession, table: String,
       where: Option[String]): Long = {
     val t = table.toLowerCase(java.util.Locale.ROOT)
+    val old = s"${t}__graft_delete_old"
     if (!spark.catalog.tableExists(t)) throw new IllegalArgumentException(
-      s"DELETE FROM: table $t does not exist")
+      if (spark.catalog.tableExists(old))
+        s"DELETE FROM: table $t does not exist, but $old does — a " +
+          "previous DELETE likely crashed between its two catalog " +
+          s"renames; the data is intact there (ALTER TABLE $old RENAME " +
+          s"TO $t to recover)"
+      else s"DELETE FROM: table $t does not exist")
+    // the rename-aside swap below needs the scaffolding name free; if a
+    // table already sits on it, it is either a crashed DELETE's only
+    // copy of the data or a user table that happens to collide — both
+    // must NOT be silently dropped
+    if (spark.catalog.tableExists(old)) throw new IllegalStateException(
+      s"DELETE FROM: scaffolding name $old is occupied — if a previous " +
+        "DELETE crashed mid-swap its data lives there (inspect it, then " +
+        s"ALTER TABLE $old RENAME TO ... or DROP TABLE $old to proceed)")
     // refuse non-writable relations UP FRONT: a temp view is the sf-dir
     // source catalog, a persistent VIEW has no storage to rewrite — left
     // unchecked it would survive until DROP TABLE fails mid-swap and
@@ -668,9 +754,10 @@ object GraftCli {
     // place — a crash at any point leaves either the original (as t or
     // t__graft_delete_old) or the completed new table, never neither
     // (the naive DROP-then-RENAME loses the table if the JVM dies
-    // between the two statements)
-    val old = s"${t}__graft_delete_old"
-    spark.sql(s"DROP TABLE IF EXISTS $old")
+    // between the two statements). The catalog-level occupancy check ran
+    // up front; a stale WAREHOUSE DIRECTORY left by a dead JVM (its
+    // in-memory catalog gone, files persisting) is scaffolding garbage
+    // by construction and is safe to clear.
     dropStaleLocation(spark, old)
     spark.sql(s"ALTER TABLE $t RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
@@ -704,6 +791,123 @@ object GraftCli {
         s"not a DELETE statement: $other")
     }
 
+  /** Session transaction envelope (Presto semantics over autocommit
+    * connectors): `active` while a START TRANSACTION block is open,
+    * `aborted` once a statement inside it failed — from then on every
+    * statement but ROLLBACK is refused until the block ends. */
+  private[graft] final class TxnState {
+    var active = false
+    var aborted = false
+  }
+
+  /** Validate START TRANSACTION's mode list (Presto 0.248 grammar:
+    * comma-separated ISOLATION LEVEL <level> and/or READ ONLY|READ
+    * WRITE). Unknown modes fail before any state changes. */
+  private[graft] def validateTxnModes(modes: String): Unit =
+    modes.split(",").map(_.trim).filter(_.nonEmpty).foreach { m =>
+      val ok = m.matches("(?i)ISOLATION\\s+LEVEL\\s+(READ\\s+UNCOMMITTED|" +
+        "READ\\s+COMMITTED|REPEATABLE\\s+READ|SERIALIZABLE)") ||
+        m.matches("(?i)READ\\s+(ONLY|WRITE)")
+      if (!ok) throw new IllegalArgumentException(
+        s"START TRANSACTION: unknown transaction mode '$m'")
+    }
+
+  /** EXPLAIN (TYPE VALIDATE) — analyze-only: parse + analyze the
+    * statement and report validity; nothing optimizes, plans, or
+    * executes (executePlan is lazy — commands are NOT run, unlike
+    * spark.sql() which executes them eagerly). An analyzer error
+    * surfaces as the statement-scoped error, exactly what a client
+    * syntax-checking a query wants. */
+  private[graft] def explainValidate(spark: SparkSession, query: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    // NON_ROOT: commands stay unexecuted plan nodes (the default ALL
+    // mode eagerly RUNS a command the moment any plan stage is touched)
+    spark.sessionState.executePlan(parsed,
+      org.apache.spark.sql.execution.CommandExecutionMode.NON_ROOT)
+      .assertAnalyzed()
+    import spark.implicits._
+    Seq(true).toDF("valid")
+  }
+
+  /** EXPLAIN (TYPE IO) — the I/O surface of the OPTIMIZED physical plan
+    * without executing it: one row per file scan (table name where the
+    * catalog knows it, else the location root), the pruned read schema,
+    * the data filters pushed into the parquet reader, and the partition
+    * filters that prune directories — the two properties a 100 TB scan
+    * lives on; plus one `output` row when the statement writes. Built
+    * from executePlan's lazy physical plan, so commands are planned but
+    * never run (spark.sql() would execute them during Dataset
+    * construction). */
+  private[graft] def explainIo(spark: SparkSession, query: String): DataFrame = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.command.DataWritingCommandExec
+    import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+    // NON_ROOT keeps commands as PLAN nodes (DataWritingCommandExec)
+    // instead of eagerly executing them into a CommandResult — the
+    // whole point of TYPE IO is to see the I/O without doing it
+    val qe = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(query),
+      org.apache.spark.sql.execution.CommandExecutionMode.NON_ROOT)
+    val plan: SparkPlan = qe.sparkPlan // pre-AQE physical tree: scans carry
+                                       // pushdown metadata; nothing runs
+    val rows = plan.collect {
+      case scan: FileSourceScanExec =>
+        val table = scan.tableIdentifier.map(_.unquotedString).getOrElse(
+          scan.relation.location.rootPaths.headOption.map(_.toString)
+            .getOrElse("unknown"))
+        ("input", table,
+          scan.requiredSchema.fieldNames.mkString(", "),
+          scan.metadata.getOrElse("PushedFilters", "[]"),
+          if (scan.partitionFilters.isEmpty) "[]"
+          else scan.partitionFilters.mkString("[", ", ", "]"))
+      case w: DataWritingCommandExec => w.cmd match {
+        case ins: InsertIntoHadoopFsRelationCommand =>
+          ("output", ins.catalogTable.map(_.identifier.unquotedString)
+            .getOrElse(ins.outputPath.toString), "", "[]", "[]")
+        case other =>
+          ("output", other.nodeName, "", "[]", "[]")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("kind", "table", "columns", "pushed_filters", "partition_filters")
+      .orderBy(col("kind"), col("table"))
+  }
+
+  /** SHOW PARTITIONS FROM t — Presto 0.248's typed partition listing
+    * (one row per partition, one column per partition key, values in
+    * the key's declared type). Spark's catalog serves the partition
+    * list as k=v path strings (pure metadata — no data files open); the
+    * route re-types them against the table's partition schema. Rejects
+    * unpartitioned tables with Presto's own complaint. */
+  private[graft] def showPartitions(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{regexp_extract, url_decode, when}
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val partSchema = spark.sessionState.catalog.getTableMetadata(ident).partitionSchema
+    if (partSchema.isEmpty) throw new IllegalArgumentException(
+      s"SHOW PARTITIONS: table $t is not partitioned")
+    val raw = spark.sql(s"SHOW PARTITIONS $t") // one string col: k1=v1/k2=v2
+    val cols = partSchema.fields.map { f =>
+      val v = regexp_extract(col("partition"), s"(?:^|/)${f.name}=([^/]*)", 1)
+      // partition directories %-escape special chars; decode only when
+      // one is present so a literal '+' in a value survives
+      when(v.contains("%"), url_decode(v)).otherwise(v)
+        .cast(f.dataType).as(f.name)
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+
+  /** s21's front door: route a SHOW PARTITIONS statement through the
+    * REAL router regex (the driver needs a DataFrame; main's render
+    * path wraps this same plumbing). */
+  private[graft] def showPartitionsStatement(spark: SparkSession,
+      stmt: String): DataFrame =
+    stmt.stripSuffix(";") match {
+      case ShowPartitions(t) => showPartitions(spark, t)
+      case other => throw new IllegalArgumentException(
+        s"not a SHOW PARTITIONS statement: $other")
+    }
+
   /** Run one ;-stripped statement: route EXPLAIN ANALYZE and the
     * prepared-statement verbs, render everything else (including
     * CREATE/DROP VIEW, which Spark SQL serves natively through the
@@ -720,11 +924,43 @@ object GraftCli {
                                   format: String, out: java.io.PrintStream,
                                   err: java.io.PrintStream,
                                   prepared: scala.collection.mutable.Map[String, String] =
-                                    scala.collection.mutable.Map.empty): Unit = {
+                                    scala.collection.mutable.Map.empty,
+                                  txn: TxnState = new TxnState): Unit = {
     val t0 = System.nanoTime()
     try stmt.stripSuffix(";") match {
+      // transaction verbs run FIRST: ROLLBACK must work inside an
+      // aborted block, and the envelope check below must not see them
+      case StartTransaction(modes) =>
+        if (txn.active) throw new IllegalStateException(
+          "START TRANSACTION: a transaction is already in progress " +
+            "(nested transactions are not supported)")
+        Option(modes).foreach(validateTxnModes)
+        txn.active = true; txn.aborted = false
+        err.println("[graft-cli] START TRANSACTION (autocommit " +
+          "connectors: each statement commits individually)")
+      case CommitStmt() =>
+        if (!txn.active) throw new IllegalStateException(
+          "COMMIT: no transaction in progress")
+        if (txn.aborted) throw new IllegalStateException(
+          "COMMIT: the current transaction is aborted — ROLLBACK it")
+        txn.active = false
+        err.println("[graft-cli] COMMIT")
+      case RollbackStmt() =>
+        if (!txn.active) throw new IllegalStateException(
+          "ROLLBACK: no transaction in progress")
+        txn.active = false; txn.aborted = false
+        err.println("[graft-cli] ROLLBACK (autocommit connectors: " +
+          "statements that completed were already committed)")
+      case _ if txn.active && txn.aborted =>
+        throw new IllegalStateException(
+          "current transaction is aborted — ROLLBACK before issuing " +
+            "further statements")
       case ExplainAnalyze(query) =>
         (if (format == "table") out else err).println(explainAnalyze(spark, query))
+      case ExplainTyped(mode, query) =>
+        if (mode.equalsIgnoreCase("VALIDATE"))
+          render(explainValidate(spark, query), format, out)
+        else render(explainIo(spark, query), format, out)
       case Prepare(name, query) =>
         prepared(name.toLowerCase(java.util.Locale.ROOT)) = query
         err.println(s"[graft-cli] PREPARE ${name.toLowerCase(java.util.Locale.ROOT)}")
@@ -771,7 +1007,14 @@ object GraftCli {
         render(describeOutput(spark, prepared, name), format, out)
       case ShowColumns(table) =>
         render(showColumns(spark, table), format, out)
+      case ShowPartitions(table) =>
+        render(showPartitions(spark, table), format, out)
       case bare => render(spark.sql(bare), format, out)
+    } catch { case e: Exception =>
+      // Presto transaction semantics: a statement failure inside an open
+      // transaction aborts it — only ROLLBACK is accepted afterwards
+      if (txn.active) txn.aborted = true
+      throw e
     } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
@@ -799,8 +1042,11 @@ object GraftCli {
     // session-scoped prepared-statement store (Presto session semantics:
     // names live for the connection, statement-scoped errors don't drop it)
     val prepared = scala.collection.mutable.Map[String, String]()
+    // session transaction envelope (Presto semantics: statement errors
+    // inside a block abort it; the envelope outlives the failed statement)
+    val txn = new TxnState
     statements.foreach { stmt =>
-      try runStatement(spark, stmt, format, System.out, System.err, prepared)
+      try runStatement(spark, stmt, format, System.out, System.err, prepared, txn)
       catch { case e: Exception =>
         System.err.println(s"[graft-cli] error: ${e.getMessage}")
       }
@@ -1133,7 +1379,28 @@ object GraftCli {
         ('replacement'), ('adoption'), ('communism'), ('activate'),
         ('effective'), ('probate'), ('rate'), ('cease'), ('controlling')
         AS t(w)
-      ORDER BY w"""))
+      ORDER BY w""")),
+    // s21: SHOW PARTITIONS FROM t — the Presto/Hive-connector staple for
+    // date-partitioned corpora. CTAS a managed table PARTITIONED BY the
+    // order year (the write lays out one directory per year — the layout
+    // a 100 TB corpus scan prunes on), then route SHOW PARTITIONS through
+    // the real statement regex: the typed listing comes from catalog
+    // METADATA (partition paths), no data files open. The oracle replays
+    // the distinct years from the source table — a partition the write
+    // dropped or the listing missed forks the hash. The companion
+    // partition-PRUNING evidence (PartitionFilters in the scan,
+    // matched-partitions-only) is pinned in PlanSpec.
+    "s21_sql_show_partitions" -> ((s, d) => {
+      val sess = open(s, d)
+      sess.sql("DROP TABLE IF EXISTS s21_part_orders")
+      dropStaleLocation(sess, "s21_part_orders")
+      sess.sql("""CREATE TABLE s21_part_orders PARTITIONED BY (o_year) AS
+        SELECT o_orderkey, o_totalprice,
+          CAST(year(o_orderdate) AS INT) AS o_year
+        FROM orders""")
+      showPartitionsStatement(sess, "SHOW PARTITIONS FROM s21_part_orders")
+        .orderBy(col("o_year"))
+    })
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1168,6 +1435,11 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s21: the partition listing IS the distinct partition-key set of
+    // the data the CTAS wrote — replay it from the source table
+    "s21_sql_show_partitions" -> """
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS o_year
+      FROM orders ORDER BY o_year""",
     // s17: survivors of the routed DELETE, replayed from the source
     // table (NOT-TRUE predicate semantics: WHERE-null rows survive)
     "s17_sql_delete" -> """

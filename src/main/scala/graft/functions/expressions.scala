@@ -1082,11 +1082,16 @@ object Kernels {
     * convention for n >= length). */
   def ngrams(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
+    // null elements copy through as nulls (the expression declares inner
+    // containsNull from its input) — an unchecked getUTF8String on an
+    // UnsafeArrayData null slot would read garbage bytes instead
+    def elem(i: Int): Any =
+      if (words.isNullAt(i)) null else words.getUTF8String(i)
     if (len == 0) return new GenericArrayData(Array.empty[Any])
     if (n >= len) {
       val whole = new Array[Any](len)
       var i = 0
-      while (i < len) { whole(i) = words.getUTF8String(i); i += 1 }
+      while (i < len) { whole(i) = elem(i); i += 1 }
       return new GenericArrayData(Array[Any](new GenericArrayData(whole)))
     }
     val out = new Array[Any](len - n + 1)
@@ -1094,7 +1099,7 @@ object Kernels {
     while (i < out.length) {
       val g = new Array[Any](n)
       var j = 0
-      while (j < n) { g(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < n) { g(j) = elem(i + j); j += 1 }
       out(i) = new GenericArrayData(g)
       i += 1
     }
@@ -2092,8 +2097,17 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"ngrams: n must be >= 1, got $n")
 
   override def nullIntolerant: Boolean = true
-  override def dataType: DataType =
-    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+  // inner containsNull mirrors the INPUT array's: ngrams copies elements
+  // verbatim (Presto's convention), so an input that can hold NULL
+  // elements yields grams that can too — declaring false there while
+  // copying nulls would hand codegen a schema it can mis-read
+  override def dataType: DataType = {
+    val inner = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    ArrayType(ArrayType(StringType, containsNull = inner), containsNull = false)
+  }
 
   override protected def nullSafeEval(in: Any): Any =
     Kernels.ngrams(in.asInstanceOf[ArrayData], n)

@@ -672,4 +672,215 @@ class CliSpec extends GraftSpec {
     assert(err.linesIterator.exists(_.startsWith("[graft-cli] error:")), err)
     assert(s.conf.get("spark.sql.shuffle.partitions") == shuffleBefore)
   }
+
+  test("transaction statements round-trip with Presto's abort semantics") {
+    spark.sparkContext
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    val errB = new java.io.ByteArrayOutputStream()
+    val errP = new java.io.PrintStream(errB, true, "UTF-8")
+    val (so, se) = (System.out, System.err)
+    System.setOut(outP); System.setErr(errP)
+    try GraftCli.main(Array(sf, "--format", "csv",
+      "COMMIT",                                   // 1: no txn in progress
+      "START TRANSACTION ISOLATION LEVEL READ COMMITTED, READ ONLY",
+      "START TRANSACTION",                        // 2: nested refused
+      // a failed nested START aborts the open block (statement failure
+      // inside a transaction), so recover before the happy-path reads
+      "ROLLBACK",
+      "START TRANSACTION",
+      "SELECT COUNT(*) AS n FROM region",         // runs inside the block
+      "COMMIT",
+      "START TRANSACTION",
+      "SELECT broken FROM missing_table",         // 3: fails -> block aborts
+      "SELECT 1 AS one",                          // 4: refused while aborted
+      "COMMIT",                                   // 5: refused while aborted
+      "ROLLBACK",                                 // the only way out
+      "SELECT 2 AS two",                          // clean again
+      "START TRANSACTION UPSIDE DOWN"))           // 6: unknown mode
+    finally { System.setOut(so); System.setErr(se); outP.flush(); errP.flush() }
+    val out = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    val err = new String(errB.toByteArray, "UTF-8")
+    val errors = err.linesIterator.filter(_.startsWith("[graft-cli] error:")).toSeq
+    assert(errors.size == 6, s"expected 6 statement-scoped errors:\n$err")
+    assert(errors.head.contains("no transaction in progress"), err)
+    assert(errors.exists(_.contains("already in progress")), err)
+    assert(errors.exists(_.contains("aborted")), err)
+    assert(errors.exists(_.contains("unknown transaction mode")), err)
+    // the in-block SELECT ran; the two refused statements did not; the
+    // post-ROLLBACK statement ran
+    assert(out.contains("n") && out.contains("5"), out.mkString("\n"))
+    assert(!out.contains("one"), out.mkString("\n"))
+    assert(out.contains("two") && out.contains("2"), out.mkString("\n"))
+    assert(err.contains("START TRANSACTION (autocommit"), err)
+    assert(err.contains("[graft-cli] COMMIT"), err)
+    assert(err.contains("ROLLBACK (autocommit"), err)
+  }
+
+  test("EXPLAIN (TYPE VALIDATE) analyzes without executing; errors surface") {
+    val s = GraftCli.open(spark, sf)
+    // valid query -> one row, valid=true
+    val ok = GraftCli.explainValidate(s,
+      "SELECT o_orderkey FROM orders WHERE o_custkey = 5").collect()
+    assert(ok.length == 1 && ok.head.getBoolean(0))
+    // analyzer error -> surfaces (statement-scoped in main)
+    intercept[Exception](GraftCli.explainValidate(s, "SELECT nope FROM orders"))
+    intercept[Exception](GraftCli.explainValidate(s, "SELECT FROM WHERE"))
+    // a COMMAND validates WITHOUT executing: the table must not appear
+    s.sql("DROP TABLE IF EXISTS cli_validate_probe")
+    GraftCli.dropStaleLocation(s, "cli_validate_probe")
+    val v = GraftCli.explainValidate(s,
+      "CREATE TABLE cli_validate_probe AS SELECT 1 AS x").collect()
+    assert(v.head.getBoolean(0))
+    assert(!s.catalog.tableExists("cli_validate_probe"),
+      "EXPLAIN (TYPE VALIDATE) executed the command it was validating")
+  }
+
+  test("EXPLAIN (TYPE IO) reports scans, pushdown, and writes without executing") {
+    val s = GraftCli.open(spark, sf)
+    val io = GraftCli.explainIo(s,
+      """SELECT o.o_orderkey FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 100""").collect()
+    val inputs = io.filter(_.getString(0) == "input")
+    assert(inputs.length == 2, io.mkString("\n"))
+    val tables = inputs.map(_.getString(1)).mkString(" ")
+    assert(tables.contains("orders") && tables.contains("customer"), tables)
+    // the filter reached the scan and the read schema is pruned
+    val ordersRow = inputs.find(_.getString(1).contains("orders")).get
+    assert(ordersRow.getString(3).contains("GreaterThan(o_totalprice,100.0)"),
+      ordersRow.toString)
+    assert(!ordersRow.getString(2).contains("o_orderdate"), ordersRow.toString)
+    // a write statement reports its output table and does NOT run
+    s.sql("DROP TABLE IF EXISTS cli_io_probe")
+    GraftCli.dropStaleLocation(s, "cli_io_probe")
+    s.sql("CREATE TABLE cli_io_probe AS SELECT r_regionkey FROM region")
+    val io2 = GraftCli.explainIo(s,
+      "INSERT INTO cli_io_probe SELECT r_regionkey FROM region").collect()
+    assert(io2.exists(r => r.getString(0) == "output" &&
+      r.getString(1).contains("cli_io_probe")), io2.mkString("\n"))
+    assert(s.table("cli_io_probe").count() == 5L,
+      "EXPLAIN (TYPE IO) executed the INSERT it was planning")
+    s.sql("DROP TABLE cli_io_probe")
+  }
+
+  test("SHOW PARTITIONS serves the typed Presto listing; misuse is refused") {
+    val s = GraftCli.open(spark, sf)
+    s.sql("DROP TABLE IF EXISTS cli_part_probe")
+    GraftCli.dropStaleLocation(s, "cli_part_probe")
+    s.sql("""CREATE TABLE cli_part_probe PARTITIONED BY (k_region, k_flag) AS
+      SELECT r_name, r_regionkey AS k_region,
+        CASE WHEN r_regionkey < 2 THEN 'a b' ELSE 'c' END AS k_flag
+      FROM region""")
+    val parts = GraftCli.showPartitionsStatement(s,
+      "SHOW PARTITIONS FROM cli_part_probe;")
+    // typed columns in partition-schema order, one row per partition
+    assert(parts.schema.fieldNames.toSeq == Seq("k_region", "k_flag"))
+    assert(parts.schema.fields.head.dataType.typeName == "integer")
+    val rows = parts.orderBy("k_region").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    // the 'a b' value round-trips through the %-escaped partition path
+    assert(rows.toSeq == Seq((0, "a b"), (1, "a b"), (2, "c"), (3, "c"), (4, "c")),
+      rows.mkString(","))
+    // unpartitioned managed table -> clean refusal
+    s.sql("DROP TABLE IF EXISTS cli_part_flat")
+    GraftCli.dropStaleLocation(s, "cli_part_flat")
+    s.sql("CREATE TABLE cli_part_flat AS SELECT 1 AS x")
+    val e = intercept[IllegalArgumentException](
+      GraftCli.showPartitionsStatement(s, "SHOW PARTITIONS FROM cli_part_flat"))
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+    s.sql("DROP TABLE cli_part_probe")
+    s.sql("DROP TABLE cli_part_flat")
+  }
+
+  test("parameter scanner skips comments and quoted identifiers") {
+    // '?' inside -- comments, /* */ blocks, "..." and `...` identifiers
+    // is payload, not a marker — the binder and DESCRIBE INPUT agree
+    val t = "SELECT `col?` AS \"alias?\" -- trailing? marker\n" +
+      "FROM t /* block ? comment */ WHERE a = ? AND b = '?'"
+    assert(GraftCli.countParameters(t) == 1, GraftCli.countParameters(t))
+    val bound = GraftCli.bindParameters(t, Seq("42"))
+    assert(bound.contains("a = 42"), bound)
+    assert(bound.contains("col?") && bound.contains("alias?") &&
+      bound.contains("trailing? marker") && bound.contains("block ? comment") &&
+      bound.contains("'?'"), bound)
+    // an unterminated block comment swallows the rest (no marker)
+    assert(GraftCli.countParameters("SELECT 1 /* ? ?") == 0)
+    // arity errors still fire on the grammar-aware count
+    intercept[IllegalArgumentException](GraftCli.bindParameters(t, Nil))
+    intercept[IllegalArgumentException](GraftCli.bindParameters(t, Seq("1", "2")))
+  }
+
+  test("typed routes accept or explicitly reject qualified names") {
+    val s = GraftCli.open(spark, sf)
+    // SHOW COLUMNS FROM db.t routes to the typed report (default schema)
+    s.sql("DROP TABLE IF EXISTS cli_qual_probe")
+    GraftCli.dropStaleLocation(s, "cli_qual_probe")
+    s.sql("CREATE TABLE cli_qual_probe AS SELECT 1 AS x, 'a' AS y")
+    val outB = new java.io.ByteArrayOutputStream()
+    val outP = new java.io.PrintStream(outB, true, "UTF-8")
+    GraftCli.runStatement(s, "SHOW COLUMNS FROM default.cli_qual_probe",
+      "csv", outP, new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    val lines = new String(outB.toByteArray, "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSeq
+    // the TYPED header proves the route was not bypassed to Spark's
+    // names-only native SHOW COLUMNS
+    assert(lines.head == "column_name,data_type", lines.mkString("\n"))
+    assert(lines.contains("x,int") && lines.contains("y,string"),
+      lines.mkString("\n"))
+    // DESCRIBE INPUT/OUTPUT: dotted names are rejected, not silently
+    // passed to Spark's native DESCRIBE
+    val store = scala.collection.Map("q" -> "SELECT 1")
+    val e1 = intercept[IllegalArgumentException](
+      GraftCli.describeInput(s, store, "db.q"))
+    assert(e1.getMessage.contains("unqualified"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GraftCli.describeOutput(s, store, "db.q"))
+    assert(e2.getMessage.contains("unqualified"), e2.getMessage)
+    s.sql("DROP TABLE cli_qual_probe")
+  }
+
+  test("DESCRIBE INPUT reports unknown when a column name is type-ambiguous") {
+    val s = GraftCli.open(spark, sf)
+    // the SAME name `k` reaches the plan as INT (t1) and STRING (t2):
+    // a last-wins name->type map would mistype the marker from whichever
+    // relation enumerates last — ambiguity must report `unknown`
+    val store = scala.collection.Map(
+      "amb" -> ("SELECT * FROM (SELECT 1 AS k) t1 " +
+        "JOIN (SELECT 'x' AS k) t2 ON t1.k = CAST(t2.k AS INT) WHERE t1.k = ?"),
+      "uni" -> "SELECT 1 FROM orders WHERE o_custkey = ?")
+    val amb = GraftCli.describeInput(s, store, "amb").collect()
+    assert(amb.length == 1 && amb.head.getString(1) == "unknown",
+      amb.mkString(","))
+    // unambiguous names still type normally
+    val uni = GraftCli.describeInput(s, store, "uni").collect()
+    assert(uni.length == 1 && uni.head.getString(1) == "bigint",
+      uni.mkString(","))
+  }
+
+  test("DELETE refuses an occupied scaffolding name and hints at recovery") {
+    val s = GraftCli.open(spark, sf)
+    for (n <- Seq("cli_del_probe", "cli_del_probe__graft_delete_old")) {
+      s.sql(s"DROP TABLE IF EXISTS $n")
+      GraftCli.dropStaleLocation(s, n)
+    }
+    s.sql("CREATE TABLE cli_del_probe AS SELECT 1 AS x")
+    s.sql("CREATE TABLE cli_del_probe__graft_delete_old AS SELECT 2 AS x")
+    // occupied scaffolding name: refused LOUDLY, nothing dropped
+    val e = intercept[IllegalStateException](
+      GraftCli.deleteFrom(s, "cli_del_probe", None))
+    assert(e.getMessage.contains("cli_del_probe__graft_delete_old"), e.getMessage)
+    assert(s.table("cli_del_probe__graft_delete_old").head().getInt(0) == 2,
+      "the occupied scaffolding table was dropped")
+    assert(s.table("cli_del_probe").count() == 1L, "the DELETE half-ran")
+    // crashed-mid-swap shape: t gone, t__graft_delete_old holds the data
+    // -> the does-not-exist error names the recovery table
+    s.sql("DROP TABLE cli_del_probe")
+    val e2 = intercept[IllegalArgumentException](
+      GraftCli.deleteFrom(s, "cli_del_probe", None))
+    assert(e2.getMessage.contains("RENAME"), e2.getMessage)
+    assert(e2.getMessage.contains("cli_del_probe__graft_delete_old"), e2.getMessage)
+    s.sql("DROP TABLE cli_del_probe__graft_delete_old")
+  }
 }

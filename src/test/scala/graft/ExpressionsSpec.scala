@@ -171,6 +171,20 @@ class ExpressionsSpec extends GraftSpec {
     val err = intercept[Exception](
       spark.sql("SELECT ngrams(array('a'), length('ab'))"))
     assert(err.getMessage.contains("ngrams"), err.getMessage)
+    // NULL elements copy through as NULLs and the declared schema admits
+    // them (containsNull mirrored from the input) — before the r16 fix
+    // the schema promised none while the kernel copied them anyway,
+    // handing codegen garbage; the whole-array branch too
+    val withNull = spark.sql(
+      "SELECT ngrams(array('a', CAST(NULL AS STRING), 'c'), 2) AS g, " +
+        "ngrams(array('a', CAST(NULL AS STRING)), 9) AS whole")
+    assert(withNull.schema("g").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .containsNull)
+    val rn = withNull.head()
+    assert(rn.getSeq[Seq[String]](0) == Seq(Seq("a", null), Seq(null, "c")))
+    assert(rn.getSeq[Seq[String]](1) == Seq(Seq("a", null)))
   }
 
   test("hmac_sha256 matches RFC 4231 test case 2 and the digest builtins stay on-surface") {

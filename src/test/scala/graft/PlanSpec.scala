@@ -377,4 +377,47 @@ class PlanSpec extends GraftSpec {
         assert(plan.contains(kernel), s"$name: fused $kernel kernel missing:\n$plan")
       }
   }
+
+  test("partition pruning: a filter on the partition key scans matched partitions ONLY") {
+    // THE scan property a 100 TB date-partitioned corpus lives on: a
+    // predicate on the partition column must become a PartitionFilter
+    // (directory pruning from catalog metadata — pruned partitions'
+    // files are never listed into the scan), not a post-scan Filter.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = GraftCli.open(spark, sf)
+    s.sql("DROP TABLE IF EXISTS plan_part_orders")
+    GraftCli.dropStaleLocation(s, "plan_part_orders")
+    s.sql("""CREATE TABLE plan_part_orders PARTITIONED BY (o_year) AS
+      SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+      FROM orders""")
+    val nYears = s.sql("SHOW PARTITIONS plan_part_orders").count()
+    assert(nYears >= 3, s"need a multi-partition layout, got $nYears")
+    val pruned = s.sql(
+      "SELECT COUNT(*) AS n FROM plan_part_orders WHERE o_year = 1995")
+    pruned.collect() // executed plan: selectedPartitions is a real listing
+    // descend through the AQE wrapper + materialized stages (plain
+    // collect stops at the AdaptiveSparkPlanExec shell)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case qs: QueryStageExec => allNodes(qs.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val scans = allNodes(pruned.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec => sc }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"predicate did not become a PartitionFilter:\n$scan")
+    // matched partitions only: 1 of the >=3 year directories is read
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition of $nYears, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+    // and the partition predicate never re-runs as a data Filter
+    val planText = pruned.queryExecution.executedPlan.toString
+    assert(!planText.contains("Filter (o_year"),
+      s"partition predicate survived as a row filter:\n$planText")
+    s.sql("DROP TABLE plan_part_orders")
+  }
 }
