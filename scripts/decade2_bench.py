@@ -30,13 +30,17 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 java = os.path.join(repo, "scripts", "graft_java.sh")
 
 
-def bench_one(kernel, sf_dir):
-    """One isolated Bench JVM for one kernel; returns min of 3 timed runs."""
+def bench_one(kernel, sf_dir, runs=3):
+    """One isolated Bench JVM for one kernel; warmup + `runs` timed runs.
+    The sf10 arm uses runs=1: at multi-minute kernel scale the decade
+    RATIO is the signal and run-to-run spread is immaterial next to it,
+    while 3 runs would triple a multi-hour session."""
     fd, spread_path = tempfile.mkstemp(suffix="_d2.json")
     os.close(fd)
     try:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_BENCH_ONLY=kernel, SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_BENCH_RUNS=str(runs),
                    SPARK_GRAFT_SPREAD_OUT=spread_path, GRAFT_XMX="32g")
         p = subprocess.run([java, "graft.Bench"], env=env,
                            capture_output=True, text=True)
@@ -53,7 +57,8 @@ def bench_one(kernel, sf_dir):
 entries = {}
 for k in KERNELS:
     r1 = bench_one(k, sf1_dir)
-    r10 = bench_one(k, sf10_dir)
+    print(f"[d2] {k}: sf1={min(r1):.2f}s ...", flush=True)
+    r10 = bench_one(k, sf10_dir, runs=1)
     entries[k] = {
         "sf1_runs_s": r1, "sf1_min_s": min(r1),
         "sf10_runs_s": r10, "sf10_min_s": min(r10),
@@ -65,8 +70,11 @@ for k in KERNELS:
 artifact = {
     "protocol": "per-kernel ISOLATED JVMs (fresh graft.Bench via "
                 "scripts/graft_java.sh, SPARK_GRAFT_BENCH_ONLY, idle "
-                "machine, local[32]); min of 3 in-JVM timed runs after "
-                "warmup; sf1 and sf10 measured in the SAME session on the "
+                "machine, local[32]); sf1 arm: min of 3 in-JVM timed runs "
+                "after warmup (comparable to BENCH_sf1.json); sf10 arm: "
+                "warmup + 1 timed run (multi-minute kernels — the decade "
+                "ratio is the signal, run spread is immaterial at that "
+                "magnitude); sf1 and sf10 measured in the SAME session on the "
                 "same host so the decade ratio is host-noise-free; data = "
                 "GenData (deterministic xxhash64 draws, driver-shaped "
                 "distributions; sf10 = 60M lineitem / 15M orders / 10M "

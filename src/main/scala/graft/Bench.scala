@@ -23,6 +23,7 @@ object Bench {
     // startup, not per-query throughput.
     // Optional comma-separated filter for timing a subset in isolation.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -49,7 +50,10 @@ object Bench {
       // can be adjudicated as variance vs plan change mechanically — the
       // r8/r9 phantom-move lesson (d09/p05/s07/d10 moved >70% between
       // rounds with pinned plans, and min-of-2 could not say why).
-      name -> Seq(once(), once(), once())
+      // SPARK_GRAFT_BENCH_RUNS overrides the count for runs where the
+      // per-execution cost dwarfs run-to-run spread (the sf10 decade arm:
+      // multi-minute kernels, ratio signal ≫ noise — warmup + 1 suffices).
+      name -> Seq.fill(runsPerQuery)(once())
     }
     // Compact line: the harness keeps only the last ~2000 chars of stdout,
     // so the whole JSON must fit inside that window (r10 measured: the
@@ -96,7 +100,7 @@ object Bench {
       s"bench_spread_inJVM_$sfName.json")
     val spreadJson = results.sortBy(_._1).map { case (k, ts) =>
       "\"" + k + "\":[" + ts.sorted.map(fmt).mkString(",") + "]"
-    }.mkString("{\"sf\":\"" + sfName + "\",\"runs\":3,\"spread\":{", ",", "}}")
+    }.mkString("{\"sf\":\"" + sfName + "\",\"runs\":" + runsPerQuery + ",\"spread\":{", ",", "}}")
     // best-effort: an unwritable CWD must never cost the metrics line below
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)

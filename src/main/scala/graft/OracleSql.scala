@@ -4909,7 +4909,7 @@ object OracleSql {
         SELECT DISTINCT doc_id, fp FROM wwins
         WHERE ns >= 4 AND idx <= ns - 4),
       wbuckets AS (
-        SELECT fp FROM wfps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000),
+        SELECT fp FROM wfps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
       wpairs AS (
         SELECT id_a, id_b FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4917,8 +4917,15 @@ object OracleSql {
           JOIN wbuckets bk ON bk.fp = a.fp
           JOIN wfps b ON b.fp = a.fp AND b.doc_id > a.doc_id)
         GROUP BY id_a, id_b HAVING COUNT(*) >= 2),
+      exd AS (
+        SELECT doc_id,
+          lead(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS nxt
+        FROM documents),
+      expairs AS (
+        SELECT doc_id AS id_a, nxt AS id_b FROM exd WHERE nxt IS NOT NULL),
       probes AS (SELECT id_a, id_b FROM adj
-                 UNION SELECT id_a, id_b FROM wpairs),
+                 UNION SELECT id_a, id_b FROM wpairs
+                 UNION SELECT id_a, id_b FROM expairs),
       ex AS (
         SELECT p.id_a, p.id_b,
           round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)

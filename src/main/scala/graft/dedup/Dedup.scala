@@ -63,6 +63,23 @@ object Dedup {
     * dropping is standard (the docs still collide in other bands). */
   private val MaxBucket = 1000
 
+  /** Bucket cap for PROBE-pair generation (d16's curve calibration).
+    * MaxBucket bounds the worst bucket but still admits ~500k pairs per
+    * bucket, and bucket populations grow WITH the corpus on
+    * boilerplate-saturated text: the r16 sf10 decade bench measured d16
+    * at 501 s (48.5x for 10x data) with the winnowing probe source's
+    * raw pair mass spilling >47 GB — pair counts between cap 2 and 1000
+    * grow quadratically in shingle multiplicity, which grows linearly
+    * with corpus size when the vocabulary saturates. A calibration curve
+    * does not need every shared-run pair, only a deterministic sample of
+    * high-J probes; capping probe buckets at 16 keeps the middle-J
+    * probes where buckets are genuinely small (real near-dup structure)
+    * and drops only boilerplate-degenerate buckets — the same judgment
+    * call production dedup makes for hot shingles. The J=1 end is
+    * covered separately by the linear exact-duplicate successor probes,
+    * which no bucket cap can starve. */
+  private val ProbeBucketCap = 16
+
   /** Pairs (a < b) of docs sharing an LSH bucket. ONE signature pass
     * (the banded frame — slim: doc_id + band + 8-byte key — is staged,
     * so neither the cap count nor the join sides recompute signatures),
@@ -473,7 +490,13 @@ object Dedup {
 
   /** The d10 kernel over any (doc_id, text) frame — the unit-testable
     * form (the spec checks the shared-run guarantee on hand-built docs). */
-  def winnowingOf(docs: DataFrame): DataFrame = {
+  def winnowingOf(docs: DataFrame): DataFrame = winnowingPairs(docs, MaxBucket)
+
+  /** Winnowing pair enumeration with an explicit bucket cap. d10 uses
+    * [[MaxBucket]] (its report IS the full shared-run pair set); d16
+    * passes the much tighter [[ProbeBucketCap]] — see the constant's
+    * comment for the measured sf10 blowup that forced the split. */
+  private[graft] def winnowingPairs(docs: DataFrame, cap: Int): DataFrame = {
     val fps = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), shingles3.as("shingles"))
@@ -490,7 +513,7 @@ object Dedup {
     // the duplicated ones so nothing downstream touches the singleton
     // mass. Cap semantics identical — the count IS size(ids).
     val dupFps = staged.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, MaxBucket)).select(col("fp"))
+      .filter(col("c").between(2, cap)).select(col("fp"))
     // pair expansion as a codegen hash SELF-JOIN on the duplicated slice
     // (each unordered pair once per fp — fps are per-doc distinct from
     // the kernel, so id_a < id_b enumerates exactly the bucket pairs).
@@ -661,8 +684,11 @@ object Dedup {
    * complement q²→q⁴→q⁸→q¹⁶) on the ROUNDED Jaccard — fixed IEEE
    * multiply trees, no libm pow, bit-identical cross-engine; per-bin
    * means accumulate in DECIMAL. Scale: probe pairs are the bounded
-   * adjacent-key join (d09), observed collisions one hash join against
-   * the capped LSH pair frame; nothing quadratic anywhere.
+   * adjacent-key join (d09) + the ProbeBucketCap-capped winnowing pairs
+   * + linear exact-dup successor pairs; observed collisions one hash
+   * join against the capped LSH pair frame; nothing quadratic anywhere
+   * (r16: the uncapped winnowing probe source measured 48.5x for 10x
+   * data at sf10 — see ProbeBucketCap).
    */
   def lshCurve(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -676,16 +702,31 @@ object Dedup {
     val withSets = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(shingles3).as("ss"))
-    // probe pairs from BOTH ends of the curve, neither sourced from the
-    // pipeline under test: adjacent ids (random-ish, low J) + pairs the
-    // INDEPENDENT winnowing fingerprint pipeline (d10 — rolling-hash
-    // window minima, no minhash anywhere) flags as sharing runs — the
-    // high-J probes whose LSH collision rate is the non-circular check
+    // probe pairs from BOTH ends of the curve, none sourced from the
+    // pipeline under test: adjacent ids (random-ish, low J); middle/high-J
+    // pairs the INDEPENDENT winnowing fingerprint pipeline (d10's kernel —
+    // rolling-hash window minima, no minhash anywhere) flags as sharing
+    // runs, under the PROBE-grade bucket cap (see ProbeBucketCap — the
+    // uncapped frame's raw pair mass grows quadratically on a
+    // boilerplate-saturated corpus and spilled >47 GB at sf10); and the
+    // J=1 anchor from exact-duplicate SUCCESSOR pairs — linear at every
+    // corpus size (one shuffle by text, lead() within identical-text
+    // groups), so the high end of the curve can never be starved by the
+    // cap. All three are deterministic and SQL-replayable.
     val adj = withSets.select(col("doc_id").as("id_a"))
       .join(withSets.select((col("doc_id") - 1).as("id_a"),
         col("doc_id").as("id_b")), Seq("id_a"))
-    val dupPairs = winnowingOf(docs).select(col("id_a"), col("id_b"))
-    val pairsJ = adj.unionByName(dupPairs).distinct()
+    val dupPairs = winnowingPairs(docs, ProbeBucketCap)
+      .select(col("id_a"), col("id_b"))
+    val exactPairs = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("nxt", lead(col("doc_id"), 1)
+          .over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
+    }
+    val pairsJ = adj.unionByName(dupPairs).unionByName(exactPairs).distinct()
       .join(withSets.select(col("doc_id").as("id_a"), col("ss").as("ss_a")), "id_a")
       .join(withSets.select(col("doc_id").as("id_b"), col("ss").as("ss_b")), "id_b")
       .select(col("id_a"), col("id_b"),
