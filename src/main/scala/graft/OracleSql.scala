@@ -4919,7 +4919,7 @@ object OracleSql {
         GROUP BY id_a, id_b HAVING COUNT(*) >= 2),
       exd AS (
         SELECT doc_id,
-          lead(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS nxt
+          lead(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS nxt
         FROM documents),
       expairs AS (
         SELECT doc_id AS id_a, nxt AS id_b FROM exd WHERE nxt IS NOT NULL),

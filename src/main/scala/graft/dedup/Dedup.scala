@@ -63,6 +63,19 @@ object Dedup {
     * dropping is standard (the docs still collide in other bands). */
   private val MaxBucket = 1000
 
+  /** The effective bucket cap: session-tunable via
+    * `spark.graft.dedup.maxBucket` (default [[MaxBucket]]). The r16
+    * second-decade bench showed bucket POPULATIONS grow with the corpus
+    * on boilerplate-saturated text, so pair mass inside a fixed cap
+    * grows quadratically — a 100 TB operator tunes this down to their
+    * corpus's boilerplate profile rather than paying that mass. Read at
+    * plan-build time on the driver; every bucketed dedup path
+    * (minhash-LSH, simhash pigeonhole, embedding LSH, winnowing)
+    * honors it. */
+  private def bucketCap(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.graft.dedup.maxBucket",
+      MaxBucket.toString).toInt
+
   /** Bucket cap for PROBE-pair generation (d16's curve calibration).
     * MaxBucket bounds the worst bucket but still admits ~500k pairs per
     * bucket, and bucket populations grow WITH the corpus on
@@ -98,7 +111,7 @@ object Dedup {
     val banded = graft.plans.Checkpoints.stage(bands)
     val ok = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, MaxBucket))
+      .filter(col("c").between(2, bucketCap(bands)))
       .select(col("band"), col("band_key"))
     val rows = banded.join(ok, Seq("band", "band_key"), "left_semi")
     rows.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
@@ -192,7 +205,7 @@ object Dedup {
     val pairs = blocks
       .groupBy(col("blk"), col("blk_val"))
       .agg(collect_list(col("rec")).as("recs"))
-      .filter(size(col("recs")).between(2, MaxBucket))
+      .filter(size(col("recs")).between(2, bucketCap(blocks)))
       // the signatures must follow the (a, b) = (least, greatest) id
       // ordering: a pair found in TWO blocks arrives once per block, and
       // collect_list order is partition-dependent — with sh_a/sh_b in
@@ -344,7 +357,7 @@ object Dedup {
     val pairs = bucketed
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("recs"))
-      .filter(size(col("recs")).between(2, MaxBucket))
+      .filter(size(col("recs")).between(2, bucketCap(bucketed)))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(recs) - 2),
           |  i -> transform(slice(recs, i + 2, size(recs) - i - 1),
@@ -490,7 +503,8 @@ object Dedup {
 
   /** The d10 kernel over any (doc_id, text) frame — the unit-testable
     * form (the spec checks the shared-run guarantee on hand-built docs). */
-  def winnowingOf(docs: DataFrame): DataFrame = winnowingPairs(docs, MaxBucket)
+  def winnowingOf(docs: DataFrame): DataFrame =
+    winnowingPairs(docs, bucketCap(docs))
 
   /** Winnowing pair enumeration with an explicit bucket cap. d10 uses
     * [[MaxBucket]] (its report IS the full shared-run pair set); d16
@@ -720,9 +734,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val exactPairs = {
       import org.apache.spark.sql.expressions.Window
-      docs.select(col("doc_id"), col("text"))
+      // partition by the digest, not the text: identical grouping, but
+      // the corpus text never shuffles (32-byte key vs ~300-char docs —
+      // the t24 "text never shuffles" discipline)
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
         .withColumn("nxt", lead(col("doc_id"), 1)
-          .over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+          .over(Window.partitionBy(col("th")).orderBy(col("doc_id"))))
         .filter(col("nxt").isNotNull)
         .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
     }

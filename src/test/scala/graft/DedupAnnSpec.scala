@@ -179,6 +179,22 @@ class DedupAnnSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("spark.graft.dedup.maxBucket tunes the pair-expansion cap (100 TB knob)") {
+    import spark.implicits._
+    // three identical docs: every shared fingerprint bucket holds all 3
+    val text = (1 to 16).map(i => s"common$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    assert(Dedup.winnowingOf(docs).count() == 3L) // default cap 1000: all pairs
+    spark.conf.set("spark.graft.dedup.maxBucket", "2")
+    try {
+      // cap 2 drops every 3-doc bucket as degenerate — no pairs survive
+      assert(Dedup.winnowingOf(docs).count() == 0L)
+      // a 2-doc bucket still pairs under the tightened cap
+      val two = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      assert(Dedup.winnowingOf(two).count() == 1L)
+    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
+  }
+
   test("d13 span dedup: exact maximal span boundaries, within-doc dups, no spans on unique text") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"common$i").mkString(" ")  // 12 tokens
