@@ -311,7 +311,15 @@ object GraftCli {
       "Advisory per-task memory ceiling: AQE targets this size when coalescing or splitting shuffle partitions",
       v => ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         parseDataSize("query_max_memory_per_task", v)),
-      s => s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")))
+      s => s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")),
+    // The r16 scale knob (see Dedup.bucketCap): bucket populations grow
+    // with the corpus on boilerplate-heavy text, so the pair-expansion
+    // cap is the one dedup parameter a 100 TB operator genuinely tunes
+    // per corpus — surfaced here so SQL clients reach it the Presto way.
+    SessionProp("dedup_max_bucket", "integer", "1000",
+      "Per-bucket pair-expansion cap for the bucketed dedup operators (minhash/simhash/embedding LSH, winnowing)",
+      v => ("spark.graft.dedup.maxBucket", parsePosInt("dedup_max_bucket", v)),
+      s => s.conf.get("spark.graft.dedup.maxBucket", "1000")))
 
   private def unquote(v: String): String = {
     val t = v.trim
@@ -479,10 +487,14 @@ object GraftCli {
   private[graft] def sessionEntry(spark: SparkSession, sfDir: String,
       statements: Seq[String]): DataFrame = {
     val sess = open(spark, sfDir)
+    // one backing conf per catalog property — keep in lockstep with
+    // sessionProps so the entry leaves the shared Verify session exactly
+    // as it found it
     val touched = Seq("spark.sql.shuffle.partitions",
       "spark.sql.autoBroadcastJoinThreshold", "spark.sql.session.timeZone",
       "spark.sql.adaptive.enabled",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.graft.dedup.maxBucket")
     val saved = touched.map(k => k -> sess.conf.getOption(k))
     try {
       statements.foreach {
@@ -1292,6 +1304,11 @@ object GraftCli {
       "SET SESSION join_distribution_type = 'PARTITIONED'",
       "SET SESSION time_zone_id = 'UTC'",
       "SET SESSION query_max_memory_per_task = '128MB'",
+      // 2000 > the built-in 1000 on purpose: the residue in the shared
+      // Verify session is provably inert at every gate SF (a LOOSER cap
+      // only touches buckets sized 1001..2000, which first exist at
+      // sf10-scale corpora), while the snapshot still pins the SET path
+      "SET SESSION dedup_max_bucket = 2000",
       "SET SESSION adaptive_execution = false",
       "RESET SESSION adaptive_execution"))),
     // s16: EXECUTE IMMEDIATE — dynamic SQL with parameter markers, the
@@ -1682,6 +1699,8 @@ object GraftCli {
       SELECT * FROM (VALUES
         ('adaptive_execution', 'true', 'true', 'boolean',
          'Re-plan queries at runtime from observed partition sizes'),
+        ('dedup_max_bucket', '2000', '1000', 'integer',
+         'Per-bucket pair-expansion cap for the bucketed dedup operators (minhash/simhash/embedding LSH, winnowing)'),
         ('hash_partition_count', '8', '32', 'integer',
          'Number of partitions for distributed joins and aggregations'),
         ('join_distribution_type', 'PARTITIONED', 'AUTOMATIC', 'varchar',

@@ -650,6 +650,27 @@ class CliSpec extends GraftSpec {
     }
   }
 
+  test("dedup_max_bucket reaches the dedup operators through the session-prop path") {
+    import spark.implicits._
+    val s = GraftCli.open(spark, sf)
+    val text = (1 to 16).map(i => s"common$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    try {
+      // the SQL-surface SET lands in the conf the operators read at
+      // plan-build time: cap 2 drops every 3-doc fingerprint bucket
+      GraftCli.setSession(s, "dedup_max_bucket", "2")
+      assert(s.conf.get("spark.graft.dedup.maxBucket") == "2")
+      assert(graft.dedup.Dedup.winnowingOf(docs).count() == 0L)
+      val row = GraftCli.showSession(s).collect()
+        .find(_.getString(0) == "dedup_max_bucket").get
+      assert(row.getString(1) == "2" && row.getString(2) == "1000")
+      GraftCli.resetSession(s, "dedup_max_bucket")
+      assert(graft.dedup.Dedup.winnowingOf(docs).count() == 3L)
+      intercept[IllegalArgumentException](
+        GraftCli.setSession(s, "dedup_max_bucket", "0"))
+    } finally s.conf.unset("spark.graft.dedup.maxBucket")
+  }
+
   test("session property misuse: unknown name, bad values, statement-scoped errors") {
     val s = GraftCli.open(spark, sf)
     intercept[IllegalArgumentException](GraftCli.setSession(s, "nosuch_prop", "1"))
