@@ -6,7 +6,10 @@ ratios. One decade (sf0.1→sf1.0) is a data point; two is the trend line:
 sf10 is where a hidden O(n^2) or driver bottleneck in the LSH/ANN
 families would first show.
 
-Usage: python3 scripts/decade2_bench.py <sf1_dir> <sf10_dir> [out_json]
+Usage: python3 scripts/decade2_bench.py <sf1_dir> <sf10_dir> [out_json] [kernels_csv]
+  kernels_csv (optional) restricts the run to a named subset — the r17
+  open-vocabulary arm re-measures just the document-driven kernels on
+  GenData's `open` corpus without re-paying the full 12-kernel session.
 Bench numbers are only valid on an IDLE machine. Requires compiled
 classes (runs outside the sbt lock via scripts/graft_java.sh).
 """
@@ -26,6 +29,8 @@ KERNELS = [
 sf1_dir = sys.argv[1]
 sf10_dir = sys.argv[2]
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf10.json"
+if len(sys.argv) > 4:
+    KERNELS = sys.argv[4].split(",")
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 java = os.path.join(repo, "scripts", "graft_java.sh")
 

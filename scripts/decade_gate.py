@@ -30,6 +30,56 @@ out_dir = f"/tmp/gate_verify_sf{tag}"
 env = dict(os.environ, GRAFT_XMX="24g", SPARK_GRAFT_CPUS="16")
 java = os.path.join(repo, "scripts", "graft_java.sh")
 
+def preflight():
+    """r16 lesson (SURVEY §6): a killed Spark JVM's multi-GB
+    /tmp/blockmgr-* leftover starved DuckDB's k-core recursion of temp
+    space mid-gate and produced a false g05 ERROR that cost two manual
+    adjudications. Sweep stale Spark spill dirs (only when no java
+    process is alive — a live JVM's blockmgr must never be touched) and
+    refuse to start a long DuckDB replay without disk headroom."""
+    import shutil
+    java_alive = False
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    java_alive = True
+                    break
+        except OSError:
+            continue
+    import glob
+    stale = glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*") \
+        + glob.glob("/tmp/duckdb_temp*")
+    if stale and java_alive:
+        print(f"[gate] preflight: {len(stale)} spill dir(s) in /tmp but a "
+              "java process is alive — not sweeping (kill stray JVMs and "
+              "rerun if these are leftovers)", flush=True)
+    elif stale:
+        freed = 0
+        for d in stale:
+            try:
+                sz = sum(f.stat().st_size for f in os.scandir(d)
+                         if f.is_file()) if os.path.isdir(d) else os.path.getsize(d)
+            except OSError:
+                sz = 0
+            shutil.rmtree(d, ignore_errors=True)
+            freed += sz
+        print(f"[gate] preflight: swept {len(stale)} stale spill path(s) "
+              f"from /tmp (~{freed / 1e9:.1f} GB at top level)", flush=True)
+    free_gb = shutil.disk_usage("/tmp").free / 1e9
+    # sf1 k-core alone spills tens of GB of DuckDB temp; below 40 GB the
+    # replay is more likely to produce a false ERROR than evidence
+    if free_gb < 40:
+        sys.exit(f"[gate] preflight: only {free_gb:.0f} GB free on /tmp — "
+                 "the sf1 DuckDB replay needs ~40 GB headroom; free disk "
+                 "and rerun")
+    print(f"[gate] preflight: {free_gb:.0f} GB free on /tmp", flush=True)
+
+
+preflight()
+
 print(f"[gate] 1/3 GenData sf={sf} -> {sf_dir}", flush=True)
 subprocess.run([java, "graft.tools.GenData", sf, sf_dir],
                env=env, check=True, capture_output=True)

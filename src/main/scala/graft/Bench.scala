@@ -23,7 +23,15 @@ object Bench {
     // startup, not per-query throughput.
     // Optional comma-separated filter for timing a subset in isolation.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // Validated: 0 would make Seq.fill(0)(once()) empty and ts.min throw;
+    // a non-numeric value should fail with the variable's name, not a bare
+    // NumberFormatException from somewhere inside the run loop.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer >= 1, got '$v'") }
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

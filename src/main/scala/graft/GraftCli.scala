@@ -318,7 +318,18 @@ object GraftCli {
     // per corpus — surfaced here so SQL clients reach it the Presto way.
     SessionProp("dedup_max_bucket", "integer", "1000",
       "Per-bucket pair-expansion cap for the bucketed dedup operators (minhash/simhash/embedding LSH, winnowing)",
-      v => ("spark.graft.dedup.maxBucket", parsePosInt("dedup_max_bucket", v)),
+      // >= 2, not merely positive: a cap of 1 makes every between(2, cap)
+      // bucket filter an empty range — bucketed dedup would silently pair
+      // nothing (Dedup.bucketCap enforces the same bound at plan-build
+      // for conf writes that bypass SET SESSION; rejecting here surfaces
+      // the mistake at SET time with the session-property name)
+      v => ("spark.graft.dedup.maxBucket", {
+        val t = parsePosInt("dedup_max_bucket", v)
+        if (t.toLong < 2) throw new IllegalArgumentException(
+          s"SET SESSION dedup_max_bucket: expected an integer >= 2 " +
+            s"(1 would drop every bucket), got $t")
+        t
+      }),
       s => s.conf.get("spark.graft.dedup.maxBucket", "1000")))
 
   private def unquote(v: String): String = {

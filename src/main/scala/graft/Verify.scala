@@ -32,6 +32,14 @@ object Verify {
       spark.sparkContext.setCheckpointDir(sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
         Files.createTempDirectory("graft-ckpt").toString))
     new java.io.File(outDir).mkdirs()
+    // Defense in depth: the bucketed dedup entries (d02/d03/d05/d06/d10…)
+    // read the mutable session conf spark.graft.dedup.maxBucket at
+    // plan-build while their DuckDB oracles hard-code the default cap of
+    // 1000. GraftCli.sessionEntry restores the conf in a finally, but any
+    // future path that left it set in this shared session would fail the
+    // gate as a confusing dedup mismatch — pin the default before the
+    // query loop so the oracle contract can't drift with session state.
+    spark.conf.unset("spark.graft.dedup.maxBucket")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

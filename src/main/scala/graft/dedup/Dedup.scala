@@ -72,9 +72,22 @@ object Dedup {
     * plan-build time on the driver; every bucketed dedup path
     * (minhash-LSH, simhash pigeonhole, embedding LSH, winnowing)
     * honors it. */
-  private def bucketCap(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.graft.dedup.maxBucket",
-      MaxBucket.toString).toInt
+  private def bucketCap(df: DataFrame): Int = {
+    val raw = df.sparkSession.conf.get("spark.graft.dedup.maxBucket",
+      MaxBucket.toString)
+    // Validated here, not only in the CLI's parsePosInt: the conf is also
+    // reachable via spark.conf.set directly, where a garbage value would
+    // otherwise crash plan-build with a bare NumberFormatException and a
+    // value of 1 would make every between(2, cap) filter an empty range,
+    // silently disabling all bucketed dedup pairing.
+    val cap = try raw.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"spark.graft.dedup.maxBucket must be an integer >= 2, got '$raw'") }
+    require(cap >= 2,
+      s"spark.graft.dedup.maxBucket must be >= 2 (a cap of 1 drops every " +
+        s"bucket — between(2, cap) is empty), got $cap")
+    cap
+  }
 
   /** Bucket cap for PROBE-pair generation (d16's curve calibration).
     * MaxBucket bounds the worst bucket but still admits ~500k pairs per

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
  * rows(sf) = 10 × rows(sf/10) for every table except nation/region
  * (fixed 25/5).
  *
- * Usage: runMain graft.tools.GenData <sf> <outDir>   (e.g. 1.0 /tmp/graft_sf1)
+ * Usage: runMain graft.tools.GenData <sf> <outDir> [open]
+ *   (e.g. 1.0 /tmp/graft_sf1; trailing "open" switches the documents
+ *   table to the open-vocabulary Zipf arm — see [[documentsOpenVocab]])
  */
 object GenData {
 
@@ -120,8 +122,44 @@ object GenData {
     * of docs copy an earlier doc, as measured) need no self-join: a dup
     * doc just renders text(g(id)) for an earlier g(id). Rare 'dup'
     * marker word ≈ 0.1% of positions, like the driver corpus. */
-  def documents(s: SparkSession, n: Long): DataFrame = {
-    val vocabArr = array(Vocab.map(lit): _*)
+  def documents(s: SparkSession, n: Long): DataFrame =
+    documentsWith(s, n, word = (srcId, i) =>
+      element_at(array(Vocab.map(lit): _*),
+        pmod(xxhash64(lit(85L), srcId, i), lit(Vocab.length.toLong))
+          .cast("int") + 1))
+
+  /** OPEN-VOCABULARY documents arm (r16 verdict task 1): the default
+    * corpus's fixed 30-word vocabulary saturates at scale — every
+    * distinct 3-shingle occurs ~1000× at sf10, the adversarial case for
+    * content-bucketed dedup, so its decade ratios measure corpus
+    * degeneracy as much as algorithm growth. This arm draws each word
+    * from a Zipf(1) distribution over a vocabulary that grows with the
+    * corpus (Heaps-law-style V ≈ tokens^0.7, so sf1 ≈ 32k distinct
+    * words, sf10 ≈ 163k), separating the two effects while keeping
+    * every other document property (dup structure, length law, lang,
+    * source) and the pure-xxhash64 determinism discipline identical.
+    *
+    * Zipf draw via inverse CDF: for exponent 1 the CDF is ≈
+    * ln(r+1)/ln(V+1), so r = floor(exp(u·ln(V+1))) clamped to [1,V]
+    * gives P(r) ∝ ln(1+1/r) ≈ 1/r — head words stay as common as
+    * English function words while the tail keeps growing with V. */
+  def documentsOpenVocab(s: SparkSession, n: Long): DataFrame = {
+    val vocabSize = math.max(1000L, math.round(math.pow(55.0 * n, 0.7)))
+    val lnV1 = math.log(vocabSize + 1.0)
+    documentsWith(s, n, word = (srcId, i) => {
+      val rank = least(greatest(
+        floor(exp((pmod(xxhash64(lit(85L), srcId, i), lit(1073741824L))
+          .cast("double") + lit(0.5)) / lit(1073741824.0) * lit(lnV1)))
+          .cast("long"), lit(1L)), lit(vocabSize))
+      concat(lit("w"), rank.cast("string"))
+    })
+  }
+
+  /** Shared document frame: dup structure (~0.16% copy an earlier doc),
+    * rare 'dup' marker ≈ 0.1% of positions, U{10..100} length — only the
+    * per-position word draw differs between the vocabulary arms. */
+  private def documentsWith(s: SparkSession, n: Long,
+      word: (Column, Column) => Column): DataFrame = {
     val isDup = pmod(xxhash64(lit(81L), col("id")), lit(625L)) === 0 && col("id") >= 8
     val srcId = when(isDup,
       col("id") - 1 - pmod(xxhash64(lit(82L), col("id")), lit(7L)))
@@ -129,9 +167,7 @@ object GenData {
     val nWords = ui(83, srcId, 91) + lit(10) // U{10..100}
     val text = array_join(transform(sequence(lit(1), nWords), i =>
       when(pmod(xxhash64(lit(84L), srcId, i), lit(1000L)) === 0, lit("dup"))
-        .otherwise(element_at(vocabArr,
-          pmod(xxhash64(lit(85L), srcId, i), lit(Vocab.length.toLong))
-            .cast("int") + 1))), " ")
+        .otherwise(word(srcId, i))), " ")
     s.range(n).select(col("id").as("doc_id"), text.as("text"),
       pick(86, col("id"), Langs).as("lang"),
       concat(lit("src"), ui(87, col("id"), 20).cast("string")).as("source"))
@@ -171,6 +207,9 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    // optional 3rd arg "open": open-vocabulary documents arm (all other
+    // tables identical — the two arms differ ONLY in the word draw)
+    val openVocab = args.length > 2 && args(2) == "open"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.get(s"local[$cpus]", cpus.toInt)
     def w(df: DataFrame, name: String, parts: Int): Unit =
@@ -189,11 +228,13 @@ object GenData {
     w(lineitem(spark, nL, nO, nP, nS), "lineitem", bigParts)
     w(events(spark, (1000000 * sf).toLong, (15000 * sf).toLong), "events",
       math.max(2, bigParts / 2))
-    w(documents(spark, (50000 * sf).toLong), "documents", math.max(2, bigParts / 2))
+    val docs = if (openVocab) documentsOpenVocab(spark, (50000 * sf).toLong)
+               else documents(spark, (50000 * sf).toLong)
+    w(docs, "documents", math.max(2, bigParts / 2))
     w(embeddings(spark, (20000 * sf).toLong), "embeddings", math.max(2, bigParts / 2))
     w(nation(spark), "nation", 1)
     w(region(spark), "region", 1)
-    println(s"[gendata] sf=$sf done -> $out")
+    println(s"[gendata] sf=$sf${if (openVocab) " (open-vocab)" else ""} done -> $out")
     spark.stop()
   }
 }

@@ -668,6 +668,10 @@ class CliSpec extends GraftSpec {
       assert(graft.dedup.Dedup.winnowingOf(docs).count() == 3L)
       intercept[IllegalArgumentException](
         GraftCli.setSession(s, "dedup_max_bucket", "0"))
+      // 1 is positive but would make between(2, cap) empty in every
+      // bucketed dedup path — rejected at SET time, not at plan-build
+      intercept[IllegalArgumentException](
+        GraftCli.setSession(s, "dedup_max_bucket", "1"))
     } finally s.conf.unset("spark.graft.dedup.maxBucket")
   }
 

@@ -195,6 +195,22 @@ class DedupAnnSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.dedup.maxBucket")
   }
 
+  test("spark.graft.dedup.maxBucket set directly (bypassing SET SESSION) is validated at plan-build") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    // non-numeric: a named error, not a bare NumberFormatException
+    spark.conf.set("spark.graft.dedup.maxBucket", "lots")
+    try {
+      val e = intercept[IllegalArgumentException](Dedup.winnowingOf(docs).count())
+      assert(e.getMessage.contains("spark.graft.dedup.maxBucket"), e.getMessage)
+      // cap 1 makes every between(2, cap) filter empty — rejected loudly
+      // instead of silently disabling all bucketed pairing
+      spark.conf.set("spark.graft.dedup.maxBucket", "1")
+      val e1 = intercept[IllegalArgumentException](Dedup.winnowingOf(docs).count())
+      assert(e1.getMessage.contains(">= 2"), e1.getMessage)
+    } finally spark.conf.unset("spark.graft.dedup.maxBucket")
+  }
+
   test("d13 span dedup: exact maximal span boundaries, within-doc dups, no spans on unique text") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"common$i").mkString(" ")  // 12 tokens
