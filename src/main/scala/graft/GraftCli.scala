@@ -1428,7 +1428,54 @@ object GraftCli {
         FROM orders""")
       showPartitionsStatement(sess, "SHOW PARTITIONS FROM s21_part_orders")
         .orderBy(col("o_year"))
-    })
+    }),
+    // s22: literal Presto-SPELLED SQL through the front door (r16 verdict
+    // task 2) — the reference hands its users a Presto prompt, and names
+    // whose semantics all exist here must not fail on spelling. One
+    // statement exercises the whole dialect-alias pack
+    // (GraftFunctions.prestoDialect): approx_distinct, arbitrary,
+    // json_extract_scalar, the url_extract_* family (incl. the PORT form
+    // Spark's parse_url lacks), to_unixtime's fractional-seconds DOUBLE,
+    // to_iso8601 / from_iso8601_timestamp / from_iso8601_date, strpos /
+    // index / standard position(x IN y), truncate's round-toward-zero,
+    // and the shared-name builtin log2. The URL column is constructed
+    // in-query so the extraction oracle is closed-form.
+    "s22_sql_presto_dialect" -> ((s, d) => sql(s, d, """
+      WITH src AS (
+        SELECT event_id, user_id, ts, value, props,
+          'https://shard' || CAST(user_id % 4 AS VARCHAR(2)) ||
+          '.example.com:' || CAST(8440 + user_id % 3 AS VARCHAR(4)) ||
+          '/api/v' || CAST(event_id % 3 AS VARCHAR(2)) ||
+          '/items?page=' || CAST(event_id % 7 AS VARCHAR(2)) ||
+          '&lang=en#sec' || CAST(event_id % 5 AS VARCHAR(2)) AS url
+        FROM events WHERE event_id % 97 = 0),
+      agg AS (
+        SELECT approx_distinct(user_id % 5) AS n_buckets,
+               arbitrary('graft') AS arb_const
+        FROM src)
+      SELECT event_id,
+        json_extract_scalar(props, '$.k') AS k_val,
+        url_extract_protocol(url) AS proto,
+        url_extract_host(url) AS host,
+        url_extract_port(url) AS portv,
+        url_extract_path(url) AS pathv,
+        url_extract_query(url) AS queryv,
+        url_extract_fragment(url) AS fragv,
+        url_extract_parameter(url, 'page') AS pagev,
+        to_unixtime(ts) AS unix_ts,
+        to_iso8601(ts) AS iso_ts,
+        CAST(from_iso8601_timestamp('2024-03-01T12:30:45') AS VARCHAR(19)) AS iso_rt,
+        CAST(from_iso8601_date('2024-03-01') AS VARCHAR(10)) AS iso_d,
+        strpos(url, CAST(event_id % 10 AS VARCHAR(2))) AS pos_digit,
+        index(url, 'example') AS pos_example,
+        CAST(position('/api/' IN url) AS BIGINT) AS pos_api,
+        truncate(value) AS val_t0,
+        truncate(value / 7, 2) AS val_t2,
+        truncate(-value) AS val_tn,
+        round(log2(1 + CAST(event_id % 1000 AS DOUBLE)), 4) AS lg,
+        n_buckets, arb_const
+      FROM src CROSS JOIN agg
+      ORDER BY event_id"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1463,6 +1510,50 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s22: the URL is constructed in-query, so every extraction replays
+    // closed-form from the same arithmetic; approx_distinct over 5
+    // residues is deterministic and SF-independent (HLL++ linear-counting
+    // regime rounds to the exact 5 — the same fixed register pattern at
+    // every SF because the INPUT VALUE SET {0..4} is), so COUNT(DISTINCT)
+    // replays it; to_unixtime via epoch_us/1e6 keeps the fractional
+    // seconds bit-exact; truncate replays as trunc (sign·floor(|x|·10ⁿ)
+    // ≡ toward-zero, and |x|·10ⁿ ≡ |x·10ⁿ| in IEEE)
+    "s22_sql_presto_dialect" -> """
+      WITH src AS (
+        SELECT event_id, user_id, ts, value, props,
+          'https://shard' || CAST(user_id % 4 AS VARCHAR) ||
+          '.example.com:' || CAST(8440 + user_id % 3 AS VARCHAR) ||
+          '/api/v' || CAST(event_id % 3 AS VARCHAR) ||
+          '/items?page=' || CAST(event_id % 7 AS VARCHAR) ||
+          '&lang=en#sec' || CAST(event_id % 5 AS VARCHAR) AS url
+        FROM events WHERE event_id % 97 = 0),
+      agg AS (
+        SELECT CAST(COUNT(DISTINCT user_id % 5) AS BIGINT) AS n_buckets,
+               'graft' AS arb_const
+        FROM src)
+      SELECT event_id,
+        regexp_extract(props, '"k": ([0-9]+)', 1) AS k_val,
+        'https' AS proto,
+        'shard' || CAST(user_id % 4 AS VARCHAR) || '.example.com' AS host,
+        CAST(8440 + user_id % 3 AS BIGINT) AS portv,
+        '/api/v' || CAST(event_id % 3 AS VARCHAR) || '/items' AS pathv,
+        'page=' || CAST(event_id % 7 AS VARCHAR) || '&lang=en' AS queryv,
+        'sec' || CAST(event_id % 5 AS VARCHAR) AS fragv,
+        CAST(event_id % 7 AS VARCHAR) AS pagev,
+        CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS unix_ts,
+        strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts,
+        '2024-03-01 12:30:45' AS iso_rt,
+        '2024-03-01' AS iso_d,
+        CAST(strpos(url, CAST(event_id % 10 AS VARCHAR)) AS BIGINT) AS pos_digit,
+        CAST(strpos(url, 'example') AS BIGINT) AS pos_example,
+        CAST(strpos(url, '/api/') AS BIGINT) AS pos_api,
+        trunc(value) AS val_t0,
+        trunc((value / 7) * 100) / 100 AS val_t2,
+        trunc(-value) AS val_tn,
+        round(log2(1 + CAST(event_id % 1000 AS DOUBLE)), 4) AS lg,
+        n_buckets, arb_const
+      FROM src CROSS JOIN agg
+      ORDER BY event_id""",
     // s21: the partition listing IS the distinct partition-key set of
     // the data the CTAS wrote — replay it from the source table
     "s21_sql_show_partitions" -> """

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, DateFormatClass, Divide, EqualTo, Expression, ExpressionInfo, Floor, GetJsonObject, If, Literal, Multiply, ParseUrl, RLike, RegExpExtract, Signum, StringLocate, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.sql.GraftBridge
 
 /**
@@ -207,6 +208,14 @@ object GraftFunctions {
   private[functions] def literalInt(fn: String, arg: Expression): Int =
     literalLong(fn, arg).toInt
 
+  private[functions] def literalDouble(fn: String, arg: Expression): Double = arg match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a numeric literal, got ${other.sql}")
+  }
+
   /** Extract a foldable string argument (e.g. a normalization form). */
   private[functions] def literalString(fn: String, arg: Expression): String = arg match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
@@ -219,7 +228,7 @@ object GraftFunctions {
     * can never drift (an extensions-configured session and an
     * install()-based one expose identical function sets by
     * construction). */
-  private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private val coreBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "minhash_sig" -> (args => MinHashSignature(args(0),
       literalInt("minhash_sig", args(1)))),
@@ -286,6 +295,78 @@ object GraftFunctions {
     "hmac_sha1" -> (args => HmacDigest(args(0), args(1), "HmacSHA1")),
     "hmac_sha256" -> (args => HmacDigest(args(0), args(1), "HmacSHA256")),
     "hmac_sha512" -> (args => HmacDigest(args(0), args(1), "HmacSHA512")))
+
+  /** Presto-dialect spellings (r16 verdict task 2): the reference UX is a
+    * Presto prompt (reference presto-mgr.py:205 hands the user a Presto
+    * CLI), and literal Presto SQL names whose SEMANTICS all exist here
+    * should not fail on spelling. Every alias is a thin composition of
+    * Spark catalyst expressions — no new kernels, codegen end-to-end.
+    * Spark-builtin collisions (log2, from_unixtime, position, strpos's
+    * absence…) are NOT overridden: install()/GraftExtensions skip names
+    * the registry already serves, so Spark semantics win where the two
+    * dialects share a name (from_unixtime returns Spark's STRING, not
+    * Presto's timestamp — CAST(... AS TIMESTAMP) recovers it; pinned in
+    * CliSpec). */
+  private[functions] val prestoDialect: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // approx_distinct(x[, e]) — Presto's HLL cardinality (default max
+    // standard error 0.023) over Spark's HLL++ aggregate. Exact in
+    // sparse mode (small cardinalities), approximate at scale, like
+    // Presto's.
+    "approx_distinct" -> (args => HyperLogLogPlusPlus(args.head,
+      if (args.length > 1) literalDouble("approx_distinct", args(1)) else 0.023)
+      .toAggregateExpression()),
+    // json_extract_scalar returns NULL for non-scalar matches (objects/
+    // arrays) where Spark's get_json_object would return their JSON text
+    "json_extract_scalar" -> (args => {
+      val got = GetJsonObject(args(0), args(1))
+      If(RLike(got, Literal("^[\\[{]")), Literal(null, StringType), got)
+    }),
+    "url_extract_host" -> (args => ParseUrl(Seq(args.head, Literal("HOST")))),
+    "url_extract_path" -> (args => ParseUrl(Seq(args.head, Literal("PATH")))),
+    "url_extract_protocol" -> (args => ParseUrl(Seq(args.head, Literal("PROTOCOL")))),
+    "url_extract_query" -> (args => ParseUrl(Seq(args.head, Literal("QUERY")))),
+    "url_extract_fragment" -> (args => ParseUrl(Seq(args.head, Literal("REF")))),
+    // Spark's parse_url has no PORT key — take the :port suffix of the
+    // authority (never confused with a path/query colon), BIGINT like
+    // Presto, NULL when absent
+    "url_extract_port" -> (args => {
+      val port = RegExpExtract(ParseUrl(Seq(args.head, Literal("AUTHORITY"))),
+        Literal(":([0-9]+)$"), Literal(1))
+      If(EqualTo(port, Literal("")), Literal(null, LongType), Cast(port, LongType))
+    }),
+    "url_extract_parameter" -> (args =>
+      ParseUrl(Seq(args(0), Literal("QUERY"), args(1)))),
+    // to_unixtime returns DOUBLE seconds with the fractional part
+    // (Spark's unix_timestamp truncates to whole seconds)
+    "to_unixtime" -> (args => Divide(
+      Cast(UnixMicros(Cast(args.head, TimestampType)), DoubleType),
+      Literal(1e6))),
+    // strpos/index: 1-based position, 0 if absent, BIGINT like Presto
+    // (note swapped argument order vs Spark's locate(substr, str))
+    "strpos" -> (args => Cast(StringLocate(args(1), args(0), Literal(1)), LongType)),
+    "index" -> (args => Cast(StringLocate(args(1), args(0), Literal(1)), LongType)),
+    // arbitrary: any non-null value of the group
+    "arbitrary" -> (args => First(args.head, ignoreNulls = true)
+      .toAggregateExpression()),
+    // truncate(x[, n]): round toward zero (at scale n) — sign·floor(|x|·10ⁿ)/10ⁿ
+    "truncate" -> (args => {
+      val n = if (args.length > 1) literalInt("truncate", args(1)) else 0
+      val pow = Literal(math.pow(10.0, n))
+      val x = Cast(args.head, DoubleType)
+      Multiply(Signum(x),
+        Divide(Cast(Floor(Multiply(Abs(x), pow)), DoubleType), pow))
+    }),
+    // to_iso8601: Presto's 'T'-separated rendering with milliseconds
+    // (timestamp form; DATE inputs render through the midnight timestamp)
+    "to_iso8601" -> (args => DateFormatClass(Cast(args.head, TimestampType),
+      Literal("yyyy-MM-dd'T'HH:mm:ss.SSS"))),
+    "from_iso8601_timestamp" -> (args => Cast(args.head, TimestampType)),
+    "from_iso8601_date" -> (args => Cast(args.head, DateType)))
+
+  /** The one SQL surface (core kernels + Presto-dialect aliases),
+    * consumed by BOTH [[install]] and [[GraftExtensions]]. */
+  private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
+    coreBuilders ++ prestoDialect
 
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders

@@ -908,4 +908,48 @@ class CliSpec extends GraftSpec {
     assert(e2.getMessage.contains("cli_del_probe__graft_delete_old"), e2.getMessage)
     s.sql("DROP TABLE cli_del_probe__graft_delete_old")
   }
+
+  test("presto dialect aliases: edge semantics beyond the s22 oracle") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = s.sql(q).head()
+    // json_extract_scalar returns NULL for non-scalar matches, where
+    // Spark's get_json_object returns the JSON text
+    assert(one("""SELECT json_extract_scalar('{"a":{"b":1}}', '$.a')""").isNullAt(0))
+    assert(one("""SELECT json_extract_scalar('{"a":[1,2]}', '$.a')""").isNullAt(0))
+    assert(one("""SELECT json_extract_scalar('{"a":"x"}', '$.a')""").getString(0) == "x")
+    // url_extract_port: BIGINT, NULL when the authority has no port
+    assert(one("SELECT url_extract_port('https://h.com:8443/p')").getLong(0) == 8443L)
+    assert(one("SELECT url_extract_port('https://h.com/p')").isNullAt(0))
+    // strpos/index: 1-based, 0 when absent, Presto arg order
+    assert(one("SELECT strpos('hello', 'll')").getLong(0) == 3L)
+    assert(one("SELECT strpos('hello', 'zz')").getLong(0) == 0L)
+    assert(one("SELECT index('hello', 'o')").getLong(0) == 5L)
+    // truncate: toward zero on both signs, scaled form
+    assert(one("SELECT truncate(12.999)").getDouble(0) == 12.0)
+    assert(one("SELECT truncate(-12.999)").getDouble(0) == -12.0)
+    assert(one("SELECT truncate(1.2399, 2)").getDouble(0) == 1.23)
+    // to_unixtime keeps fractional seconds as DOUBLE
+    val frac = one(
+      "SELECT to_unixtime(TIMESTAMP '2024-01-01 00:00:00.25')").getDouble(0)
+    assert(frac == 1704067200.25, frac.toString)
+    // from_unixtime PARITY PIN (shared-name builtin, NOT overridden):
+    // Spark's from_unixtime returns a formatted STRING — Presto returns a
+    // timestamp; CAST recovers it, and the round trip through
+    // to_unixtime is identity at whole-second resolution
+    val rt = one("""SELECT CAST(CAST(from_unixtime(CAST(to_unixtime(
+        TIMESTAMP '2024-05-06 07:08:09') AS BIGINT)) AS TIMESTAMP) AS STRING)""")
+    assert(rt.getString(0) == "2024-05-06 07:08:09", rt.getString(0))
+    assert(s.sql("SELECT from_unixtime(0)").schema.head.dataType ==
+      org.apache.spark.sql.types.StringType)
+    // approx_distinct: exact in the small-cardinality regime, and the
+    // relativeSD argument must be a numeric literal
+    assert(one("SELECT approx_distinct(x) FROM VALUES 1,2,3,2,1 AS t(x)").getLong(0) == 3L)
+    // arbitrary ignores nulls
+    assert(one("SELECT arbitrary(x) FROM VALUES (NULL), ('v') AS t(x)").getString(0) == "v")
+    // iso8601 family
+    assert(one("SELECT to_iso8601(TIMESTAMP '2024-01-02 03:04:05.678912')")
+      .getString(0) == "2024-01-02T03:04:05.678")
+    assert(one("SELECT CAST(from_iso8601_date('2024-03-01') AS STRING)")
+      .getString(0) == "2024-03-01")
+  }
 }
