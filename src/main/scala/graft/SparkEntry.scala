@@ -295,11 +295,25 @@ object SparkEntry {
     "m08_audio_energy" -> (Multimodal.audioEnergy _),
     "m09_jpeg_quality" -> (Multimodal.jpegQuality _),
     "m10_exif" -> (Multimodal.exifMeta _)
-  ) ++ GraftCli.queries // SQL-text front door (s01..s05)
+  ) ++ GraftCli.queries ++ // SQL-text front door (s01..)
+    // s23: the TPC-H suite as verbatim SQL text (each text's values are
+    // pinned three ways: the twin's oracle by reference, the driver's
+    // hash compare, and TpchSqlSpec's text == twin row-for-row pin)
+    graft.operators.TpchSql.texts.map { case (name, _, text) =>
+      name -> ((s: SparkSession, d: String) => GraftCli.sql(s, d, text))
+    }.toMap
 
   /** DuckDB oracle SQL per query (omitted for approximate/heuristic ops →
     * driver records rows-only checks for those). */
-  def oracleSql: Map[String, String] = OracleSql.sql ++ GraftCli.oracles ++ Map(
+  def oracleSql: Map[String, String] = OracleSql.sql ++ GraftCli.oracles ++
+    // s23 texts share their DataFrame twin's oracle BY REFERENCE (the s11
+    // discipline); Q2 has no twin and its canonical text runs verbatim in
+    // DuckDB, so it IS its own oracle.
+    graft.operators.TpchSql.twins.map { case (name, twin) =>
+      name -> OracleSql.sql(twin)
+    } ++ Map(
+    "s23_tpch_q02" -> graft.operators.TpchSql.texts
+      .find(_._1 == "s23_tpch_q02").get._3,
     // a15 persists the a09-trained index and serves a10's search from
     // the RELOADED artifact — identical report by construction, so the
     // oracle is a10's replay by reference (persistence lossiness would
