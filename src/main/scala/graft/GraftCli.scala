@@ -257,7 +257,12 @@ object GraftCli {
   // TYPE IO (the tables/columns/filters the plan would read, off the
   // optimized physical plan — again, nothing executes).
   private val ExplainTyped =
-    "(?is)^\\s*EXPLAIN\\s*\\(\\s*TYPE\\s+(VALIDATE|IO)\\s*\\)\\s*(.+)$".r
+    "(?is)^\\s*EXPLAIN\\s*\\(\\s*TYPE\\s+(VALIDATE|IO|DISTRIBUTED)\\s*\\)\\s*(.+)$".r
+  // Presto SHOW FUNCTIONS [LIKE 'pattern'] — the typed function listing
+  // (Spark's native statement returns one untyped name column; Presto's
+  // clients expect kind metadata). Routed ahead of the bare path.
+  private val ShowFunctions =
+    "(?is)^\\s*SHOW\\s+FUNCTIONS(?:\\s+LIKE\\s+'([^']*)')?\\s*$".r
 
   /** One session property: Presto-style name/type/default plus the
     * mapping into (`toConf`) and out of (`fromConf`) the Spark conf
@@ -920,6 +925,106 @@ object GraftCli {
     raw.select(cols.toIndexedSeq: _*)
   }
 
+  /** EXPLAIN (TYPE DISTRIBUTED) — Presto's fragmented distributed plan:
+    * the physical plan split at its EXCHANGE boundaries into fragments,
+    * each labeled with the distribution that feeds it (SINGLE / HASH
+    * [keys] / RANGE / BROADCAST — Presto's fragment vocabulary, which
+    * maps one-to-one onto Spark's exchanges). Built from the lazy
+    * physical plan, so nothing executes (the pre-AQE tree is the honest
+    * choice: it SHOWS every exchange, where the finalized adaptive plan
+    * only exists after execution — that one is EXPLAIN ANALYZE's job).
+    * The fragment count IS the query's shuffle count — the first number
+    * a 100 TB plan review looks at. */
+  private[graft] def explainDistributed(spark: SparkSession, query: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val qe = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(query),
+      org.apache.spark.sql.execution.CommandExecutionMode.NON_ROOT)
+    // executedPlan has gone through EnsureRequirements (exchanges exist)
+    // but has NOT run; under AQE the initialPlan is the pre-execution
+    // tree with every exchange visible
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val sb = new StringBuilder("== Distributed Plan (fragments at exchange boundaries) ==\n")
+    var nextId = 1
+    val queue = scala.collection.mutable.Queue[(Int, String, SparkPlan)](
+      (0, "SINGLE (coordinator output)", physical))
+    def dist(e: ShuffleExchangeExec): String = e.outputPartitioning match {
+      case h: HashPartitioning =>
+        s"HASH [${h.expressions.map(_.sql).mkString(", ")}] (${h.numPartitions} partitions)"
+      case r: RangePartitioning =>
+        s"RANGE [${r.ordering.map(_.sql).mkString(", ")}] (${r.numPartitions} partitions)"
+      case SinglePartition => "SINGLE"
+      case other => other.toString
+    }
+    while (queue.nonEmpty) {
+      val (id, label, frag) = queue.dequeue()
+      sb.append(s"Fragment $id [$label]\n")
+      def walk(p: SparkPlan, depth: Int): Unit = p match {
+        case e: ShuffleExchangeExec =>
+          val fid = nextId; nextId += 1
+          sb.append("  " * depth).append(s"RemoteSource [Fragment $fid]\n")
+          queue.enqueue((fid, dist(e), e.child))
+        case e: BroadcastExchangeExec =>
+          val fid = nextId; nextId += 1
+          sb.append("  " * depth).append(s"RemoteSource [Fragment $fid, broadcast]\n")
+          queue.enqueue((fid, "BROADCAST (replicated to every worker)", e.child))
+        case other =>
+          sb.append("  " * depth).append(other.nodeName).append('\n')
+          other.children.foreach(walk(_, depth + 1))
+      }
+      walk(frag, 1)
+    }
+    sb.toString
+  }
+
+  /** The graft SQL surface's aggregate spellings — SHOW FUNCTIONS kind
+    * metadata (kept beside the fromConf-style catalogs rather than
+    * introspected: builders need typed args to construct, and this set
+    * changes only when a new aggregate lands in sqlBuilders). */
+  private val GraftAggregates = Set("geometric_mean", "bloom_build",
+    "quantile_sketch_agg", "quantile_sketch_merge", "approx_distinct",
+    "arbitrary")
+
+  /** SHOW FUNCTIONS [LIKE 'pattern'] — Presto's TYPED function listing:
+    * (function_name, function_type, source). Kind comes from the
+    * registry's ExpressionInfo group for builtins (agg_funcs /
+    * window_funcs / generator_funcs) and from the graft surface's own
+    * catalog for graft functions; source separates the two so a client
+    * can see exactly what this engine added over stock Spark. Pure
+    * catalog metadata — nothing plans or executes. */
+  private[graft] def showFunctions(spark: SparkSession,
+      pattern: Option[String] = None): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    val graftNames = GraftFunctions.sqlNames.toSet
+    val names = catalog.listFunctions(catalog.getCurrentDatabase)
+      .map(_._1.funcName).distinct
+    val rows = names.sorted.map { name =>
+      val isGraft = graftNames(name)
+      val group =
+        if (isGraft) if (GraftAggregates(name)) "agg_funcs" else ""
+        else (try Option(catalog.lookupFunctionInfo(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).getGroup)
+        catch { case _: Exception => None }).getOrElse("")
+      val kind = group match {
+        case "agg_funcs"       => "aggregate"
+        case "window_funcs"    => "window"
+        case "generator_funcs" => "table"
+        case _                 => "scalar"
+      }
+      (name, kind, if (isGraft) "graft" else "builtin")
+    }
+    import spark.implicits._
+    val df = rows.toDF("function_name", "function_type", "source")
+    pattern.map(p => df.filter(col("function_name")
+      .like(p.toLowerCase(java.util.Locale.ROOT)))).getOrElse(df)
+  }
+
   /** s21's front door: route a SHOW PARTITIONS statement through the
     * REAL router regex (the driver needs a DataFrame; main's render
     * path wraps this same plumbing). */
@@ -983,6 +1088,9 @@ object GraftCli {
       case ExplainTyped(mode, query) =>
         if (mode.equalsIgnoreCase("VALIDATE"))
           render(explainValidate(spark, query), format, out)
+        else if (mode.equalsIgnoreCase("DISTRIBUTED"))
+          (if (format == "table") out else err)
+            .println(explainDistributed(spark, query))
         else render(explainIo(spark, query), format, out)
       case Prepare(name, query) =>
         prepared(name.toLowerCase(java.util.Locale.ROOT)) = query
@@ -1032,6 +1140,8 @@ object GraftCli {
         render(showColumns(spark, table), format, out)
       case ShowPartitions(table) =>
         render(showPartitions(spark, table), format, out)
+      case ShowFunctions(pattern) =>
+        render(showFunctions(spark, Option(pattern)), format, out)
       case bare => render(spark.sql(bare), format, out)
     } catch { case e: Exception =>
       // Presto transaction semantics: a statement failure inside an open

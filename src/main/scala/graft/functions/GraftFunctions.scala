@@ -368,6 +368,9 @@ object GraftFunctions {
   private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
     coreBuilders ++ prestoDialect
 
+  /** The surface's names (the CLI's SHOW FUNCTIONS source tag). */
+  private[graft] def sqlNames: Seq[String] = sqlBuilders.map(_._1)
+
   /** SQL registration (same names) for `spark.sql` users; idempotent —
     * an already-registered name is SKIPPED, not replaced (the builders
     * come from the one sqlBuilders table, so a re-register could only

@@ -909,6 +909,104 @@ class CliSpec extends GraftSpec {
     s.sql("DROP TABLE cli_del_probe__graft_delete_old")
   }
 
+  test("CLI staples: SHOW CATALOGS / SHOW SCHEMAS / USE round-trip with misuse cases") {
+    val s = GraftCli.open(spark, sf)
+    def run(stmt: String, format: String = "csv"): (String, String) = {
+      val outB = new java.io.ByteArrayOutputStream()
+      val errB = new java.io.ByteArrayOutputStream()
+      val outP = new java.io.PrintStream(outB, true, "UTF-8")
+      val errP = new java.io.PrintStream(errB, true, "UTF-8")
+      try GraftCli.runStatement(s, stmt, format, outP, errP)
+      catch { case _: Exception => () }
+      outP.flush(); errP.flush()
+      (new String(outB.toByteArray, "UTF-8"), new String(errB.toByteArray, "UTF-8"))
+    }
+    // SHOW CATALOGS: the session's catalog is visible
+    val (cats, _) = run("SHOW CATALOGS")
+    assert(cats.contains("spark_catalog"), cats)
+    // SHOW SCHEMAS: default exists; a created schema appears; LIKE filters
+    s.sql("CREATE SCHEMA IF NOT EXISTS cli_staple_schema")
+    try {
+      val (schemas, _) = run("SHOW SCHEMAS")
+      assert(schemas.contains("default") && schemas.contains("cli_staple_schema"), schemas)
+      val (filtered, _) = run("SHOW SCHEMAS LIKE 'cli_staple*'")
+      assert(filtered.contains("cli_staple_schema") && !filtered.contains("default"), filtered)
+      // USE: switches the session's current schema and back
+      run("USE cli_staple_schema")
+      assert(s.catalog.currentDatabase == "cli_staple_schema")
+      run("USE default")
+      assert(s.catalog.currentDatabase == "default")
+      // misuse: USE of a missing schema errors (statement-scoped in main)
+      // and leaves the current schema untouched
+      intercept[Exception](GraftCli.runStatement(s, "USE no_such_schema_xyz",
+        "csv", new java.io.PrintStream(new java.io.ByteArrayOutputStream()),
+        new java.io.PrintStream(new java.io.ByteArrayOutputStream())))
+      assert(s.catalog.currentDatabase == "default")
+    } finally s.sql("DROP SCHEMA IF EXISTS cli_staple_schema")
+  }
+
+  test("SHOW FUNCTIONS is typed and separates the graft surface from builtins") {
+    val s = GraftCli.open(spark, sf)
+    val df = GraftCli.showFunctions(s)
+    assert(df.columns.toSeq == Seq("function_name", "function_type", "source"))
+    val rows = df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // graft scalars and aggregates are kind-tagged
+    assert(rows("cosine_sim") == ("scalar", "graft"), rows.get("cosine_sim").toString)
+    assert(rows("geometric_mean") == ("aggregate", "graft"))
+    assert(rows("approx_distinct") == ("aggregate", "graft"))
+    // builtins carry registry kind metadata
+    assert(rows("sum") == ("aggregate", "builtin"))
+    assert(rows("row_number") == ("window", "builtin"))
+    assert(rows("explode") == ("table", "builtin"))
+    assert(rows("substr")._1 == "scalar")
+    // every name of the one sqlBuilders table is listed as graft
+    graft.functions.GraftFunctions.sqlNames.foreach { n =>
+      assert(rows.get(n).exists(_._2 == "graft"), s"$n missing from SHOW FUNCTIONS")
+    }
+    // LIKE pattern filters; statement routes through the real regex
+    val likeB = new java.io.ByteArrayOutputStream()
+    GraftCli.runStatement(s, "SHOW FUNCTIONS LIKE 'minhash%'", "csv",
+      new java.io.PrintStream(likeB), new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream()))
+    val like = likeB.toString("UTF-8")
+    assert(like.contains("minhash_sig") && !like.contains("cosine_sim"), like)
+    // misuse: a malformed pattern clause falls to the bare path and errors
+    // statement-scoped (double-quoted pattern is not the grammar)
+    val outB = new java.io.ByteArrayOutputStream()
+    val errB = new java.io.ByteArrayOutputStream()
+    try GraftCli.runStatement(s, "SHOW FUNCTIONS LIKE missing_quotes(",
+      "csv", new java.io.PrintStream(outB), new java.io.PrintStream(errB))
+    catch { case _: Exception => () }
+    assert(outB.toString("UTF-8").isEmpty)
+  }
+
+  test("EXPLAIN (TYPE DISTRIBUTED): fragments at exchange boundaries, nothing executes") {
+    val s = GraftCli.open(spark, sf)
+    val txt = GraftCli.explainDistributed(s, """
+      SELECT c_mktsegment, count(*) AS n FROM customer
+      GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""")
+    // group-by + order-by = at least a HASH and a RANGE exchange -> >= 3 fragments
+    assert(txt.contains("Fragment 0") && txt.contains("Fragment 1"), txt)
+    assert(txt.contains("HASH [customer.c_mktsegment]"), txt)
+    assert(txt.contains("RANGE ["), txt)
+    assert(txt.contains("RemoteSource"), txt)
+    // a broadcast join fragment is labeled as such
+    val bc = GraftCli.explainDistributed(s, """
+      SELECT n_name, count(*) AS n FROM customer JOIN nation
+      ON c_nationkey = n_nationkey GROUP BY n_name""")
+    assert(bc.contains("broadcast"), bc)
+    // nothing executes: a CTAS explained DISTRIBUTED must not create
+    s.sql("DROP TABLE IF EXISTS dist_probe_t")
+    GraftCli.dropStaleLocation(s, "dist_probe_t")
+    GraftCli.explainDistributed(s,
+      "CREATE TABLE dist_probe_t AS SELECT 1 AS x")
+    assert(!s.catalog.tableExists("dist_probe_t"),
+      "EXPLAIN (TYPE DISTRIBUTED) executed the CTAS")
+    // misuse: analyzer errors surface statement-scoped
+    intercept[Exception](GraftCli.explainDistributed(s,
+      "SELECT * FROM no_such_table_dist"))
+  }
+
   test("presto dialect aliases: edge semantics beyond the s22 oracle") {
     val s = GraftCli.open(spark, sf)
     def one(q: String) = s.sql(q).head()
