@@ -84,6 +84,12 @@ print(f"[gate] 1/3 GenData sf={sf} -> {sf_dir}", flush=True)
 subprocess.run([java, "graft.tools.GenData", sf, sf_dir],
                env=env, check=True, capture_output=True)
 
+# a stale out_dir from a previous (possibly full) run would make the
+# --only-dumped compare below re-replay every entry it finds — clear it
+# so an only= run checks exactly what this run dumped
+import shutil
+shutil.rmtree(out_dir, ignore_errors=True)
+
 print(f"[gate] 2/3 Verify dump -> {out_dir}"
       + (f" (only={only})" if only else " (full inventory)"), flush=True)
 cmd = [java, "graft.Verify", sf_dir, out_dir] + ([only] if only else [])

@@ -53,9 +53,29 @@ object GraftCli {
     spark
   }
 
+  /** Presto spells the UNIT of date_diff/date_add as a string literal
+    * (`date_diff('day', a, b)`); Spark handles these functions in the
+    * GRAMMAR (AstBuilder.visitTimestampdiff/-add) and demands a bare
+    * identifier — no FunctionRegistry entry can intercept the quoted
+    * form (verified: a registry override installs but the ParseException
+    * fires first). So the front door rewrites the quoted unit to the
+    * identifier spelling, landing on Spark's own ChronoUnit
+    * full-elapsed-unit semantics — the same periods Presto's Joda
+    * implementation counts (CliSpec pins the Jan31→Feb1 month case at
+    * 0, not DuckDB-style boundary counting). The pattern only fires on
+    * a unit KEYWORD quoted directly after the function name — a date
+    * string there (the 2-arg Spark forms) never matches; the one
+    * theoretical false positive is this exact call text embedded inside
+    * a string literal. */
+  private val DatetimeUnitQuote =
+    ("(?i)\\b(date_diff|datediff|date_add|dateadd|timestampdiff|timestampadd)\\s*\\(\\s*" +
+      "'(year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond)'\\s*,").r
+  private[graft] def rewritePrestoDatetime(text: String): String =
+    DatetimeUnitQuote.replaceAllIn(text, m => s"${m.group(1)}(${m.group(2)}, ")
+
   /** Execute one SQL statement (the programmatic front door). */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame =
-    open(spark, sfDir).sql(text)
+    open(spark, sfDir).sql(rewritePrestoDatetime(text))
 
   /** Split ;-terminated SQL statements, leaving semicolons inside
     * single-quoted literals alone ('' quote escaping falls out naturally:
@@ -1106,7 +1126,7 @@ object GraftCli {
           s"EXECUTE: no prepared statement named $key (PREPARE it first)"))
         val bound = bindParameters(template,
           Option(usingArgs).map(splitArgs).getOrElse(Nil))
-        render(spark.sql(bound), format, out)
+        render(spark.sql(rewritePrestoDatetime(bound)), format, out)
       case ShowStats(mode, table) =>
         render(showStats(spark, table,
           exact = mode != null && mode.equalsIgnoreCase("EXACT")), format, out)
@@ -1142,7 +1162,7 @@ object GraftCli {
         render(showPartitions(spark, table), format, out)
       case ShowFunctions(pattern) =>
         render(showFunctions(spark, Option(pattern)), format, out)
-      case bare => render(spark.sql(bare), format, out)
+      case bare => render(spark.sql(rewritePrestoDatetime(bare)), format, out)
     } catch { case e: Exception =>
       // Presto transaction semantics: a statement failure inside an open
       // transaction aborts it — only ROLLBACK is accepted afterwards
@@ -1585,7 +1605,32 @@ object GraftCli {
         round(log2(1 + CAST(event_id % 1000 AS DOUBLE)), 4) AS lg,
         n_buckets, arb_const
       FROM src CROSS JOIN agg
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+    // s24: the Presto DATETIME dialect through the front door —
+    // date_diff('day', a, b) is the single most common idiom in real
+    // Presto SQL (GraftFunctions.prestoDatetime): full-elapsed-unit
+    // date_diff/date_add (ChronoUnit semantics, like Presto's Joda
+    // periods), the ISO field extracts (day_of_week 1=Monday, week,
+    // year_of_week, day_of_year), last_day_of_month, and the
+    // shared-name builtin date_trunc proven in the same statement.
+    // The join condition keeps lags non-negative so the oracle's
+    // integer floor-division replay equals full-period counting.
+    "s24_sql_presto_datetime" -> ((s, d) => sql(s, d, """
+      SELECT o_orderkey, l_partkey,
+        date_diff('day', o_orderdate, l_shipdate) AS lag_days,
+        date_diff('hour', o_orderdate, l_shipdate) AS lag_hours,
+        date_diff('second', o_orderdate, l_shipdate) AS lag_secs,
+        date_format(date_add('day', 30, o_orderdate), 'yyyy-MM-dd HH:mm:ss') AS due_ts,
+        day_of_week(o_orderdate) AS dow,
+        day_of_year(o_orderdate) AS doy,
+        week(o_orderdate) AS wk,
+        year_of_week(o_orderdate) AS yow,
+        CAST(last_day_of_month(o_orderdate) AS VARCHAR(10)) AS month_end,
+        date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start
+      FROM orders JOIN lineitem
+        ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+      WHERE o_orderkey % 501 = 0
+      ORDER BY o_orderkey, l_partkey, lag_secs, l_extendedprice, l_quantity"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1620,6 +1665,26 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s24: full-elapsed-unit diffs replay as integer floor division of
+    // the microsecond delta (non-negative by the join condition, where
+    // floor == Presto/ChronoUnit truncation); the ISO extracts replay
+    // as DuckDB's isodow / dayofyear / weekofyear / isoyear
+    "s24_sql_presto_datetime" -> """
+      SELECT o_orderkey, l_partkey,
+        (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS lag_days,
+        (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 3600000000 AS lag_hours,
+        (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 1000000 AS lag_secs,
+        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS due_ts,
+        isodow(o_orderdate) AS dow,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+        CAST(isoyear(o_orderdate) AS BIGINT) AS yow,
+        CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      FROM orders JOIN lineitem
+        ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+      WHERE o_orderkey % 501 = 0
+      ORDER BY o_orderkey, l_partkey, lag_secs, l_extendedprice, l_quantity""",
     // s22: the URL is constructed in-query, so every extraction replays
     // closed-form from the same arithmetic; approx_distinct over 5
     // residues is deterministic and SF-independent (HLL++ linear-counting

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, DateFormatClass, Divide, EqualTo, Expression, ExpressionInfo, Floor, GetJsonObject, If, Literal, Multiply, ParseUrl, RLike, RegExpExtract, Signum, StringLocate, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Cast, DateFormatClass, DatePart, DayOfYear, Divide, EqualTo, Expression, ExpressionInfo, Floor, GetJsonObject, If, LastDay, Literal, Multiply, ParseUrl, RLike, RegExpExtract, Signum, StringLocate, UnixMicros, WeekDay, WeekOfYear}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.sql.GraftBridge
@@ -363,10 +363,39 @@ object GraftFunctions {
     "from_iso8601_timestamp" -> (args => Cast(args.head, TimestampType)),
     "from_iso8601_date" -> (args => Cast(args.head, DateType)))
 
+  /** Presto datetime spellings. The ISO field extracts return BIGINT
+    * like Presto: day_of_week/dow 1=Monday per ISO (Spark's weekday+1),
+    * week/week_of_year the ISO week, year_of_week/yow the ISO
+    * week-based year, day_of_year/doy, and last_day_of_month.
+    * (date_diff/date_add live in GraftCli's dialect REWRITE — see the
+    * note on the Seq below.) */
+  private[functions] val prestoDatetime: Seq[(String, Seq[Expression] => Expression)] = {
+    def dayOfWeek(args: Seq[Expression]): Expression =
+      Cast(Add(WeekDay(Cast(args.head, DateType)), Literal(1)), LongType)
+    def dayOfYear(args: Seq[Expression]): Expression =
+      Cast(DayOfYear(Cast(args.head, DateType)), LongType)
+    def week(args: Seq[Expression]): Expression =
+      Cast(WeekOfYear(Cast(args.head, DateType)), LongType)
+    def yearOfWeek(args: Seq[Expression]): Expression =
+      Cast(DatePart.parseExtractField("YEAROFWEEK", Cast(args.head, DateType)), LongType)
+    // date_diff/date_add are NOT here: Spark handles them in the GRAMMAR
+    // (AstBuilder.visitTimestampdiff/-add — a registry builder never
+    // sees the call), so Presto's quoted-unit spelling is served by
+    // GraftCli's dialect rewrite at the SQL front door instead, landing
+    // on Spark's own ChronoUnit full-elapsed-unit semantics — the same
+    // periods Presto's Joda implementation counts.
+    Seq(
+      "day_of_week" -> (dayOfWeek _), "dow" -> (dayOfWeek _),
+      "day_of_year" -> (dayOfYear _), "doy" -> (dayOfYear _),
+      "week" -> (week _), "week_of_year" -> (week _),
+      "year_of_week" -> (yearOfWeek _), "yow" -> (yearOfWeek _),
+      "last_day_of_month" -> (args => LastDay(Cast(args.head, DateType))))
+  }
+
   /** The one SQL surface (core kernels + Presto-dialect aliases),
     * consumed by BOTH [[install]] and [[GraftExtensions]]. */
   private[functions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
-    coreBuilders ++ prestoDialect
+    coreBuilders ++ prestoDialect ++ prestoDatetime
 
   /** The surface's names (the CLI's SHOW FUNCTIONS source tag). */
   private[graft] def sqlNames: Seq[String] = sqlBuilders.map(_._1)

@@ -1007,6 +1007,48 @@ class CliSpec extends GraftSpec {
       "SELECT * FROM no_such_table_dist"))
   }
 
+  test("presto datetime dialect: quoted-unit rewrite, ChronoUnit semantics, ISO extracts") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = GraftCli.sql(s, sf, q).head()
+    // the rewrite itself: quoted and bare unit spellings agree
+    assert(GraftCli.rewritePrestoDatetime("date_diff('day', a, b)") == "date_diff(day,  a, b)"
+      || GraftCli.rewritePrestoDatetime("date_diff('day', a, b)") == "date_diff(day, a, b)")
+    assert(one("SELECT date_diff('day', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03 12:00:00')")
+      .getLong(0) == 2L)
+    assert(one("SELECT date_diff(day, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03 12:00:00')")
+      .getLong(0) == 2L)
+    // PRESTO (Joda/ChronoUnit) month semantics: full elapsed months, not
+    // DuckDB-style calendar-boundary counting
+    assert(one("SELECT date_diff('month', TIMESTAMP '2024-01-31', TIMESTAMP '2024-02-01')")
+      .getLong(0) == 0L)
+    assert(one("SELECT date_diff('month', TIMESTAMP '2024-01-15', TIMESTAMP '2024-03-15')")
+      .getLong(0) == 2L)
+    // date_add with a negative quantity
+    assert(one("""SELECT CAST(date_add('hour', -24, TIMESTAMP '2024-01-02 06:00:00') AS STRING)""")
+      .getString(0) == "2024-01-01 06:00:00")
+    // Spark's own 2-arg forms are untouched by the rewrite
+    assert(one("SELECT date_diff(DATE '2024-01-05', DATE '2024-01-01')").getInt(0) == 4)
+    assert(one("SELECT CAST(date_add(DATE '2024-01-01', 3) AS STRING)").getString(0) == "2024-01-04")
+    // a unit word inside an ordinary string literal is not rewritten
+    assert(GraftCli.rewritePrestoDatetime("SELECT 'day', x") == "SELECT 'day', x")
+    // ISO extracts: 2024-01-01 is a Monday of ISO week 1; 2021-01-01 is a
+    // Friday belonging to ISO week 53 of week-year 2020
+    assert(one("SELECT day_of_week(TIMESTAMP '2024-01-01')").getLong(0) == 1L)
+    assert(one("SELECT dow(DATE '2021-01-03')").getLong(0) == 7L) // Sunday
+    assert(one("SELECT week(DATE '2021-01-01')").getLong(0) == 53L)
+    assert(one("SELECT year_of_week(DATE '2021-01-01')").getLong(0) == 2020L)
+    assert(one("SELECT yow(DATE '2024-01-01')").getLong(0) == 2024L)
+    assert(one("SELECT day_of_year(DATE '2024-02-01')").getLong(0) == 32L)
+    assert(one("SELECT doy(DATE '2024-12-31')").getLong(0) == 366L)
+    assert(one("SELECT CAST(last_day_of_month(TIMESTAMP '2024-02-10 05:00:00') AS STRING)")
+      .getString(0) == "2024-02-29")
+    // misuse: an unknown unit is NOT rewritten and fails with the
+    // engine's own unit error, statement-scoped
+    val e = intercept[Exception](
+      GraftCli.sql(s, sf, "SELECT date_diff('fortnight', ts, ts) FROM events"))
+    assert(e.getMessage.contains("fortnight") || e.getMessage.contains("unit"), e.getMessage)
+  }
+
   test("presto dialect aliases: edge semantics beyond the s22 oracle") {
     val s = GraftCli.open(spark, sf)
     def one(q: String) = s.sql(q).head()
