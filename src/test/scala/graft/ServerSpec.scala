@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.{Connection, DriverManager}
+
+/** Network SQL endpoint (GraftServer): boots the Thrift service on a
+  * random free port inside this JVM, connects over the REAL socket with
+  * hive-jdbc, and pins the wire results row-for-row against the
+  * in-process front door — the reference's `connect`-to-a-running-server
+  * UX (presto-mgr.py:205, nodes.py server actors), live. */
+class ServerSpec extends GraftSpec {
+
+  private var running: GraftServer.Running = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    running = GraftServer.start(spark, sf, port = 0)
+  }
+
+  override def afterAll(): Unit = {
+    try if (running != null) running.stop()
+    finally super.afterAll()
+  }
+
+  /** Connect with retry: the thrift service accepts sockets a beat after
+    * start() returns. */
+  private def connect(): Connection = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var last: Exception = null
+    while (System.nanoTime() < deadline) {
+      try return DriverManager.getConnection(running.jdbcUrl)
+      catch { case e: Exception => last = e; Thread.sleep(500) }
+    }
+    throw new IllegalStateException(s"thrift endpoint never came up: $last")
+  }
+
+  private def jdbcRows(conn: Connection, sql: String): Seq[Seq[String]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val out = Seq.newBuilder[Seq[String]]
+      while (rs.next()) out += (1 to n).map(i => String.valueOf(rs.getString(i)))
+      out.result()
+    } finally st.close()
+  }
+
+  private def sparkRows(sql: String): Seq[Seq[String]] =
+    GraftCli.sql(spark, sf, sql).collect().toSeq
+      .map(_.toSeq.map(String.valueOf(_)))
+
+  test("s01's SQL over the socket matches the in-process front door row-for-row") {
+    val q = """SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+    val conn = connect()
+    try {
+      val wire = jdbcRows(conn, q)
+      val local = sparkRows(q)
+      assert(wire.nonEmpty && wire == local,
+        s"wire=$wire\nlocal=$local")
+    } finally conn.close()
+  }
+
+  test("graft-native function (cosine_sim) rides into the thrift session") {
+    // extensions-injected functions must resolve in the server-side
+    // session (newSession() re-applies spark.sql.extensions)
+    val q = """SELECT a.vec_id,
+        round(cosine_sim(a.embedding, b.embedding), 4) + 0.0 AS sim_next
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      ORDER BY a.vec_id LIMIT 20"""
+    val conn = connect()
+    try {
+      val wire = jdbcRows(conn, q)
+      val local = sparkRows(q)
+      assert(wire.size == 20 && wire == local)
+    } finally conn.close()
+  }
+
+  test("SET / SHOW of a session property round-trips over the wire") {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      st.execute("SET spark.sql.shuffle.partitions=16")
+      val got = jdbcRows(conn, "SET spark.sql.shuffle.partitions")
+      assert(got == Seq(Seq("spark.sql.shuffle.partitions", "16")), got.toString)
+      // the thrift session is ISOLATED (multi-session mode): the parent
+      // session's conf must be untouched
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+      st.close()
+    } finally conn.close()
+  }
+
+  test("the events view serves the normalized TIMESTAMP surface cross-session") {
+    val conn = connect()
+    try {
+      val rows = jdbcRows(conn,
+        "SELECT typeof(ts) AS t, count(*) AS n FROM events GROUP BY typeof(ts)")
+      assert(rows.size == 1 && rows.head.head == "timestamp"
+        && rows.head(1).toLong > 0, rows.toString)
+    } finally conn.close()
+  }
+
+  test("catalog surface (SHOW TABLES) is served to remote clients") {
+    val conn = connect()
+    try {
+      val tables = jdbcRows(conn, "SHOW TABLES").map(_(1)).toSet
+      assert(Set("lineitem", "orders", "customer", "documents",
+        "embeddings", "events").subsetOf(tables), tables.toString)
+    } finally conn.close()
+  }
+}
