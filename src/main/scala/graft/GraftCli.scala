@@ -62,20 +62,23 @@ object GraftCli {
     * identifier spelling, landing on Spark's own ChronoUnit
     * full-elapsed-unit semantics — the same periods Presto's Joda
     * implementation counts (CliSpec pins the Jan31→Feb1 month case at
-    * 0, not DuckDB-style boundary counting). The pattern only fires on
-    * a unit KEYWORD quoted directly after the function name — a date
-    * string there (the 2-arg Spark forms) never matches; the one
-    * theoretical false positive is this exact call text embedded inside
-    * a string literal. */
-  private val DatetimeUnitQuote =
-    ("(?i)\\b(date_diff|datediff|date_add|dateadd|timestampdiff|timestampadd)\\s*\\(\\s*" +
-      "'(year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond)'\\s*,").r
+    * 0, not DuckDB-style boundary counting). Literal-/comment-aware
+    * since r18 — the pattern embedded inside a string literal is left
+    * alone (see [[PrestoRewrite]]). */
   private[graft] def rewritePrestoDatetime(text: String): String =
-    DatetimeUnitQuote.replaceAllIn(text, m => s"${m.group(1)}(${m.group(2)}, ")
+    PrestoRewrite.rewriteDatetime(text)
+
+  /** All Presto-dialect text rewrites: quoted datetime units + generic
+    * TRY(...) + zip-UNNEST (PrestoRewrite). Applied on every path that
+    * hands user SQL text to the parser — bare statements, EXECUTE
+    * templates (BEFORE parameter binding, so a bound string value
+    * containing a rewritable pattern is never corrupted), and every
+    * EXPLAIN flavor. */
+  private[graft] def rewriteDialect(text: String): String = PrestoRewrite(text)
 
   /** Execute one SQL statement (the programmatic front door). */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame =
-    open(spark, sfDir).sql(rewritePrestoDatetime(text))
+    open(spark, sfDir).sql(rewriteDialect(text))
 
   /** Split ;-terminated SQL statements, leaving semicolons inside
     * single-quoted literals alone ('' quote escaping falls out naturally:
@@ -1103,9 +1106,13 @@ object GraftCli {
         throw new IllegalStateException(
           "current transaction is aborted — ROLLBACK before issuing " +
             "further statements")
-      case ExplainAnalyze(query) =>
+      case ExplainAnalyze(query0) =>
+        // EXPLAIN paths get the same dialect rewrite as execution paths:
+        // a Presto-spelled query that runs must also EXPLAIN (r17 ADVICE)
+        val query = rewriteDialect(query0)
         (if (format == "table") out else err).println(explainAnalyze(spark, query))
-      case ExplainTyped(mode, query) =>
+      case ExplainTyped(mode, query0) =>
+        val query = rewriteDialect(query0)
         if (mode.equalsIgnoreCase("VALIDATE"))
           render(explainValidate(spark, query), format, out)
         else if (mode.equalsIgnoreCase("DISTRIBUTED"))
@@ -1124,9 +1131,11 @@ object GraftCli {
         val key = name.toLowerCase(java.util.Locale.ROOT)
         val template = prepared.getOrElse(key, throw new IllegalArgumentException(
           s"EXECUTE: no prepared statement named $key (PREPARE it first)"))
-        val bound = bindParameters(template,
+        // rewrite the TEMPLATE, then bind: a bound string PARAMETER whose
+        // value happens to contain a rewritable pattern must stay verbatim
+        val bound = bindParameters(rewriteDialect(template),
           Option(usingArgs).map(splitArgs).getOrElse(Nil))
-        render(spark.sql(rewritePrestoDatetime(bound)), format, out)
+        render(spark.sql(bound), format, out)
       case ShowStats(mode, table) =>
         render(showStats(spark, table,
           exact = mode != null && mode.equalsIgnoreCase("EXACT")), format, out)
@@ -1162,7 +1171,7 @@ object GraftCli {
         render(showPartitions(spark, table), format, out)
       case ShowFunctions(pattern) =>
         render(showFunctions(spark, Option(pattern)), format, out)
-      case bare => render(spark.sql(rewritePrestoDatetime(bare)), format, out)
+      case bare => render(spark.sql(rewriteDialect(bare)), format, out)
     } catch { case e: Exception =>
       // Presto transaction semantics: a statement failure inside an open
       // transaction aborts it — only ROLLBACK is accepted afterwards
@@ -1224,7 +1233,7 @@ object GraftCli {
     executeStmt.stripSuffix(";") match {
       case Execute(name, usingArgs) =>
         val template = store(name.toLowerCase(java.util.Locale.ROOT))
-        spark.sql(bindParameters(template,
+        spark.sql(bindParameters(rewriteDialect(template),
           Option(usingArgs).map(splitArgs).getOrElse(Nil)))
       case other => throw new IllegalArgumentException(
         s"not an EXECUTE statement: $other")
@@ -1630,7 +1639,29 @@ object GraftCli {
       FROM orders JOIN lineitem
         ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
       WHERE o_orderkey % 501 = 0
-      ORDER BY o_orderkey, l_partkey, lag_secs, l_extendedprice, l_quantity"""))
+      ORDER BY o_orderkey, l_partkey, lag_secs, l_extendedprice, l_quantity""")),
+    // s25: the generic TRY(...) + zip-UNNEST WITH ORDINALITY dialect
+    // forms (r17 verdict task 2 — the two most common pasted-Presto
+    // idioms still unserved). TRY rewrites the known bodies to Spark's
+    // try_* family (unknown bodies refused loudly); UNNEST(a, b) zips
+    // positionally with NULL padding (zip_with semantics) and a 1-based
+    // BIGINT ordinality, expressed as LATERAL VIEW inline(zip_with(...))
+    // — builtin higher-order functions, codegen end-to-end. qty's length
+    // varies 1..3 against pri's fixed 2, so both padding directions and
+    // the try_cast / try_divide / try_element_at NULL paths are all
+    // exercised and oracled.
+    "s25_sql_presto_try_unnest" -> ((s, d) => sql(s, d, """
+      WITH src AS (
+        SELECT o_orderkey,
+          sequence(1, 1 + o_orderkey % 3) AS qty,
+          split(o_orderpriority, '-') AS pri
+        FROM orders WHERE o_orderkey % 301 = 0)
+      SELECT o_orderkey, x, y, ord,
+        TRY(x / (o_orderkey % 2)) AS safe_div,
+        TRY(CAST(y AS INT)) AS y_int,
+        TRY(element_at(qty, 3)) AS third
+      FROM src CROSS JOIN UNNEST(qty, pri) WITH ORDINALITY AS t(x, y, ord)
+      ORDER BY o_orderkey, ord"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1665,6 +1696,30 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s25: DuckDB has no zip-UNNEST either — the replay expands an
+    // explicit 1..max(len) ordinality (generate_series) and indexes both
+    // lists (out-of-range list indexing is NULL in DuckDB, matching
+    // zip_with's padding); TRY bodies replay as TRY_CAST / NULLIF
+    // division / plain out-of-range indexing
+    "s25_sql_presto_try_unnest" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          generate_series(1, 1 + o_orderkey % 3) AS qty,
+          string_split(o_orderpriority, '-') AS pri
+        FROM orders WHERE o_orderkey % 301 = 0),
+      ex AS (
+        SELECT o_orderkey, qty, pri,
+          unnest(generate_series(1, greatest(len(qty), len(pri)))) AS ord
+        FROM src)
+      SELECT o_orderkey,
+        qty[ord] AS x,
+        pri[ord] AS y,
+        ord,
+        qty[ord] / NULLIF(o_orderkey % 2, 0) AS safe_div,
+        TRY_CAST(pri[ord] AS INTEGER) AS y_int,
+        qty[3] AS third
+      FROM ex
+      ORDER BY o_orderkey, ord""",
     // s24: full-elapsed-unit diffs replay as integer floor division of
     // the microsecond delta (non-negative by the join condition, where
     // floor == Presto/ChronoUnit truncation); the ISO extracts replay

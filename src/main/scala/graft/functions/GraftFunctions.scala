@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Cast, DateFormatClass, DatePart, DayOfYear, Divide, EqualTo, Expression, ExpressionInfo, Floor, GetJsonObject, If, LastDay, Literal, Multiply, ParseUrl, RLike, RegExpExtract, Signum, StringLocate, UnixMicros, WeekDay, WeekOfYear}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Cast, DateFormatClass, DatePart, DayOfYear, Divide, EqualTo, Expression, ExpressionInfo, Floor, GetJsonObject, If, LastDay, Literal, Multiply, ParseUrl, RLike, RegExpExtract, Signum, StringLocate, TypeOf, UnixMicros, WeekDay, WeekOfYear}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.sql.GraftBridge
@@ -316,11 +316,11 @@ object GraftFunctions {
       if (args.length > 1) literalDouble("approx_distinct", args(1)) else 0.023)
       .toAggregateExpression()),
     // json_extract_scalar returns NULL for non-scalar matches (objects/
-    // arrays) where Spark's get_json_object would return their JSON text
-    "json_extract_scalar" -> (args => {
-      val got = GetJsonObject(args(0), args(1))
-      If(RLike(got, Literal("^[\\[{]")), Literal(null, StringType), got)
-    }),
+    // arrays) where Spark's get_json_object would return their JSON
+    // text. Native expression: classification by PARSED node type, so a
+    // string scalar whose value merely looks like JSON ({"a":"[x]"})
+    // stays a string (r17 ADVICE — the old text-shape RLike misread it)
+    "json_extract_scalar" -> (args => JsonExtractScalar(args(0), args(1))),
     "url_extract_host" -> (args => ParseUrl(Seq(args.head, Literal("HOST")))),
     "url_extract_path" -> (args => ParseUrl(Seq(args.head, Literal("PATH")))),
     "url_extract_protocol" -> (args => ParseUrl(Seq(args.head, Literal("PROTOCOL")))),
@@ -356,10 +356,17 @@ object GraftFunctions {
       Multiply(Signum(x),
         Divide(Cast(Floor(Multiply(Abs(x), pow)), DoubleType), pow))
     }),
-    // to_iso8601: Presto's 'T'-separated rendering with milliseconds
-    // (timestamp form; DATE inputs render through the midnight timestamp)
-    "to_iso8601" -> (args => DateFormatClass(Cast(args.head, TimestampType),
-      Literal("yyyy-MM-dd'T'HH:mm:ss.SSS"))),
+    // to_iso8601: Presto's 'T'-separated rendering with milliseconds for
+    // timestamps, and the bare 'yyyy-MM-dd' for DATE inputs (Presto's
+    // to_iso8601(date) — r17 ADVICE: the always-through-timestamp cast
+    // rendered dates as midnight timestamps). The branch is on TypeOf,
+    // which is foldable once resolved, so the optimizer constant-folds
+    // the If away — no per-row dispatch survives into the plan.
+    "to_iso8601" -> (args => If(
+      EqualTo(TypeOf(args.head), Literal("date")),
+      DateFormatClass(Cast(args.head, TimestampType), Literal("yyyy-MM-dd")),
+      DateFormatClass(Cast(args.head, TimestampType),
+        Literal("yyyy-MM-dd'T'HH:mm:ss.SSS")))),
     "from_iso8601_timestamp" -> (args => Cast(args.head, TimestampType)),
     "from_iso8601_date" -> (args => Cast(args.head, DateType)))
 

@@ -1117,6 +1117,93 @@ object Kernels {
   /** HMAC-SHA256 (RFC 2104 with SHA-256) — Presto's hmac_sha256. */
   def hmacSha256(data: Array[Byte], key: Array[Byte]): Array[Byte] =
     hmac(data, key, "HmacSHA256")
+
+  // ------------------------------------------------ json_extract_scalar
+
+  /** Jackson mapper (Spark ships jackson-databind); thread-safe for
+    * reads. */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Per-thread memo of the last parsed path: the path argument is
+    * almost always a literal, so each task parses it once. Steps are
+    * either a String (object key) or java.lang.Integer (array index). */
+  private val lastPath = new ThreadLocal[(String, Array[AnyRef])]
+
+  /** Parse the JsonPath subset Presto's json_extract_scalar serves in
+    * practice: `$`, `.key`, `['key']` / `["key"]`, `[index]`. Anything
+    * else (wildcards, recursive descent, filters) is refused loudly —
+    * never silently misread. */
+  def parseJsonPath(p: String): Array[AnyRef] = {
+    val memo = lastPath.get()
+    if (memo != null && memo._1 == p) return memo._2
+    require(p.nonEmpty && p.charAt(0) == '$',
+      s"json_extract_scalar: path must start with '$$': $p")
+    val steps = Array.newBuilder[AnyRef]
+    var i = 1
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '.' =>
+          i += 1
+          val start = i
+          while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[') i += 1
+          require(i > start, s"json_extract_scalar: empty key in path: $p")
+          steps += p.substring(start, i)
+        case '[' =>
+          i += 1
+          require(i < p.length, s"json_extract_scalar: unterminated '[' in path: $p")
+          val q = p.charAt(i)
+          if (q == '\'' || q == '"') {
+            i += 1
+            val start = i
+            while (i < p.length && p.charAt(i) != q) i += 1
+            require(i < p.length && i + 1 < p.length && p.charAt(i + 1) == ']',
+              s"json_extract_scalar: unterminated quoted key in path: $p")
+            steps += p.substring(start, i)
+            i += 2
+          } else {
+            val start = i
+            while (i < p.length && p.charAt(i) != ']') i += 1
+            require(i < p.length, s"json_extract_scalar: unterminated '[' in path: $p")
+            val idx = p.substring(start, i)
+            require(idx.nonEmpty && idx.forall(Character.isDigit),
+              s"json_extract_scalar: unsupported path step [$idx] in $p " +
+                "(keys as ['key'], indexes as [0]; wildcards/filters are not served)")
+            steps += java.lang.Integer.valueOf(idx)
+            i += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"json_extract_scalar: unsupported path syntax '$other' in $p")
+      }
+    }
+    val out = steps.result()
+    lastPath.set((p, out))
+    out
+  }
+
+  /** Presto json_extract_scalar: walk the path in the PARSED document and
+    * return the node's text only when it is a true JSON scalar (string /
+    * number / boolean). Objects, arrays, JSON null, path misses, and
+    * malformed documents return SQL NULL. Classifying by parsed node type
+    * (not by the extracted text's shape) keeps a legitimate string scalar
+    * whose value starts with '[' or '{' — e.g. {"a":"[x]"} — a string,
+    * where a get_json_object+regex reimplementation misreads it. */
+  def jsonExtractScalar(json: UTF8String, path: UTF8String): UTF8String = {
+    val steps = parseJsonPath(path.toString)
+    var node: com.fasterxml.jackson.databind.JsonNode =
+      try jsonMapper.readTree(json.toString)
+      catch { case _: Exception => return null }
+    var i = 0
+    while (i < steps.length && node != null) {
+      steps(i) match {
+        case key: String => node = if (node.isObject) node.get(key) else null
+        case idx: java.lang.Integer =>
+          node = if (node.isArray) node.get(idx.intValue) else null
+      }
+      i += 1
+    }
+    if (node == null || node.isNull || node.isContainerNode) null
+    else UTF8String.fromString(node.asText())
+  }
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
@@ -1134,6 +1221,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** json_extract_scalar(json, path) -> string — Presto semantics: text of
+  * a true JSON SCALAR at the path, NULL for objects/arrays/JSON-null/
+  * misses/malformed input. Type-classified on the parsed node (see
+  * Kernels.jsonExtractScalar), unlike get_json_object whose text output
+  * can't distinguish a string scalar that LOOKS like JSON. */
+case class JsonExtractScalar(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(json: Any, path: Any): Any =
+    Kernels.jsonExtractScalar(json.asInstanceOf[UTF8String],
+      path.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, p) => s"""
+      ${ev.value} = graft.functions.Kernels.jsonExtractScalar($j, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonExtractScalar =
     copy(left = l, right = r)
 }
 

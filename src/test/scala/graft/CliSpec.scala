@@ -1091,5 +1091,162 @@ class CliSpec extends GraftSpec {
       .getString(0) == "2024-01-02T03:04:05.678")
     assert(one("SELECT CAST(from_iso8601_date('2024-03-01') AS STRING)")
       .getString(0) == "2024-03-01")
+    // to_iso8601 of a DATE renders the bare date (Presto), not a
+    // midnight timestamp (r17 ADVICE)
+    assert(one("SELECT to_iso8601(DATE '2024-03-01')").getString(0) == "2024-03-01")
+  }
+
+  test("json_extract_scalar classifies by parsed JSON type, not text shape") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = s.sql(q).head()
+    // a STRING scalar whose value looks like JSON stays a string
+    // (r17 ADVICE: the old RLike-on-extracted-text misread these)
+    assert(one("""SELECT json_extract_scalar('{"a":"[x]"}', '$.a')""")
+      .getString(0) == "[x]")
+    // (SQL \\" escapes put a literal \" inside the JSON text, so 'a' is
+    // the STRING {"b":1}, not a nested object)
+    assert(one("""SELECT json_extract_scalar('{"a":"{\\"b\\":1}"}', '$.a')""")
+      .getString(0) == """{"b":1}""")
+    // numbers and booleans render as their text
+    assert(one("""SELECT json_extract_scalar('{"n":2.5}', '$.n')""").getString(0) == "2.5")
+    assert(one("""SELECT json_extract_scalar('{"b":true}', '$.b')""").getString(0) == "true")
+    // nested paths, array indexes, quoted keys
+    assert(one("""SELECT json_extract_scalar('{"a":{"b":"v"}}', '$.a.b')""")
+      .getString(0) == "v")
+    assert(one("""SELECT json_extract_scalar('{"a":[10,20,30]}', '$.a[1]')""")
+      .getString(0) == "20")
+    assert(one("""SELECT json_extract_scalar('{"k y":"v"}', '$["k y"]')""")
+      .getString(0) == "v")
+    // JSON null, misses, malformed documents, and the root form
+    assert(one("""SELECT json_extract_scalar('{"a":null}', '$.a')""").isNullAt(0))
+    assert(one("""SELECT json_extract_scalar('{"a":1}', '$.zz')""").isNullAt(0))
+    assert(one("""SELECT json_extract_scalar('not json', '$.a')""").isNullAt(0))
+    assert(one("""SELECT json_extract_scalar('"s"', '$')""").getString(0) == "s")
+    // unsupported path syntax is refused loudly, not misread
+    intercept[Exception](one("""SELECT json_extract_scalar('{"a":1}', '$.a[*]')"""))
+  }
+
+  test("presto TRY(...) dialect: known bodies rewrite to try_*, unknown refused") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = GraftCli.sql(s, sf, q).head()
+    // rewrite shapes (text level)
+    assert(PrestoRewrite.rewriteTry("SELECT TRY(CAST(x AS INT)) FROM t") ==
+      "SELECT try_CAST(x AS INT) FROM t")
+    assert(PrestoRewrite.rewriteTry("SELECT TRY(element_at(a, 5))") ==
+      "SELECT try_element_at(a, 5)")
+    assert(PrestoRewrite.rewriteTry("SELECT TRY(a / b)") ==
+      "SELECT try_divide(a, b)")
+    assert(PrestoRewrite.rewriteTry("SELECT TRY(f(x, y) - g(z))") ==
+      "SELECT try_subtract(f(x, y), g(z))")
+    // nested TRY rewrites inside-out
+    assert(PrestoRewrite.rewriteTry("TRY(TRY(a / b) * c)") ==
+      "try_multiply(try_divide(a, b), c)")
+    // unary minus and float exponents are not binary operators
+    assert(PrestoRewrite.rewriteTry("TRY(-a + b)") == "try_add(-a, b)")
+    assert(PrestoRewrite.rewriteTry("TRY(x * 1e-5)") == "try_multiply(x, 1e-5)")
+    // a TRY( inside a string literal is untouched
+    assert(PrestoRewrite.rewriteTry("SELECT 'TRY(a/b)' AS t") ==
+      "SELECT 'TRY(a/b)' AS t")
+    // try_x( never matches the TRY token
+    assert(PrestoRewrite.rewriteTry("SELECT try_divide(a, b)") ==
+      "SELECT try_divide(a, b)")
+    // unknown bodies are refused loudly — semantics never silently change
+    val e = intercept[IllegalArgumentException](
+      PrestoRewrite.rewriteTry("SELECT TRY(json_parse(x))"))
+    assert(e.getMessage.contains("unsupported body"), e.getMessage)
+    intercept[IllegalArgumentException](
+      PrestoRewrite.rewriteTry("SELECT TRY(a / b / c)"))
+    // end-to-end semantics through the front door
+    assert(one("SELECT TRY(1 / 0) AS d").isNullAt(0))
+    assert(one("SELECT TRY(10 / 4) AS d").getDouble(0) == 2.5)
+    assert(one("SELECT TRY(CAST('zz' AS INT)) AS c").isNullAt(0))
+    assert(one("SELECT TRY(CAST('7' AS INT)) AS c").getInt(0) == 7)
+    assert(one("SELECT TRY(element_at(array(1, 2), 9)) AS e").isNullAt(0))
+    // INT overflow: Presto throws, TRY catches → NULL (try_add parity)
+    assert(one("SELECT TRY(2147483647 + 1) AS o").isNullAt(0))
+    assert(one("SELECT TRY(40 + 2) AS o").getInt(0) == 42)
+  }
+
+  test("presto zip-UNNEST dialect: positional zip, NULL padding, ordinality") {
+    val s = GraftCli.open(spark, sf)
+    def rows(q: String) = GraftCli.sql(s, sf, q).collect()
+    // two arrays of different lengths zip with NULL padding; ordinality
+    // is 1-based BIGINT; qualified refs through the alias resolve
+    val r = rows("""
+      SELECT t.x, y, ord
+      FROM (SELECT array(10, 20, 30) AS a, array('p', 'q') AS b) src
+      CROSS JOIN UNNEST(a, b) WITH ORDINALITY AS t(x, y, ord)
+      ORDER BY ord""")
+    assert(r.length == 3)
+    assert(r(0).getInt(0) == 10 && r(0).getString(1) == "p" && r(0).getLong(2) == 1L)
+    assert(r(2).getInt(0) == 30 && r(2).isNullAt(1) && r(2).getLong(2) == 3L)
+    // single array with ordinality
+    val r1 = rows("""
+      SELECT v, n FROM (SELECT array('a', 'b') AS xs) src
+      CROSS JOIN UNNEST(xs) WITH ORDINALITY AS u(v, n) ORDER BY n""")
+    assert(r1.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    // single array without ordinality (plain explode path)
+    val r2 = rows("""
+      SELECT v FROM (SELECT array(7, 8) AS xs) src
+      CROSS JOIN UNNEST(xs) AS u(v) ORDER BY v""")
+    assert(r2.map(_.getInt(0)).toSeq == Seq(7, 8))
+    // three arrays
+    val r3 = rows("""
+      SELECT a1, b1, c1 FROM (SELECT array(1) AS a, array(2) AS b, array(3) AS c) src
+      CROSS JOIN UNNEST(a, b, c) AS t(a1, b1, c1)""")
+    assert(r3.head.getInt(0) == 1 && r3.head.getInt(1) == 2 && r3.head.getInt(2) == 3)
+    // misuse: column-count mismatch and the bare-comma form refuse loudly
+    intercept[IllegalArgumentException](rows(
+      "SELECT * FROM (SELECT array(1) AS a) s CROSS JOIN UNNEST(a) AS t(x, y, z)"))
+    intercept[IllegalArgumentException](rows(
+      "SELECT * FROM (SELECT array(1) AS a) s, UNNEST(a) AS t(x)"))
+    // an UNNEST( inside a string literal is untouched
+    assert(PrestoRewrite.rewriteUnnest("SELECT 'CROSS JOIN UNNEST(a) AS t(x)'") ==
+      "SELECT 'CROSS JOIN UNNEST(a) AS t(x)'")
+  }
+
+  test("dialect rewrites are literal- and comment-aware on every front-door path") {
+    val s = GraftCli.open(spark, sf)
+    // the quoted-unit pattern inside a DOUBLE-quoted string literal (the
+    // r17 documented false positive) is untouched
+    assert(GraftCli.rewritePrestoDatetime("""SELECT "date_diff('day', a, b)" AS t""")
+      == """SELECT "date_diff('day', a, b)" AS t""")
+    // ... and inside comments
+    assert(GraftCli.rewritePrestoDatetime(
+      "SELECT 1 -- date_diff('day', a, b)\n") ==
+      "SELECT 1 -- date_diff('day', a, b)\n")
+    assert(GraftCli.rewritePrestoDatetime(
+      "SELECT /* date_diff('day', a, b) */ 1") ==
+      "SELECT /* date_diff('day', a, b) */ 1")
+    // while a real call AFTER a comment still rewrites
+    val mixed = GraftCli.rewritePrestoDatetime(
+      "-- note\nSELECT date_diff('day', a, b)")
+    assert(mixed == "-- note\nSELECT date_diff(day,  a, b)" ||
+      mixed == "-- note\nSELECT date_diff(day, a, b)")
+    // EXECUTE rewrites the TEMPLATE before binding: a bound string
+    // parameter containing the pattern stays verbatim
+    val out = new java.io.ByteArrayOutputStream
+    val prepared = scala.collection.mutable.Map[String, String]()
+    GraftCli.runStatement(s,
+      "PREPARE pv FROM SELECT ? AS v, date_diff('day', DATE '2024-01-01', DATE '2024-01-03') AS d",
+      "csv", new java.io.PrintStream(out), new java.io.PrintStream(new java.io.ByteArrayOutputStream), prepared)
+    GraftCli.runStatement(s,
+      "EXECUTE pv USING 'date_diff(''day'', x, y)'",
+      "csv", new java.io.PrintStream(out), new java.io.PrintStream(new java.io.ByteArrayOutputStream), prepared)
+    val csv = out.toString("UTF-8")
+    assert(csv.contains("date_diff('day', x, y)") && csv.contains(",2"), csv)
+    // EXPLAIN paths accept Presto spellings (r17 ADVICE): typed EXPLAIN
+    // and EXPLAIN ANALYZE of a quoted-unit query both route
+    val out2 = new java.io.ByteArrayOutputStream
+    GraftCli.runStatement(s,
+      "EXPLAIN (TYPE VALIDATE) SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-03')",
+      "csv", new java.io.PrintStream(out2), new java.io.PrintStream(new java.io.ByteArrayOutputStream))
+    assert(out2.toString("UTF-8").contains("true"), out2.toString)
+    val out3 = new java.io.ByteArrayOutputStream
+    GraftCli.runStatement(s,
+      "EXPLAIN ANALYZE SELECT TRY(1/0) AS x",
+      "table", new java.io.PrintStream(out3), new java.io.PrintStream(new java.io.ByteArrayOutputStream))
+    assert(out3.toString("UTF-8").contains("Physical Plan"), out3.toString)
   }
 }
