@@ -38,36 +38,47 @@ def preflight():
     process is alive — a live JVM's blockmgr must never be touched) and
     refuse to start a long DuckDB replay without disk headroom."""
     import shutil
-    java_alive = False
+    # a live java JVM owns /tmp/blockmgr-*/spark-*; a live python/duckdb
+    # process may own /tmp/duckdb_temp* (r17 advice: a concurrent gate
+    # replay's live temp was sweepable) — treat any of them as "in use"
+    busy = set()
     for pid in os.listdir("/proc"):
-        if not pid.isdigit():
+        if not pid.isdigit() or pid == str(os.getpid()):
             continue
         try:
             with open(f"/proc/{pid}/comm") as f:
-                if f.read().strip() == "java":
-                    java_alive = True
-                    break
+                comm = f.read().strip()
+            if comm == "java" or comm.startswith("python") or "duckdb" in comm:
+                busy.add(comm)
         except OSError:
             continue
     import glob
     stale = glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*") \
         + glob.glob("/tmp/duckdb_temp*")
-    if stale and java_alive:
-        print(f"[gate] preflight: {len(stale)} spill dir(s) in /tmp but a "
-              "java process is alive — not sweeping (kill stray JVMs and "
-              "rerun if these are leftovers)", flush=True)
+    if stale and busy:
+        print(f"[gate] preflight: {len(stale)} spill path(s) in /tmp but "
+              f"possibly-owning process(es) alive ({', '.join(sorted(busy))}) "
+              "— not sweeping (kill stray consumers and rerun if these are "
+              "leftovers)", flush=True)
     elif stale:
         freed = 0
+        swept = 0
         for d in stale:
             try:
-                sz = sum(f.stat().st_size for f in os.scandir(d)
-                         if f.is_file()) if os.path.isdir(d) else os.path.getsize(d)
+                if os.path.isdir(d):
+                    sz = sum(f.stat().st_size for f in os.scandir(d)
+                             if f.is_file())
+                    shutil.rmtree(d, ignore_errors=True)
+                else:
+                    sz = os.path.getsize(d)
+                    os.remove(d)  # rmtree(ignore_errors) silently no-ops on files
+                swept += 1
+                freed += sz
             except OSError:
-                sz = 0
-            shutil.rmtree(d, ignore_errors=True)
-            freed += sz
-        print(f"[gate] preflight: swept {len(stale)} stale spill path(s) "
-              f"from /tmp (~{freed / 1e9:.1f} GB at top level)", flush=True)
+                continue
+        print(f"[gate] preflight: swept {swept}/{len(stale)} stale spill "
+              f"path(s) from /tmp (~{freed / 1e9:.1f} GB at top level)",
+              flush=True)
     free_gb = shutil.disk_usage("/tmp").free / 1e9
     # sf1 k-core alone spills tens of GB of DuckDB temp; below 40 GB the
     # replay is more likely to produce a false ERROR than evidence
