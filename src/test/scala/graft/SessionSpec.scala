@@ -53,4 +53,34 @@ class SessionSpec extends GraftSpec {
     } finally spark.conf.unset(graft.plans.Checkpoints.ReliableConf)
   }
 
+  test("dynamic allocation scales executors UP under backlog (live local-cluster run)") {
+    // the reference's add_worker half (presto-mgr.py:177-181), observed
+    // LIVE: ElasticityProbe starts a local-cluster[2,2,…] mini-standalone
+    // cluster with initialExecutors=1, runs a wide shuffle job, and the
+    // allocation manager must grow to the second executor. local-cluster
+    // needs to OWN its SparkContext, so the probe runs in its own JVM
+    // (scripts/graft_java.sh) and reports machine-checkable lines.
+    val repo = new java.io.File(".").getCanonicalPath
+    val pb = new ProcessBuilder("bash", s"$repo/scripts/graft_java.sh",
+      "graft.tools.ElasticityProbe")
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    // the launcher library resolves the executor classpath via scala
+    // version when launched outside the distribution's shell scripts
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("GRAFT_XMX", "2g")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    assert(finished, "elasticity probe did not finish in 300s")
+    assert(proc.exitValue() == 0, s"probe failed:\n${out.takeRight(2000)}")
+    val lines = out.linesIterator.filter(_.startsWith("[elasticity]")).toSeq
+    assert(lines.exists(_.contains("initial=1")),
+      s"initial allocation must register exactly the configured floor: $lines")
+    assert(lines.exists(_.contains("grew=true")),
+      s"allocation manager must scale UP under sustained backlog: $lines")
+    assert(lines.exists(l => l.contains("max=2")),
+      s"the second worker's executor must come up: $lines")
+  }
+
 }
