@@ -41,6 +41,15 @@ object OracleSql {
             THEN left(acc, CAST(len(acc) - len(mg.a) AS INTEGER)) || mg.m
             ELSE acc || ' ' || x END)"""
 
+  /** The fold guarded for an EMPTY merge table: when fewer than K merges
+    * exist (a corpus whose alphabetic vocabulary exhausts early — the
+    * open-vocab GenData arm trains only 2), the trainer simply stops
+    * (TextAnalysis.bpeTrainOf's best.nonEmpty guard), so the replay must
+    * carry syms through the missing steps (LEFT JOIN ON TRUE + CASE)
+    * rather than CROSS JOIN the chain into an empty frame. */
+  private val bpeFoldOrKeep: String =
+    s"CASE WHEN mg.m IS NULL THEN syms ELSE $bpeFold END"
+
   /** The K training iterations (vocab → v0 → e/p/b/v/t per step) as a
     * WITH-clause body, shared by the t21 and t22 oracles. */
   private def bpeCtes(k: Int): String = {
@@ -56,8 +65,8 @@ object OracleSql {
                replace(pair, ' ', '') AS m, cnt
         FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
       v$i AS (
-        SELECT $bpeFold AS syms, n
-        FROM $prev CROSS JOIN b$i mg),
+        SELECT $bpeFoldOrKeep AS syms, n
+        FROM $prev LEFT JOIN b$i mg ON TRUE),
       t$i AS (SELECT CAST(SUM(n * len(string_split(syms, ' '))) AS BIGINT)
               AS corpus_tokens FROM v$i)"""
     }.mkString(",\n      ")
@@ -89,7 +98,8 @@ object OracleSql {
     * join back to word instances and aggregate per doc. */
   private def bpeEncodeOracle(k: Int): String = {
     val encodes = (1 to k).map { i =>
-      s"""dw$i AS (SELECT w, $bpeFold AS syms FROM dw${i - 1} CROSS JOIN b$i mg)"""
+      s"""dw$i AS (SELECT w, $bpeFoldOrKeep AS syms
+           FROM dw${i - 1} LEFT JOIN b$i mg ON TRUE)"""
     }.mkString(",\n      ")
     s"""
       WITH ${bpeCtes(k)},
