@@ -81,15 +81,17 @@ class ServerSpec extends GraftSpec {
   }
 
   test("SET / SHOW of a session property round-trips over the wire") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val wireValue = if (before == "16") "24" else "16" // always a CHANGE
     val conn = connect()
     try {
       val st = conn.createStatement()
-      st.execute("SET spark.sql.shuffle.partitions=16")
+      st.execute(s"SET spark.sql.shuffle.partitions=$wireValue")
       val got = jdbcRows(conn, "SET spark.sql.shuffle.partitions")
-      assert(got == Seq(Seq("spark.sql.shuffle.partitions", "16")), got.toString)
+      assert(got == Seq(Seq("spark.sql.shuffle.partitions", wireValue)), got.toString)
       // the thrift session is ISOLATED (multi-session mode): the parent
-      // session's conf must be untouched
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+      // session's conf must be untouched by the wire-side SET
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
       st.close()
     } finally conn.close()
   }
