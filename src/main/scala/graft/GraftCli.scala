@@ -49,6 +49,9 @@ object GraftCli {
   def open(spark: SparkSession, sfDir: String): SparkSession = {
     Tables.registerAll(spark, sfDir)
     GraftFunctions.install(spark)
+    // system.runtime.queries needs the history listener (idempotent);
+    // the system CATALOG itself rides in via GraftSession's conf
+    graft.sources.GraftSystemCatalog.installLog(spark)
     spark.conf.set("spark.graft.sfDir", sfDir)
     spark
   }

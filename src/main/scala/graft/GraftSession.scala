@@ -31,6 +31,10 @@ object GraftSession {
       // every session this factory creates (same mechanism a deployment
       // uses via --conf spark.sql.extensions).
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // Presto's cluster-introspection surface: SELECT * FROM
+      // system.runtime.nodes / system.runtime.queries (the reference's
+      // `status` command as queryable tables) — a read-only DSv2 catalog
+      .config("spark.sql.catalog.system", "graft.sources.GraftSystemCatalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1206,6 +1206,34 @@ class CliSpec extends GraftSpec {
       "SELECT 'CROSS JOIN UNNEST(a) AS t(x)'")
   }
 
+  test("system.runtime tables serve cluster introspection through the front door") {
+    val s = GraftCli.open(spark, sf)
+    // the reference's `status` surface (presto-mgr.py:159-169) as
+    // Presto's queryable system tables
+    val nodes = GraftCli.sql(s, sf,
+      "SELECT node_id, http_uri, node_version, coordinator, state " +
+        "FROM system.runtime.nodes").collect()
+    assert(nodes.nonEmpty && nodes.exists(_.getBoolean(3))
+      && nodes.forall(_.getString(4) == "active"), nodes.mkString(";"))
+    assert(nodes.head.getString(2) == s.version)
+    // history records both outcomes
+    intercept[Exception](GraftCli.sql(s, sf, "SELECT * FROM no_such_t").collect())
+    GraftCli.sql(s, sf, "SELECT 1 AS one").collect()
+    val states = GraftCli.sql(s, sf,
+      "SELECT state FROM system.runtime.queries").collect().map(_.getString(0)).toSet
+    assert(states.contains("FINISHED"), states.toString)
+    // catalog surface: listable, and read-only (writes refused)
+    val listed = GraftCli.sql(s, sf, "SHOW TABLES IN system.runtime")
+      .collect().map(_.getString(1)).toSet
+    assert(listed == Set("nodes", "queries"), listed.toString)
+    intercept[Exception](GraftCli.sql(s, sf,
+      "CREATE TABLE system.runtime.foo AS SELECT 1 AS x").collect())
+    // the introspection scan is driver-local — no distributed job
+    val plan = s.sql("SELECT * FROM system.runtime.nodes")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+  }
+
   test("dialect rewrites are literal- and comment-aware on every front-door path") {
     val s = GraftCli.open(spark, sf)
     // the quoted-unit pattern inside a DOUBLE-quoted string literal (the

@@ -114,4 +114,21 @@ class ServerSpec extends GraftSpec {
         "embeddings", "events").subsetOf(tables), tables.toString)
     } finally conn.close()
   }
+
+  test("system.runtime.nodes / queries (Presto cluster introspection) over the wire") {
+    val conn = connect()
+    try {
+      // the reference's `status` surface: one row per live node, the
+      // driver marked coordinator (local mode: exactly the driver)
+      val nodes = jdbcRows(conn,
+        "SELECT node_id, coordinator, state FROM system.runtime.nodes")
+      assert(nodes.nonEmpty && nodes.exists(_(1) == "true")
+        && nodes.forall(_(2) == "active"), nodes.toString)
+      // query history: the nodes SELECT above (and earlier suite queries)
+      // must appear with a FINISHED state
+      val qs = jdbcRows(conn,
+        "SELECT state FROM system.runtime.queries WHERE state = 'FINISHED' LIMIT 5")
+      assert(qs.nonEmpty, "query history should have FINISHED entries")
+    } finally conn.close()
+  }
 }
