@@ -170,12 +170,17 @@ object GraftSystemCatalog {
       installed += spark
       spark.listenerManager.register(new QueryExecutionListener {
         private def describe(qe: QueryExecution): String = {
-          // the analyzed plan's head line is a stable, bounded stand-in
-          // for SQL text (the listener API does not carry the original
-          // statement for DataFrame-built queries)
-          val head = qe.analyzed.nodeName
-          val cols = qe.analyzed.output.map(_.name).take(8).mkString(", ")
-          s"$head [$cols]".take(200)
+          // SQL-parsed plans carry their original statement in the tree
+          // Origin (Presto's queries.query column verbatim); DataFrame-
+          // built plans have no text, so fall back to a bounded plan
+          // descriptor
+          val fromOrigin = (qe.logical +: qe.logical.children)
+            .flatMap(p => p.origin.sqlText).headOption
+          fromOrigin.map(_.take(200)).getOrElse {
+            val head = qe.analyzed.nodeName
+            val cols = qe.analyzed.output.map(_.name).take(8).mkString(", ")
+            s"$head [$cols]".take(200)
+          }
         }
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =

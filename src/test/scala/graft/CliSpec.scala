@@ -1222,6 +1222,11 @@ class CliSpec extends GraftSpec {
     val states = GraftCli.sql(s, sf,
       "SELECT state FROM system.runtime.queries").collect().map(_.getString(0)).toSet
     assert(states.contains("FINISHED"), states.toString)
+    // SQL-parsed statements surface their ORIGINAL text (origin.sqlText),
+    // Presto's queries.query column behavior
+    val texts = GraftCli.sql(s, sf,
+      "SELECT query FROM system.runtime.queries").collect().map(_.getString(0))
+    assert(texts.exists(_.contains("SELECT 1 AS one")), texts.take(5).mkString("|"))
     // catalog surface: listable, and read-only (writes refused)
     val listed = GraftCli.sql(s, sf, "SHOW TABLES IN system.runtime")
       .collect().map(_.getString(1)).toSet

@@ -115,6 +115,55 @@ class ServerSpec extends GraftSpec {
     } finally conn.close()
   }
 
+  test("GraftServer MAIN end-to-end: own JVM, singleSession semantics over the wire") {
+    // the actual deployment entrypoint (runMain graft.GraftServer): its
+    // static singleSession conf only takes effect when the main owns
+    // context creation, so this runs in its own JVM like a real deploy.
+    // Under singleSession every connection shares ONE session — a temp
+    // view created over the wire is visible to a SECOND connection
+    // (the Presto session-per-deployment shape the main declares).
+    val port = GraftServer.freePort()
+    val repo = new java.io.File(".").getCanonicalPath
+    val pb = new ProcessBuilder("bash", s"$repo/scripts/graft_java.sh",
+      "graft.GraftServer", sf, port.toString)
+    pb.environment().put("SPARK_GRAFT_MASTER", "local[4]")
+    pb.environment().put("GRAFT_XMX", "3g")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File("/tmp/graft_server_e2e.log"))
+    val proc = pb.start()
+    try {
+      val url = s"jdbc:hive2://localhost:$port/"
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var conn: Connection = null
+      while (conn == null && System.nanoTime() < deadline && proc.isAlive) {
+        try conn = DriverManager.getConnection(url)
+        catch { case _: Exception => Thread.sleep(1000) }
+      }
+      assert(conn != null, "server main never accepted a connection")
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TEMPORARY VIEW tmp_server_e2e AS SELECT 42 AS v")
+        st.close()
+        // a SECOND connection sees the first connection's temp view:
+        // singleSession semantics, impossible in multi-session mode
+        val conn2 = DriverManager.getConnection(url)
+        try {
+          val st2 = conn2.createStatement()
+          val rs = st2.executeQuery("SELECT v FROM tmp_server_e2e")
+          assert(rs.next() && rs.getInt(1) == 42)
+          val rs2 = st2.executeQuery(
+            "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+          assert(rs2.next() && rs2.getLong(1) > 0)
+          st2.close()
+        } finally conn2.close()
+      } finally conn.close()
+    } finally {
+      proc.destroy()
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    }
+  }
+
   test("system.runtime.nodes / queries (Presto cluster introspection) over the wire") {
     val conn = connect()
     try {
