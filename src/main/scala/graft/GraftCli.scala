@@ -1664,7 +1664,22 @@ object GraftCli {
         TRY(CAST(y AS INT)) AS y_int,
         TRY(element_at(qty, 3)) AS third
       FROM src CROSS JOIN UNNEST(qty, pri) WITH ORDINALITY AS t(x, y, ord)
-      ORDER BY o_orderkey, ord"""))
+      ORDER BY o_orderkey, ord""")),
+    // s26: the Presto LITERAL spellings Spark rejects outright — bare
+    // CAST(x AS VARCHAR), ARRAY[...] literals (with Presto's 1-BASED
+    // subscript preserved via element_at), MAP(ARRAY[k], ARRAY[v]) →
+    // map_from_arrays, cardinality over a rewritten literal. Every
+    // rewrite fires only on invalid-Spark text, so no legal query can
+    // silently change meaning.
+    "s26_sql_presto_literals" -> ((s, d) => sql(s, d, """
+      SELECT o_orderkey,
+        CAST(o_orderkey % 7 AS VARCHAR) AS key_str,
+        ARRAY[o_orderkey % 5, o_orderkey % 3, 99][2] AS second_elem,
+        element_at(MAP(ARRAY['lo', 'hi'],
+                       ARRAY[o_totalprice * 0.5, o_totalprice]), 'hi') AS hi_val,
+        cardinality(ARRAY[1, 2, 3]) AS arr_len
+      FROM orders WHERE o_orderkey % 203 = 0
+      ORDER BY o_orderkey"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1699,6 +1714,17 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s26: every projected value replays closed-form (the s22 discipline)
+    // — the literal array's 1-based [2] is o_orderkey % 3, the map's
+    // 'hi' value is o_totalprice, the literal's cardinality is 3
+    "s26_sql_presto_literals" -> """
+      SELECT o_orderkey,
+        CAST(o_orderkey % 7 AS VARCHAR) AS key_str,
+        o_orderkey % 3 AS second_elem,
+        o_totalprice AS hi_val,
+        CAST(3 AS INTEGER) AS arr_len
+      FROM orders WHERE o_orderkey % 203 = 0
+      ORDER BY o_orderkey""",
     // s25: DuckDB has no zip-UNNEST either — the replay expands an
     // explicit 1..max(len) ordinality (generate_series) and indexes both
     // lists (out-of-range list indexing is NULL in DuckDB, matching

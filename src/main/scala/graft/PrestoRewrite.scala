@@ -28,9 +28,15 @@ import java.util.Locale
  */
 object PrestoRewrite {
 
-  /** Apply all dialect rewrites (the front door's one entry point). */
+  /** Apply all dialect rewrites (the front door's one entry point).
+    * Order matters only for MAP-before-ARRAY (the MAP constructor is
+    * detected by its `ARRAY[` argument prefixes). Every rewrite here
+    * fires ONLY on text Spark's parser rejects outright (quoted units,
+    * TRY(, UNNEST(, ARRAY[, MAP(ARRAY[, bare VARCHAR), so no legal
+    * Spark query can silently change meaning. */
   def apply(text: String): String =
-    rewriteUnnest(rewriteTry(rewriteDatetime(text)))
+    rewriteBareTypes(rewriteArrayLiterals(rewriteMapConstructor(
+      rewriteUnnest(rewriteTry(rewriteDatetime(text))))))
 
   // ---------------------------------------------------------------- spans
 
@@ -217,6 +223,124 @@ object PrestoRewrite {
       }
     }
     cur
+  }
+
+  // -------------------------------------- ARRAY[...] / MAP(ARRAY, ARRAY)
+
+  /** From the index of an opening '[' (exclusive), the index of its
+    * matching ']' — literal-aware, counts square brackets only. */
+  private[graft] def matchBracket(text: String, open: Int): Int = {
+    val spans = protectedSpans(text)
+    var depth = 1
+    var i = open + 1
+    while (i < text.length) {
+      if (!outside(spans, i)) {
+        i = spans.find(s => i >= s._1 && i < s._2).get._2
+      } else {
+        text.charAt(i) match {
+          case '[' => depth += 1; i += 1
+          case ']' => depth -= 1; if (depth == 0) return i; i += 1
+          case _ => i += 1
+        }
+      }
+    }
+    -1
+  }
+
+  private val ArrayOpen = "(?i)\\barray\\s*\\[".r
+
+  /** Presto's `ARRAY[...]` literal → Spark's `array(...)`. A subscript
+    * chain directly on the literal (`ARRAY[..][i]`) rewrites to
+    * `element_at` so Presto's 1-BASED indexing is preserved — rewriting
+    * the literal but keeping Spark's 0-based `[i]` would silently shift
+    * every element. (Subscripts on COLUMNS are untouched: that text is
+    * already legal Spark and not this rewrite's to reinterpret.) */
+  private[graft] def rewriteArrayLiterals(text: String): String = {
+    var cur = text
+    var guard = 0
+    var continue = true
+    while (continue && guard < 256) {
+      guard += 1
+      val spans = protectedSpans(cur)
+      ArrayOpen.findAllMatchIn(cur).find(m => outside(spans, m.start)) match {
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchBracket(cur, open)
+          require(close > 0, s"ARRAY[: unbalanced brackets after offset ${m.start}")
+          var expr = "array(" + cur.substring(open + 1, close) + ")"
+          var end = close
+          // fold any directly-attached subscripts into 1-based element_at
+          var chaining = true
+          while (chaining) {
+            var j = end + 1
+            while (j < cur.length && Character.isWhitespace(cur.charAt(j))) j += 1
+            if (j < cur.length && cur.charAt(j) == '[') {
+              val idxClose = matchBracket(cur, j)
+              require(idxClose > 0,
+                s"ARRAY[..][: unbalanced subscript after offset $j")
+              expr = s"element_at($expr, ${cur.substring(j + 1, idxClose).trim})"
+              end = idxClose
+            } else chaining = false
+          }
+          cur = cur.substring(0, m.start) + expr + cur.substring(end + 1)
+        case None => continue = false
+      }
+    }
+    cur
+  }
+
+  private val MapOpen = "(?i)\\bmap\\s*\\(".r
+  private val ArrayArg = "(?is)^array\\s*\\[.*".r
+
+  /** Presto's `MAP(ARRAY[keys], ARRAY[values])` → `map_from_arrays` —
+    * Spark's `map(...)` is the interleaved k1,v1,… spelling, a DIFFERENT
+    * constructor. Only fires when BOTH arguments are `ARRAY[` literal
+    * forms (text Spark rejects), so a legal Spark `map(...)` is never
+    * reinterpreted. */
+  private[graft] def rewriteMapConstructor(text: String): String = {
+    var cur = text
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val spans = protectedSpans(cur)
+      MapOpen.findAllMatchIn(cur)
+        .find(m => m.start >= from && outside(spans, m.start)) match {
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, open)
+          val args = if (close > 0) splitTopLevel(cur.substring(open + 1, close))
+                     else Seq.empty
+          if (args.length == 2 && args.forall(a => ArrayArg.matches(a.trim))) {
+            cur = cur.substring(0, m.start) + "map_from_arrays(" +
+              cur.substring(open + 1)
+            from = m.start + "map_from_arrays(".length
+          } else from = m.end // legal Spark map(...): leave it, scan on
+        case None => return cur
+      }
+    }
+    cur
+  }
+
+  // ------------------------------------------------- bare type spellings
+
+  /** Presto types Spark rejects: bare `VARCHAR` (no length) → STRING,
+    * `VARBINARY` → BINARY. `VARCHAR(n)` stays (legal Spark). */
+  private val BareVarType = "(?i)\\b(varchar|varbinary)\\b(?!\\s*\\()".r
+
+  private[graft] def rewriteBareTypes(text: String): String = {
+    val spans = protectedSpans(text)
+    val sb = new StringBuilder
+    var last = 0
+    BareVarType.findAllMatchIn(text).foreach { m =>
+      if (m.start >= last && outside(spans, m.start)) {
+        sb.append(text.substring(last, m.start))
+        sb.append(if (m.group(1).equalsIgnoreCase("varchar")) "STRING" else "BINARY")
+        last = m.end
+      }
+    }
+    sb.append(text.substring(last))
+    sb.toString
   }
 
   // ---------------------------------------------------- UNNEST(a, b, ...)

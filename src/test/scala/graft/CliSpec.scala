@@ -1239,6 +1239,40 @@ class CliSpec extends GraftSpec {
     assert(plan.contains("LocalTableScan"), plan)
   }
 
+  test("presto literal spellings: ARRAY[...], MAP(ARRAY,ARRAY), bare VARCHAR") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = GraftCli.sql(s, sf, q).head()
+    // ARRAY literal + Presto's 1-BASED subscript (element_at wrap): a
+    // 0-based interpretation would return 30 here
+    assert(one("SELECT ARRAY[10, 20, 30][2] AS x").getInt(0) == 20)
+    // nested literals and chained subscripts stay 1-based
+    assert(one("SELECT ARRAY[ARRAY[7, 8], ARRAY[9]][1][2] AS x").getInt(0) == 8)
+    // a subscript on a COLUMN is untouched (already legal Spark text)
+    assert(one("SELECT arr[1] AS x FROM (SELECT ARRAY['a','b'] AS arr)")
+      .getString(0) == "b")
+    // MAP(ARRAY[k], ARRAY[v]) is Presto's two-array constructor — Spark's
+    // interleaved map(...) spelling must stay untouched
+    assert(one("SELECT element_at(MAP(ARRAY['a','b'], ARRAY[1,2]), 'b') AS v")
+      .getInt(0) == 2)
+    assert(one("SELECT map('k', 7)['k'] AS v").getInt(0) == 7)
+    // bare VARCHAR/VARBINARY rewrite; VARCHAR(n) is legal Spark and stays
+    assert(one("SELECT CAST(42 AS VARCHAR) AS v").getString(0) == "42")
+    assert(one("SELECT CAST('ab' AS VARCHAR(2)) AS v").getString(0) == "ab")
+    assert(one("SELECT length(CAST('xy' AS VARBINARY)) AS n").getInt(0) == 2)
+    // literal-protection: the spellings inside a string stay verbatim
+    assert(PrestoRewrite.rewriteArrayLiterals("SELECT 'ARRAY[1]' AS t") ==
+      "SELECT 'ARRAY[1]' AS t")
+    assert(PrestoRewrite.rewriteBareTypes("SELECT 'CAST(x AS VARCHAR)' AS t") ==
+      "SELECT 'CAST(x AS VARCHAR)' AS t")
+    // text shapes
+    assert(PrestoRewrite.rewriteArrayLiterals("ARRAY[1, ARRAY[2]]") ==
+      "array(1, array(2))")
+    assert(PrestoRewrite.rewriteMapConstructor("MAP(ARRAY[1], ARRAY[2])") ==
+      "map_from_arrays(ARRAY[1], ARRAY[2])")
+    assert(PrestoRewrite.rewriteMapConstructor("map(k1, v1, k2, v2)") ==
+      "map(k1, v1, k2, v2)")
+  }
+
   test("dialect rewrites are literal- and comment-aware on every front-door path") {
     val s = GraftCli.open(spark, sf)
     // the quoted-unit pattern inside a DOUBLE-quoted string literal (the
