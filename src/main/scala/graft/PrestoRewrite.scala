@@ -325,22 +325,34 @@ object PrestoRewrite {
   // ------------------------------------------------- bare type spellings
 
   /** Presto types Spark rejects: bare `VARCHAR` (no length) → STRING,
-    * `VARBINARY` → BINARY. `VARCHAR(n)` stays (legal Spark). */
+    * `VARBINARY` → BINARY (`VARCHAR(n)` stays — legal Spark), and the
+    * `DECIMAL '1.23'` literal → Spark's `1.23BD` typed literal, whose
+    * precision/scale inference from the digits matches Presto's. A
+    * non-numeric DECIMAL '...' body is left for the parser to refuse. */
   private val BareVarType = "(?i)\\b(varchar|varbinary)\\b(?!\\s*\\()".r
+  private val DecimalLit = "(?i)\\bdecimal\\s+'(-?[0-9]+(?:\\.[0-9]+)?)'".r
 
   private[graft] def rewriteBareTypes(text: String): String = {
-    val spans = protectedSpans(text)
-    val sb = new StringBuilder
-    var last = 0
-    BareVarType.findAllMatchIn(text).foreach { m =>
-      if (m.start >= last && outside(spans, m.start)) {
-        sb.append(text.substring(last, m.start))
-        sb.append(if (m.group(1).equalsIgnoreCase("varchar")) "STRING" else "BINARY")
-        last = m.end
+    def pass(in: String, re: scala.util.matching.Regex,
+             render: scala.util.matching.Regex.Match => String): String = {
+      val spans = protectedSpans(in)
+      val sb = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(in).foreach { m =>
+        if (m.start >= last && outside(spans, m.start)) {
+          sb.append(in.substring(last, m.start))
+          sb.append(render(m))
+          last = m.end
+        }
       }
+      sb.append(in.substring(last))
+      sb.toString
     }
-    sb.append(text.substring(last))
-    sb.toString
+    // DECIMAL-literal pass FIRST: its match starts outside any literal
+    // (the quoted digits are part of the Presto form itself)
+    val afterDecimal = pass(text, DecimalLit, m => s"${m.group(1)}BD")
+    pass(afterDecimal, BareVarType,
+      m => if (m.group(1).equalsIgnoreCase("varchar")) "STRING" else "BINARY")
   }
 
   // ---------------------------------------------------- UNNEST(a, b, ...)

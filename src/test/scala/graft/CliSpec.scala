@@ -1264,6 +1264,19 @@ class CliSpec extends GraftSpec {
       "SELECT 'ARRAY[1]' AS t")
     assert(PrestoRewrite.rewriteBareTypes("SELECT 'CAST(x AS VARCHAR)' AS t") ==
       "SELECT 'CAST(x AS VARCHAR)' AS t")
+    // DECIMAL 'x.y' literal: Spark's BD literal has Presto's same
+    // digits-driven precision/scale inference
+    assert(one("SELECT DECIMAL '1.20' AS d").getDecimal(0) ==
+      new java.math.BigDecimal("1.20"))
+    assert(GraftCli.sql(s, sf, "SELECT DECIMAL '1.20' AS d")
+      .schema.head.dataType.simpleString == "decimal(3,2)")
+    assert(one("SELECT DECIMAL '-7' AS d").getDecimal(0).intValue == -7)
+    // bare DECIMAL as a TYPE stays (legal Spark); non-numeric body is
+    // left for the parser to refuse
+    assert(one("SELECT CAST(5 AS DECIMAL) AS d").getDecimal(0).intValue == 5)
+    intercept[Exception](one("SELECT DECIMAL 'abc'"))
+    assert(PrestoRewrite.rewriteBareTypes("SELECT 'DECIMAL ''1.2''' AS t") ==
+      "SELECT 'DECIMAL ''1.2''' AS t")
     // text shapes
     assert(PrestoRewrite.rewriteArrayLiterals("ARRAY[1, ARRAY[2]]") ==
       "array(1, array(2))")
