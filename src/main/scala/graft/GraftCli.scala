@@ -1679,7 +1679,27 @@ object GraftCli {
                        ARRAY[o_totalprice * 0.5, o_totalprice]), 'hi') AS hi_val,
         cardinality(ARRAY[1, 2, 3]) AS arr_len
       FROM orders WHERE o_orderkey % 203 = 0
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+    // s27: the remaining Presto UNNEST spellings + bare subscripts (r19
+    // — r18 verdict task 2 and ADVICE item 3). The comma-join form
+    // `FROM t, UNNEST(a) AS u(x)` rewrites to the same LATERAL VIEW as
+    // the explicit CROSS JOIN; map-UNNEST(m) AS t(k, v) becomes
+    // LATERAL VIEW explode(m) (one row per entry); and every bare
+    // subscript — qty[...] on an array, m['lo'] on a map — rewrites to
+    // element_at, landing Presto's 1-BASED array indexing and key lookup
+    // instead of Spark's silent 0-based reading. All builtin generators
+    // and codegen'd lookups: the arrays/maps never leave their scan task.
+    "s27_sql_presto_unnest2" -> ((s, d) => sql(s, d, """
+      WITH src AS (
+        SELECT o_orderkey,
+          sequence(1, 1 + o_orderkey % 3) AS qty,
+          MAP(ARRAY['lo', 'hi'], ARRAY[o_totalprice * 0.5, o_totalprice]) AS m
+        FROM orders WHERE o_orderkey % 307 = 0)
+      SELECT o_orderkey, x, k, v,
+        qty[cardinality(qty)] AS last_qty,
+        m['lo'] AS lo_val
+      FROM src, UNNEST(qty) AS t(x), UNNEST(m) AS mt(k, v)
+      ORDER BY o_orderkey, x, k"""))
   )
 
   /** s18's front door: PREPARE through the REAL router regex, then both
@@ -1714,6 +1734,25 @@ object GraftCli {
 
   /** DuckDB oracles for the SQL-text entries. */
   val oracles: Map[String, String] = Map(
+    // s27: DuckDB replays the array unnest with its own unnest(), the
+    // map unnest as a closed-form two-key cross join (the map is built
+    // in-query from 'lo'/'hi', so the k/v rows are derivable), the
+    // 1-based array subscript as DuckDB's native 1-based list indexing,
+    // and the map-key lookup closed-form
+    "s27_sql_presto_unnest2" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          generate_series(1, 1 + o_orderkey % 3) AS qty,
+          o_totalprice AS tp
+        FROM orders WHERE o_orderkey % 307 = 0),
+      ex AS (
+        SELECT o_orderkey, qty, tp, unnest(qty) AS x FROM src)
+      SELECT e.o_orderkey, e.x, kv.k,
+        CASE kv.k WHEN 'lo' THEN e.tp * 0.5 ELSE e.tp END AS v,
+        e.qty[len(e.qty)] AS last_qty,
+        e.tp * 0.5 AS lo_val
+      FROM ex e CROSS JOIN (SELECT unnest(['lo', 'hi']) AS k) kv
+      ORDER BY o_orderkey, x, k""",
     // s26: every projected value replays closed-form (the s22 discipline)
     // — the literal array's 1-based [2] is o_orderkey % 3, the map's
     // 'hi' value is o_totalprice, the literal's cardinality is 3

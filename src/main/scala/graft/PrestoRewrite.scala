@@ -16,11 +16,23 @@ import java.util.Locale
  *     wrapper. The COMMON bodies rewrite (CAST → try_cast, element_at →
  *     try_element_at, a single top-level +,-,*,/,% → try_add/…); anything
  *     else is refused loudly rather than silently changing semantics;
- *  3. zip-`UNNEST(a, b[, c]) [WITH ORDINALITY]` — Presto's multi-array
- *     UNNEST zips the arrays positionally (NULL-padding the shorter) with
- *     an optional 1-based BIGINT ordinality. Spark expresses the same
- *     thing as `LATERAL VIEW inline(zip_with(...))` — pure builtin
- *     higher-order functions, codegen end-to-end, no UDFs.
+ *  3. `UNNEST` — Presto's table-valued UNNEST in its three spellings:
+ *     zip-`UNNEST(a, b[, c]) [WITH ORDINALITY]` (arrays zip positionally,
+ *     NULL-padding the shorter, optional 1-based BIGINT ordinality) as
+ *     `LATERAL VIEW inline(zip_with(...))` — pure builtin higher-order
+ *     functions, codegen end-to-end, no UDFs; the comma-join form
+ *     `FROM t, UNNEST(a) AS u(x)` (same LATERAL VIEW — the comma IS the
+ *     implicit cross join); and map-`UNNEST(m) AS t(k, v)` (one row per
+ *     entry) as `LATERAL VIEW explode(m)`. WITH ORDINALITY over a map is
+ *     refused — Presto 0.248 itself rejects it;
+ *  4. bare subscripts `expr[i]` — Presto indexes arrays 1-BASED and maps
+ *     by key; Spark's `[ ]` is 0-based on arrays. Every subscript outside
+ *     a literal rewrites to `element_at(expr, i)`, whose semantics are
+ *     Presto's for BOTH container kinds (1-based arrays, key lookup on
+ *     maps, out-of-range/missing-key errors under ANSI just like Presto).
+ *     This is the one rewrite that fires on text Spark would also accept:
+ *     the front door advertises Presto semantics, and Spark's 0-based
+ *     reading of pasted Presto text is a silent off-by-one (r18 ADVICE).
  *
  * Every rewrite is literal-aware: a pattern inside a string literal,
  * quoted identifier, or comment is never touched (the r17 ADVICE find —
@@ -29,14 +41,16 @@ import java.util.Locale
 object PrestoRewrite {
 
   /** Apply all dialect rewrites (the front door's one entry point).
-    * Order matters only for MAP-before-ARRAY (the MAP constructor is
-    * detected by its `ARRAY[` argument prefixes). Every rewrite here
+    * Order matters for MAP-before-ARRAY (the MAP constructor is detected
+    * by its `ARRAY[` argument prefixes) and ARRAY-before-subscript (the
+    * literal pass folds `ARRAY[..][i]` itself; the subscript pass then
+    * sees no `ARRAY[` text). Every rewrite except the subscript pass
     * fires ONLY on text Spark's parser rejects outright (quoted units,
-    * TRY(, UNNEST(, ARRAY[, MAP(ARRAY[, bare VARCHAR), so no legal
-    * Spark query can silently change meaning. */
+    * TRY(, UNNEST(, ARRAY[, MAP(ARRAY[, bare VARCHAR); subscripts are
+    * deliberately re-based to Presto's semantics — see the class doc. */
   def apply(text: String): String =
-    rewriteBareTypes(rewriteArrayLiterals(rewriteMapConstructor(
-      rewriteUnnest(rewriteTry(rewriteDatetime(text))))))
+    rewriteBareTypes(rewriteSubscripts(rewriteArrayLiterals(rewriteMapConstructor(
+      rewriteUnnest(rewriteTry(rewriteDatetime(text)))))))
 
   // ---------------------------------------------------------------- spans
 
@@ -147,11 +161,14 @@ object PrestoRewrite {
           case '/' | '*' | '%' if depth == 0 => ops += ((i, c))
           case '+' | '-' if depth == 0 =>
             // binary only: a preceding operand must exist (previous
-            // non-space char is not an operator/comma/open paren) and
-            // this must not be a float exponent sign (1e-5)
+            // non-space char is not an operator/comma/open paren, and the
+            // preceding WORD is not a keyword like THEN/AND — `THEN -1` is
+            // unary, r18 ADVICE) and this must not be a float exponent
+            // sign (1e-5)
             var j = i - 1
             while (j >= 0 && Character.isWhitespace(body.charAt(j))) j -= 1
-            val binary = j >= 0 && !"(,+-*/%<>=".contains(body.charAt(j))
+            val binary = j >= 0 && !"(,+-*/%<>=".contains(body.charAt(j)) &&
+              !precededByKeyword(body, j)
             val exponent = j == i - 1 && j >= 1 &&
               (body.charAt(j) == 'e' || body.charAt(j) == 'E') &&
               Character.isDigit(body.charAt(j - 1))
@@ -162,6 +179,23 @@ object PrestoRewrite {
       }
     }
     ops.result()
+  }
+
+  /** SQL keywords after which a `+`/`-` is a unary sign, not a binary
+    * operator: `CASE WHEN c THEN -1 ELSE x END` has no subtraction. END
+    * is deliberately ABSENT — `CASE ... END - 1` IS binary. */
+  private val SignKeywords = Set("then", "else", "when", "and", "or",
+    "not", "in", "case", "between", "like", "escape")
+
+  /** True when the word ENDING at index `j` (inclusive) is one of the
+    * [[SignKeywords]] — i.e. the operand position before an operator
+    * candidate is actually a keyword, so the +/- there is a sign. */
+  private def precededByKeyword(body: String, j: Int): Boolean = {
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    if (j < 0 || !wordChar(body.charAt(j))) return false
+    var k = j
+    while (k >= 0 && wordChar(body.charAt(k))) k -= 1
+    SignKeywords.contains(body.substring(k + 1, j + 1).toLowerCase(Locale.ROOT))
   }
 
   /** `cast(...)`-shaped check: the body IS one call of `name`, i.e. the
@@ -177,7 +211,14 @@ object PrestoRewrite {
 
   private def rewriteTryBody(body: String): String = {
     val b = body.trim
-    if (isOneCall(b, "cast") || isOneCall(b, "element_at")) s"try_$b"
+    // an already-null-safe try_* single call passes through unchanged —
+    // the nested TRY(TRY(CAST(...))) case, where the inner rewrite has
+    // produced try_cast(...) before the outer body is examined (r18
+    // ADVICE: refusing here contradicted the inside-out contract)
+    val lead = b.takeWhile(c => Character.isLetterOrDigit(c) || c == '_')
+      .toLowerCase(Locale.ROOT)
+    if (lead.startsWith("try_") && isOneCall(b, lead)) b
+    else if (isOneCall(b, "cast") || isOneCall(b, "element_at")) s"try_$b"
     else topLevelOps(b) match {
       case Seq((pos, op)) =>
         val fn = op match {
@@ -315,9 +356,148 @@ object PrestoRewrite {
             cur = cur.substring(0, m.start) + "map_from_arrays(" +
               cur.substring(open + 1)
             from = m.start + "map_from_arrays(".length
+          } else if (args.length == 2 && args.exists(a => ArrayArg.matches(a.trim))) {
+            // one ARRAY[ literal + one expression (MAP(ARRAY['a','b'],
+            // split(x, ','))): Presto zips keys/values, but after the
+            // ARRAY pass this text would reach Spark's INTERLEAVED
+            // map(array(...), expr) — executable and silently wrong
+            // (r18 ADVICE). Refuse loudly like rewriteTry does.
+            throw new IllegalArgumentException(
+              "MAP(keys, values): one argument is an ARRAY[...] literal " +
+                "and the other is an expression — Presto's two-argument " +
+                "MAP zips keys with values, but Spark's map(...) is the " +
+                "interleaved k1, v1, ... constructor, a different " +
+                "function. Spell map_from_arrays(keys, values) directly.")
           } else from = m.end // legal Spark map(...): leave it, scan on
         case None => return cur
       }
+    }
+    cur
+  }
+
+  // --------------------------------------------------- bare subscripts
+
+  private def identChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** Words that can precede a '(' without being the CALLEE of the group
+    * — `SELECT (a)[1]` subscripts the parenthesized expression, not a
+    * function named select. Function-shaped keywords (CAST, LEFT, IF,
+    * COALESCE, ...) are deliberately absent: there they ARE the callee. */
+  private val NonCalleeWords = Set("select", "from", "where", "and", "or",
+    "not", "then", "else", "when", "in", "on", "by", "as", "join",
+    "union", "except", "intersect", "all", "distinct", "having", "group",
+    "order", "between", "like", "is", "using", "values", "lateral",
+    "cross", "escape")
+
+  /** Start index of the base expression whose subscript opens at
+    * `bracket`, or -1 when the `[` is not a subscript (nothing
+    * subscriptable precedes it). The base is an identifier chain
+    * (`a.b.c`, backtick segments included) optionally ENDING the walk at
+    * a call/paren group — `f(x)[1]`, `(a)[1]`, chained
+    * `element_at(m, 'k')['j']`. */
+  private def subscriptBaseStart(text: String, bracket: Int,
+                                 spans: IndexedSeq[(Int, Int)]): Int = {
+    var j = bracket - 1
+    while (j >= 0 && Character.isWhitespace(text.charAt(j))) j -= 1
+    if (j < 0) return -1
+    // a closing paren/bracket: backward-match it (literal-aware), then
+    // fall through to the identifier walk for the callee name
+    text.charAt(j) match {
+      case ')' | ']' =>
+        var depth = 0
+        var k = j
+        var open = -1
+        while (k >= 0 && open < 0) {
+          spans.find(s => k >= s._1 && k < s._2) match {
+            case Some(s) => k = s._1 - 1
+            case None =>
+              text.charAt(k) match {
+                case ')' | ']' => depth += 1
+                case '(' | '[' => depth -= 1; if (depth == 0) open = k
+                case _ =>
+              }
+              k -= 1
+          }
+        }
+        if (open < 0) return -1
+        j = open - 1
+        while (j >= 0 && Character.isWhitespace(text.charAt(j))) j -= 1
+        if (j < 0 || !(identChar(text.charAt(j)) || text.charAt(j) == '`'))
+          return open // parenthesized expression, no callee name
+        // word before the '(': a reserved word is NOT the callee — the
+        // base is the paren group itself. A window spec's OVER is refused
+        // (the base would be the whole `fn() OVER (spec)` expression,
+        // which this text-level walk cannot reconstruct).
+        if (identChar(text.charAt(j))) {
+          var w = j
+          while (w >= 0 && identChar(text.charAt(w))) w -= 1
+          val word = text.substring(w + 1, j + 1).toLowerCase(Locale.ROOT)
+          if (word == "over") throw new IllegalArgumentException(
+            "subscript directly on a window expression (`fn() OVER (...)[i]`) " +
+              "is not served by the dialect rewrite — spell " +
+              "element_at(fn() OVER (...), i) directly.")
+          if (NonCalleeWords.contains(word)) return open
+        }
+      case c if identChar(c) || c == '`' =>
+      case _ => return -1
+    }
+    // identifier chain walk: name segments (plain or backticked) joined
+    // by dots
+    var start = j + 1
+    var cont = true
+    while (cont && j >= 0) {
+      if (text.charAt(j) == '`') {
+        // backtick identifier: spans include it; jump to its start
+        spans.find(s => j >= s._1 && j < s._2) match {
+          case Some(s) => start = s._1; j = s._1 - 1
+          case None => cont = false
+        }
+      } else if (identChar(text.charAt(j))) {
+        while (j >= 0 && identChar(text.charAt(j))) j -= 1
+        start = j + 1
+      } else cont = false
+      if (cont && j >= 0 && text.charAt(j) == '.') j -= 1 else cont = false
+    }
+    start
+  }
+
+  /** Presto subscripts: `expr[i]` → `element_at(expr, i)` — 1-based on
+    * arrays, key lookup on maps, matching Presto for both (Spark's bare
+    * `[ ]` is 0-based on arrays: a silent off-by-one for pasted Presto
+    * text). Fires on identifier chains, call results, parenthesized
+    * expressions, and chains of subscripts; `ARRAY[` never reaches here
+    * (the literal pass runs first and folds its own subscripts). */
+  private[graft] def rewriteSubscripts(text: String): String = {
+    var cur = text
+    var guard = 0
+    while (guard < 512) {
+      guard += 1
+      val spans = protectedSpans(cur)
+      var found = -1
+      var base = -1
+      var i = 0
+      while (found < 0 && i < cur.length) {
+        if (!outside(spans, i)) {
+          i = spans.find(s => i >= s._1 && i < s._2).get._2
+        } else {
+          if (cur.charAt(i) == '[') {
+            val bs = subscriptBaseStart(cur, i, spans)
+            // defensive: never reinterpret a surviving ARRAY[ literal
+            val isArrayKw = bs >= 0 &&
+              cur.substring(bs, i).trim.equalsIgnoreCase("array")
+            if (bs >= 0 && !isArrayKw) { found = i; base = bs }
+          }
+          i += 1
+        }
+      }
+      if (found < 0) return cur
+      val close = matchBracket(cur, found)
+      require(close > 0, s"subscript: unbalanced [ after offset $found")
+      val baseExpr = cur.substring(base, found).trim
+      val idx = cur.substring(found + 1, close).trim
+      cur = cur.substring(0, base) + s"element_at($baseExpr, $idx)" +
+        cur.substring(close + 1)
     }
     cur
   }
@@ -357,7 +537,11 @@ object PrestoRewrite {
 
   // ---------------------------------------------------- UNNEST(a, b, ...)
 
-  private val UnnestOpen = "(?i)\\bcross\\s+join\\s+unnest\\s*\\(".r
+  // both explicit CROSS JOIN UNNEST and Presto's comma-join spelling
+  // `FROM t, UNNEST(a) AS u(x)` — the comma IS an implicit cross join,
+  // and `, UNNEST(` appears nowhere else in valid Presto (UNNEST is
+  // table-valued only), so replacing both with LATERAL VIEW is safe
+  private val UnnestOpen = "(?i)(?:\\bcross\\s+join|,)\\s*unnest\\s*\\(".r
   private val AfterUnnest =
     "(?is)^(\\s*with\\s+ordinality)?\\s*(?:as\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)".r
   private val BareUnnest = "(?i)\\bunnest\\s*\\(".r
@@ -400,6 +584,18 @@ object PrestoRewrite {
       pairs.map { case (c, e) => s"'$c', $e" }.mkString("named_struct(", ", ", ")")
     val ordCol = if (ordinality) Some(cols.last) else None
     val valCols = if (ordinality) cols.dropRight(1) else cols
+    // one argument + two value columns = Presto's MAP unnest (one row per
+    // entry, key and value columns) — Spark's explode over a map is the
+    // exact same contract. WITH ORDINALITY over a map is refused, as
+    // Presto 0.248 itself refuses it.
+    if (exprs.length == 1 && valCols.length == 2) {
+      if (ordinality) throw new IllegalArgumentException(
+        "UNNEST: WITH ORDINALITY over a map (one argument, two value " +
+          "columns + an ordinality column) is not defined — Presto " +
+          "itself rejects it. Drop WITH ORDINALITY.")
+      return s"LATERAL VIEW explode(${exprs.head}) $alias AS " +
+        s"${valCols.head}, ${valCols(1)}"
+    }
     require(valCols.length == exprs.length, s"UNNEST: ${exprs.length} array " +
       s"argument(s) but ${valCols.length} value column name(s) " +
       (if (ordinality) "(last name is the WITH ORDINALITY column) " else "") +
@@ -453,25 +649,29 @@ object PrestoRewrite {
               val alias = a.group(2)
               val cols = a.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
               val lateral = unnestLateralView(exprs, cols, ordinality, alias)
-              cur = cur.substring(0, m.start) + lateral + rest.substring(a.end)
+              // the match may START at the comma of the implicit-join
+              // form (`FROM t, UNNEST(...)`): the leading space keeps the
+              // table reference and LATERAL VIEW separated either way
+              cur = cur.substring(0, m.start) + " " + lateral + rest.substring(a.end)
             case None => throw new IllegalArgumentException(
               "UNNEST: the dialect rewrite needs the aliased form " +
-                "CROSS JOIN UNNEST(a[, b[, c]]) [WITH ORDINALITY] AS t(col, ...) — " +
+                "[CROSS JOIN | ,] UNNEST(a[, b[, c]]) [WITH ORDINALITY] AS t(col, ...) — " +
                 "missing AS t(col, ...) after: " + cur.substring(m.start,
                   math.min(cur.length, close + 1)))
           }
         case None => continue = false
       }
     }
-    // any UNNEST left over is a form this rewrite doesn't serve (comma
-    // join, map unnest): refuse with guidance instead of a Spark parse
-    // error that never mentions UNNEST
+    // any UNNEST left over is a form this rewrite doesn't serve (e.g. a
+    // LEFT JOIN UNNEST, or a missing alias): refuse with guidance instead
+    // of a Spark parse error that never mentions UNNEST
     val spans = protectedSpans(cur)
     BareUnnest.findAllMatchIn(cur).find(m => outside(spans, m.start)).foreach { m =>
       throw new IllegalArgumentException(
         "UNNEST: unsupported form at offset " + m.start + " — the dialect " +
-          "rewrite serves CROSS JOIN UNNEST(a[, b[, c]]) [WITH ORDINALITY] " +
-          "AS t(col, ...) over arrays. For maps use explode() directly.")
+          "rewrite serves [CROSS JOIN | ,] UNNEST(a[, b[, c]]) " +
+          "[WITH ORDINALITY] AS t(col, ...) over arrays and " +
+          "UNNEST(m) AS t(k, v) over maps.")
     }
     cur
   }

@@ -1196,14 +1196,118 @@ class CliSpec extends GraftSpec {
       SELECT a1, b1, c1 FROM (SELECT array(1) AS a, array(2) AS b, array(3) AS c) src
       CROSS JOIN UNNEST(a, b, c) AS t(a1, b1, c1)""")
     assert(r3.head.getInt(0) == 1 && r3.head.getInt(1) == 2 && r3.head.getInt(2) == 3)
-    // misuse: column-count mismatch and the bare-comma form refuse loudly
+    // misuse: column-count mismatch refuses loudly
     intercept[IllegalArgumentException](rows(
       "SELECT * FROM (SELECT array(1) AS a) s CROSS JOIN UNNEST(a) AS t(x, y, z)"))
-    intercept[IllegalArgumentException](rows(
-      "SELECT * FROM (SELECT array(1) AS a) s, UNNEST(a) AS t(x)"))
     // an UNNEST( inside a string literal is untouched
     assert(PrestoRewrite.rewriteUnnest("SELECT 'CROSS JOIN UNNEST(a) AS t(x)'") ==
       "SELECT 'CROSS JOIN UNNEST(a) AS t(x)'")
+  }
+
+  test("presto comma-join UNNEST and map UNNEST (r19)") {
+    val s = GraftCli.open(spark, sf)
+    def rows(q: String) = GraftCli.sql(s, sf, q).collect()
+    // the comma form is the implicit cross join — same LATERAL VIEW
+    // (comma-joined relations BEFORE the UNNEST keep their comma; Spark's
+    // grammar wants lateral views after the last relation, where Presto
+    // users put the UNNEST anyway)
+    val r = rows("""
+      SELECT k, v FROM (SELECT 'g' AS k) g,
+        (SELECT array(3, 1, 2) AS xs) src, UNNEST(xs) AS t(v) ORDER BY v""")
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // comma form with ordinality zips like the CROSS JOIN spelling
+    val r1 = rows("""
+      SELECT x, y, ord
+      FROM (SELECT array(10, 20) AS a, array('p') AS b) src,
+        UNNEST(a, b) WITH ORDINALITY AS t(x, y, ord) ORDER BY ord""")
+    assert(r1.length == 2 && r1(1).getInt(0) == 20 && r1(1).isNullAt(1)
+      && r1(1).getLong(2) == 2L)
+    // map UNNEST: one argument + two value columns = one row per entry
+    val rm = rows("""
+      SELECT k, v FROM (SELECT map('a', 1, 'b', 2) AS m) src
+      CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY k""")
+    assert(rm.map(x => (x.getString(0), x.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    // ... comma spelling too
+    val rm2 = rows("""
+      SELECT k, v FROM (SELECT map('z', 9) AS m) src, UNNEST(m) AS t(k, v)""")
+    assert(rm2.head.getString(0) == "z" && rm2.head.getInt(1) == 9)
+    // WITH ORDINALITY over a map is refused (Presto 0.248 rejects it too)
+    val e = intercept[IllegalArgumentException](rows(
+      "SELECT * FROM (SELECT map('a', 1) AS m) s " +
+        "CROSS JOIN UNNEST(m) WITH ORDINALITY AS t(k, v, ord)"))
+    assert(e.getMessage.contains("ORDINALITY over a map"), e.getMessage)
+    // a comma inside a select list never matches (UNNEST is table-valued
+    // only in Presto; the rewrite fires on the FROM-clause comma form)
+    assert(PrestoRewrite.rewriteUnnest("SELECT a, b FROM t") ==
+      "SELECT a, b FROM t")
+  }
+
+  test("presto bare subscripts rewrite to element_at (1-based arrays, map keys)") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = GraftCli.sql(s, sf, q).head()
+    // text shapes: identifier, dotted chain, call result, chained
+    // subscripts, parenthesized base
+    assert(PrestoRewrite.rewriteSubscripts("SELECT a[1] FROM t") ==
+      "SELECT element_at(a, 1) FROM t")
+    assert(PrestoRewrite.rewriteSubscripts("SELECT t.a[i + 1] FROM t") ==
+      "SELECT element_at(t.a, i + 1) FROM t")
+    assert(PrestoRewrite.rewriteSubscripts("SELECT split(x, ',')[2]") ==
+      "SELECT element_at(split(x, ','), 2)")
+    assert(PrestoRewrite.rewriteSubscripts("SELECT m['k']['j']") ==
+      "SELECT element_at(element_at(m, 'k'), 'j')")
+    assert(PrestoRewrite.rewriteSubscripts("SELECT (a)[1]") ==
+      "SELECT element_at((a), 1)")
+    // inside literals/comments: untouched
+    assert(PrestoRewrite.rewriteSubscripts("SELECT 'a[1]' AS t") ==
+      "SELECT 'a[1]' AS t")
+    assert(PrestoRewrite.rewriteSubscripts("SELECT x -- a[1]\nFROM t") ==
+      "SELECT x -- a[1]\nFROM t")
+    // end-to-end Presto semantics: 1-based on arrays, key lookup on maps
+    assert(one("SELECT split('a-b-c', '-')[1] AS x").getString(0) == "a")
+    assert(one("SELECT m['hi'] AS v FROM (SELECT map('hi', 42) AS m)")
+      .getInt(0) == 42)
+    // a Presto query whose literal AND column subscripts must agree
+    assert(one("SELECT ARRAY['x', 'y'][2] AS a, arr[2] AS b " +
+      "FROM (SELECT ARRAY['x', 'y'] AS arr)").toSeq == Seq("y", "y"))
+  }
+
+  test("presto TRY edge cases: nested try_ passthrough, sign after keyword (r19)") {
+    val s = GraftCli.open(spark, sf)
+    def one(q: String) = GraftCli.sql(s, sf, q).head()
+    // nested TRY(TRY(CAST(...))): the inner rewrite yields try_cast,
+    // which the outer body now accepts as an already-safe passthrough
+    assert(PrestoRewrite.rewriteTry("SELECT TRY(TRY(CAST(x AS INT)))") ==
+      "SELECT try_CAST(x AS INT)")
+    assert(one("SELECT TRY(TRY(CAST('zz' AS INT))) AS c").isNullAt(0))
+    // a minus after THEN/ELSE/WHEN/AND/OR/NOT/IN is a SIGN, not binary
+    // arithmetic — TRY(CASE WHEN c THEN -1 ELSE x END) used to garble
+    // into try_subtract text; now it refuses accurately (0 operators)
+    val e = intercept[IllegalArgumentException](
+      PrestoRewrite.rewriteTry("TRY(CASE WHEN c THEN -1 ELSE x END)"))
+    assert(e.getMessage.contains("unsupported body"), e.getMessage)
+    // CASE ... END - 1 IS binary (END is not a sign keyword)
+    assert(PrestoRewrite.rewriteTry("TRY(CASE WHEN c THEN 1 ELSE 2 END - x)") ==
+      "try_subtract(CASE WHEN c THEN 1 ELSE 2 END, x)")
+    assert(one("SELECT TRY(CASE WHEN true THEN 2147483647 ELSE 0 END + 1) AS o")
+      .isNullAt(0))
+  }
+
+  test("presto MAP with one literal and one expression arg is refused (r19)") {
+    val s = GraftCli.open(spark, sf)
+    // MAP(ARRAY['a','b'], split(x, ',')) would reach Spark's interleaved
+    // map(...) — executable and silently wrong — so it refuses loudly
+    val e = intercept[IllegalArgumentException](
+      PrestoRewrite.rewriteMapConstructor("SELECT MAP(ARRAY['a','b'], split(x, ','))"))
+    assert(e.getMessage.contains("map_from_arrays"), e.getMessage)
+    intercept[IllegalArgumentException](
+      GraftCli.sql(s, sf, "SELECT MAP(ARRAY[1, 2], sequence(1, 2)) AS m"))
+    // ... and the mirrored order too
+    intercept[IllegalArgumentException](
+      PrestoRewrite.rewriteMapConstructor("SELECT MAP(map_keys(m), ARRAY[1,2])"))
+    // legal Spark map(...) still passes through untouched
+    assert(GraftCli.sql(s, sf, "SELECT map('k', 1) AS m").head().getMap[String, Int](0)
+      .apply("k") == 1)
   }
 
   test("system.runtime tables serve cluster introspection through the front door") {
@@ -1247,9 +1351,10 @@ class CliSpec extends GraftSpec {
     assert(one("SELECT ARRAY[10, 20, 30][2] AS x").getInt(0) == 20)
     // nested literals and chained subscripts stay 1-based
     assert(one("SELECT ARRAY[ARRAY[7, 8], ARRAY[9]][1][2] AS x").getInt(0) == 8)
-    // a subscript on a COLUMN is untouched (already legal Spark text)
+    // a subscript on a COLUMN is Presto's 1-based indexing too (r19: the
+    // bare-subscript rewrite — Spark's 0-based reading would return 'b')
     assert(one("SELECT arr[1] AS x FROM (SELECT ARRAY['a','b'] AS arr)")
-      .getString(0) == "b")
+      .getString(0) == "a")
     // MAP(ARRAY[k], ARRAY[v]) is Presto's two-array constructor — Spark's
     // interleaved map(...) spelling must stay untouched
     assert(one("SELECT element_at(MAP(ARRAY['a','b'], ARRAY[1,2]), 'b') AS v")
