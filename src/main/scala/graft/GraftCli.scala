@@ -128,6 +128,21 @@ object GraftCli {
       splitStatements(scala.io.Source.stdin.mkString).iterator
     }
 
+  /** Pull an optional `--catalog-dir <dir>` (in the flag zone after
+    * sfDir, before/after --format) out of the argument vector; returns
+    * (dirOption, args-without-the-flag). A stray `--catalog-dir`
+    * anywhere else fails fast like a stray `-f`. */
+  private[graft] def parseCatalogDir(args: Array[String]): (Option[String], Array[String]) =
+    if (args.length > 2 && args(1) == "--catalog-dir")
+      (Some(args(2)), args.take(1) ++ args.drop(3))
+    else {
+      if (args.iterator.drop(1).contains("--catalog-dir"))
+        throw new IllegalArgumentException(
+          "usage: GraftCli <sfDir> [--format f] [--catalog-dir <dir>] ... " +
+            "(--catalog-dir belongs in the flag zone after <sfDir>)")
+      (None, args)
+    }
+
   /** Pull an optional `--format <fmt>` (immediately after sfDir) out of
     * the argument vector; returns (format, args-without-the-flag). A
     * stray `--format` anywhere else fails fast like a stray `-f`. */
@@ -1186,11 +1201,19 @@ object GraftCli {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.error("usage: GraftCli <sfDir> [--format table|csv|json] [-f script.sql | sql...]"))
-    val (format, rest) = try parseFormat(args) catch {
+    val (format, rest0) = try parseFormat(args) catch {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage)
         sys.exit(2)
     }
+    // --catalog-dir flag, or the SPARK_GRAFT_CATALOG_DIR deployment env
+    // (the reference's CATALOG_PATH directory, presto-mgr.py:14)
+    val (catalogDirFlag, rest) = try parseCatalogDir(rest0) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        sys.exit(2)
+    }
+    val catalogDir = catalogDirFlag.orElse(sys.env.get("SPARK_GRAFT_CATALOG_DIR"))
     val statements = try statementsFrom(rest) catch {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage)
@@ -1204,6 +1227,8 @@ object GraftCli {
       extraConfs = sys.env.get("SPARK_GRAFT_WAREHOUSE")
         .map("spark.sql.warehouse.dir" -> _).toMap)
     open(spark, sfDir)
+    catalogDir.foreach(d =>
+      graft.sources.CatalogProperties.wireReporting(spark, d, System.err))
     // session-scoped prepared-statement store (Presto session semantics:
     // names live for the connection, statement-scoped errors don't drop it)
     val prepared = scala.collection.mutable.Map[String, String]()

@@ -91,9 +91,15 @@ object GraftServer {
     * session like GraftCli.open (temp views + functions for
     * singleSession mode), registers the shared-catalog surface for
     * multi-session mode, and boots the Thrift service. */
-  def start(spark: SparkSession, sfDir: String, port: Int = 0): Running = {
+  def start(spark: SparkSession, sfDir: String, port: Int = 0,
+            catalogDir: Option[String] = None): Running = {
     GraftCli.open(spark, sfDir)
     registerShared(spark, sfDir)
+    // Presto-style catalog .properties directory (reference CATALOG_PATH,
+    // presto-mgr.py:14): wired onto the SparkContext conf too, so every
+    // per-connection newSession() resolves the same catalogs
+    catalogDir.orElse(sys.env.get("SPARK_GRAFT_CATALOG_DIR")).foreach(d =>
+      graft.sources.CatalogProperties.wireReporting(spark, d, System.err))
     val p = if (port == 0) freePort() else port
     // HiveThriftServer2 builds its HiveConf from the session's hadoop
     // conf (HiveUtils.newClientForExecution(sparkConf, newHadoopConf()));

@@ -115,6 +115,46 @@ class ServerSpec extends GraftSpec {
     } finally conn.close()
   }
 
+  test("a properties-wired JDBC catalog resolves in a fresh thrift connection") {
+    // wire AFTER the server started: CatalogProperties sets the catalog
+    // confs on the SparkContext conf, which every per-connection
+    // newSession() merges — so a catalog dropped into the directory is
+    // visible to the NEXT connection, Presto's connector-config model
+    // (reference CATALOG_PATH + mysql.properties) over the wire
+    val url = "jdbc:derby:memory:graftsrvcat;create=true"
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE SCHEMA GRAFT")
+      st.execute("CREATE TABLE GRAFT.KV (K VARCHAR(10), V INT)")
+      st.execute("INSERT INTO GRAFT.KV VALUES ('a', 1), ('b', 2)")
+      st.close()
+    } finally c.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft-srv-catalog")
+    java.nio.file.Files.write(dir.resolve("srvcat.properties"),
+      s"""connector.name=jdbc
+         |connection-url=$url
+         |connection-driver=org.apache.derby.jdbc.EmbeddedDriver
+         |""".stripMargin.getBytes("UTF-8"))
+    val (wired, refused) = graft.sources.CatalogProperties.wire(spark, dir.toString)
+    assert(wired.map(_.name) == Seq("srvcat") && refused.isEmpty,
+      (wired, refused).toString)
+    val conn = connect()
+    try {
+      // three-part read first: the catalog conf rides into the fresh
+      // thrift session via the context conf and lazy-loads on first use
+      val rows = jdbcRows(conn,
+        "SELECT K, V FROM srvcat.GRAFT.KV ORDER BY K")
+      assert(rows == Seq(Seq("a", "1"), Seq("b", "2")), rows.toString)
+      // ... after which SHOW CATALOGS lists it in this session (Spark
+      // lists LOADED catalogs; the in-process front door force-loads at
+      // wire time — CatalogSpec pins that — but a brand-new wire session
+      // loads on first reference)
+      val cats = jdbcRows(conn, "SHOW CATALOGS").map(_.head).toSet
+      assert(cats.contains("srvcat"), cats.toString)
+    } finally conn.close()
+  }
+
   test("GraftServer MAIN end-to-end: own JVM, singleSession semantics over the wire") {
     // the actual deployment entrypoint (runMain graft.GraftServer): its
     // static singleSession conf only takes effect when the main owns
