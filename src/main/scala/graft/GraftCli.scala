@@ -1096,6 +1096,10 @@ object GraftCli {
                                     scala.collection.mutable.Map.empty,
                                   txn: TxnState = new TxnState): Unit = {
     val t0 = System.nanoTime()
+    // every statement runs under a query_id job group: RUNNING row in
+    // system.runtime.queries, stages attributable in .tasks, and
+    // CALL system.runtime.kill_query(id) can cancel it live
+    val queryId = graft.sources.GraftSystemCatalog.beginStatement(spark, stmt)
     try stmt.stripSuffix(";") match {
       // transaction verbs run FIRST: ROLLBACK must work inside an
       // aborted block, and the envelope check below must not see them
@@ -1195,7 +1199,10 @@ object GraftCli {
       // transaction aborts it — only ROLLBACK is accepted afterwards
       if (txn.active) txn.aborted = true
       throw e
-    } finally err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    } finally {
+      graft.sources.GraftSystemCatalog.endStatement(spark, queryId)
+      err.println(f"[graft-cli] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -1334,13 +1334,78 @@ class CliSpec extends GraftSpec {
     // catalog surface: listable, and read-only (writes refused)
     val listed = GraftCli.sql(s, sf, "SHOW TABLES IN system.runtime")
       .collect().map(_.getString(1)).toSet
-    assert(listed == Set("nodes", "queries"), listed.toString)
+    assert(listed == Set("nodes", "queries", "tasks"), listed.toString)
+    // r19 columns: user + started (Presto's), on both live and history rows
+    val cols = GraftCli.sql(s, sf, "SELECT * FROM system.runtime.queries")
+      .schema.fieldNames.toSeq
+    assert(cols == Seq("query_id", "state", "user", "query", "started",
+      "elapsed_ms", "error"), cols.toString)
     intercept[Exception](GraftCli.sql(s, sf,
       "CREATE TABLE system.runtime.foo AS SELECT 1 AS x").collect())
     // the introspection scan is driver-local — no distributed job
     val plan = s.sql("SELECT * FROM system.runtime.nodes")
       .queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), plan)
+  }
+
+  test("kill_query cancels a live statement; tasks and RUNNING rows surface it (r19)") {
+    val s = GraftCli.open(spark, sf)
+    // a deliberately slow, many-task statement through the REAL router
+    // (runStatement tags it with a query_id job group)
+    val slow = """SELECT count(*) AS n FROM (
+      SELECT sha2(CAST(id AS STRING), 512) AS h
+      FROM range(0, 600000000, 1, 64)) WHERE h > 'zz'"""
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    @volatile var failure: Throwable = null
+    val runner = new Thread(() => {
+      try GraftCli.runStatement(s, slow, "csv", sink, sink)
+      catch { case e: Throwable => failure = e }
+    })
+    runner.start()
+    def poll[A](what: String)(f: => Option[A]): A = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var out: Option[A] = None
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        out = f
+        if (out.isEmpty) Thread.sleep(100)
+      }
+      out.getOrElse(fail(s"timed out waiting for $what"))
+    }
+    // a second observer sees the statement RUNNING with its SQL text
+    // polls read the UNFILTERED snapshot and filter client-side: a
+    // WHERE on a system table plans FilterExec over the local scan -> a
+    // real job, which would QUEUE behind the saturated victim stage on
+    // a busy cluster (exactly when you need introspection); the bare
+    // SELECT stays a driver-local LocalTableScan at any load
+    def snapshot(table: String): Array[org.apache.spark.sql.Row] =
+      s.sql(s"SELECT * FROM system.runtime.$table").collect()
+    val qid = poll("RUNNING row") {
+      snapshot("queries").find(r => r.getString(1) == "RUNNING"
+        && r.getString(3).contains("sha2")).map(_.getString(0))
+    }
+    // ... and its stages in system.runtime.tasks, attributed to the id
+    val task = poll("tasks row") {
+      snapshot("tasks").find(r => r.getString(3) == qid)
+    }
+    assert(task.getInt(5) > 0, task.toString)
+    // the admin kill switch, through the front door CALL
+    val ack = GraftCli.sql(s, sf,
+      s"CALL system.runtime.kill_query('$qid')").collect()
+    assert(ack.head.getString(0) == s"killed $qid", ack.mkString)
+    runner.join(60000)
+    assert(!runner.isAlive, "victim statement did not terminate after kill")
+    assert(failure != null, "victim statement did not fail after kill")
+    // history shows the kill: the KILLED audit row carries the SQL
+    val hist = snapshot("queries")
+    assert(hist.exists(r => r.getString(1) == "KILLED"
+      && r.getString(3).contains("sha2")), hist.take(8).mkString("|"))
+    // the RUNNING row is gone
+    assert(!hist.exists(r => r.getString(1) == "RUNNING"
+      && r.getString(0) == qid))
+    // misuse: killing an unknown id is a clean statement-scoped error
+    val e = intercept[Exception](GraftCli.sql(s, sf,
+      "CALL system.runtime.kill_query('graft_nope')").collect())
+    assert(e.getMessage.contains("no running query"), e.getMessage)
   }
 
   test("presto literal spellings: ARRAY[...], MAP(ARRAY,ARRAY), bare VARCHAR") {

@@ -220,4 +220,54 @@ class ServerSpec extends GraftSpec {
       assert(qs.nonEmpty, "query history should have FINISHED entries")
     } finally conn.close()
   }
+
+  test("a second connection sees a RUNNING statement and can kill it (r19)") {
+    // connection 1 runs a deliberately slow statement; connection 2
+    // watches system.runtime.queries for its RUNNING row (the thrift
+    // operation's own statement-UUID job group, surfaced by the
+    // context-wide listener) and kills it via CALL — Presto's admin
+    // workflow, over real sockets end to end
+    val slow = """SELECT count(*) AS n FROM (
+      SELECT sha2(CAST(id AS STRING), 512) AS h
+      FROM range(0, 600000000, 1, 64)) WHERE h > 'zz'"""
+    val conn1 = connect()
+    val conn2 = connect()
+    @volatile var victimError: Throwable = null
+    val runner = new Thread(() => {
+      val st = conn1.createStatement()
+      try { st.executeQuery(slow); () }
+      catch { case e: Throwable => victimError = e }
+      finally st.close()
+    })
+    runner.start()
+    try {
+      def poll[A](what: String)(f: => Option[A]): A = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        var out: Option[A] = None
+        while (out.isEmpty && System.nanoTime() < deadline) {
+          out = f
+          if (out.isEmpty) Thread.sleep(200)
+        }
+        out.getOrElse(fail(s"timed out waiting for $what"))
+      }
+      // the WATCHER connection must stay job-free while the pool is
+      // saturated: incrementalCollect streams via per-partition JOBS
+      // (which would queue behind the victim stage), so switch it off
+      // for this session — collect() on a LocalTableScan is driver-only
+      jdbcRows(conn2, "SET spark.sql.thriftServer.incrementalCollect=false")
+      // unfiltered snapshot, filtered client-side: a WHERE over the
+      // system table would plan a job that QUEUES behind the victim
+      val qid = poll("RUNNING row over the wire") {
+        jdbcRows(conn2, "SELECT * FROM system.runtime.queries")
+          .find(r => r(1) == "RUNNING" && r(3).contains("sha2")).map(_.head)
+      }
+      val ack = jdbcRows(conn2, s"CALL system.runtime.kill_query('$qid')")
+      assert(ack.flatten.exists(_.contains("killed")), ack.toString)
+      runner.join(90000)
+      assert(!runner.isAlive && victimError != null,
+        s"victim statement survived the kill: $victimError")
+    } finally {
+      try conn1.close() finally conn2.close()
+    }
+  }
 }
