@@ -4986,6 +4986,22 @@ object OracleSql {
         round(exact_raw, 6) AS exact_jaccard,
         round(abs(round(est_raw, 6) - round(exact_raw, 6)), 6) AS abs_err
       FROM est JOIN ex ON ex.id_a = est.id_a
-      ORDER BY est.id_a"""
+      ORDER BY est.id_a""",
+
+    // v01: graft writes lineitem to an Avro container and reads it back
+    // across sync-marker splits before aggregating; the oracle aggregates
+    // the ORIGINAL parquet — container lossiness or a duplicated/dropped
+    // block at any split boundary forks the hash.
+    "v01_avro_roundtrip" -> """
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+        strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
   )
 }

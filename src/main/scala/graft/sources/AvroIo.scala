@@ -295,6 +295,41 @@ object AvroIo {
     }
   }
 
+  // ----------------------------------------------- v01: gate-facing entry
+
+  /** v01_avro_roundtrip — the container path inside the driver's
+    * correctness gate (not just spec-verified): write a lineitem slice to
+    * Avro, read it back through deliberately SMALL sync-marker splits (a
+    * session clone caps maxPartitionBytes at 4m so the gate exercises
+    * multi-split scans from sf0.1 up), and aggregate with the oracle
+    * discipline. The DuckDB oracle computes the same aggregate over the
+    * ORIGINAL parquet — any lossiness in the container encode/decode or
+    * any duplicated/dropped block at a split boundary forks the hash. */
+  def roundtripReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val src = Tables.lineitem(spark, dir).select(
+      "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+      "l_shipdate")
+    val out = java.nio.file.Files.createTempDirectory("graft-avro-rt")
+      .toString + "/lineitem"
+    write(src.repartition(4, col("l_orderkey")), out)
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    read(rs, out)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
   // ----------------------------------------------------------------- read
 
   /** Distributed Avro scan: schema off the first container header; each
