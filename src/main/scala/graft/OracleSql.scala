@@ -5002,6 +5002,22 @@ object OracleSql {
         strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""
+      ORDER BY l_returnflag""",
+
+    // v02: graft writes an orders slice through the JDBC sink into
+    // embedded Derby and reads it back as a 4-shard partitioned scan;
+    // the oracle aggregates the ORIGINAL parquet — JDBC type lossiness
+    // or a duplicated/dropped range-shard row forks the hash.
+    "v02_jdbc_roundtrip" -> """
+      SELECT o_orderstatus,
+        COUNT(*) AS n,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+        strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+      FROM orders
+      WHERE o_orderkey < 20000
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
   )
 }

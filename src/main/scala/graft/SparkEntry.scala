@@ -284,8 +284,9 @@ object SparkEntry {
     "a16_index_update" -> (Ann.annIndexUpdate _),
     "a17_range_search" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     "a18_mips" -> (Ann.mips _),
-    // Sources (the Avro container path inside the correctness gate)
+    // Sources (container/connector paths inside the correctness gate)
     "v01_avro_roundtrip" -> (graft.sources.AvroIo.roundtripReport _),
+    "v02_jdbc_roundtrip" -> (graft.sources.Formats.jdbcRoundtripReport _),
     // Multimodal
     "m01_multimodal_meta" -> (Multimodal.features _),
     "m02_multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resized(s, d)),

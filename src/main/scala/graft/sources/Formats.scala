@@ -68,4 +68,41 @@ object Formats {
     }
     def load(s: SparkSession): DataFrame = reader(s).load()
   }
+
+  /** v02_jdbc_roundtrip — the JDBC sink/scan path inside the driver's
+    * correctness gate (not just JdbcSpec): write an orders slice through
+    * Spark's jdbc sink into an embedded Derby database (the image's real
+    * JDBC engine — the reference's demonstrated connector model), read it
+    * back through [[Jdbc]] as a SHARDED scan (partitionColumn → 4
+    * concurrent range queries, the posture a 100 TB JDBC ingest needs —
+    * never a single-task scan), and aggregate with the oracle discipline.
+    * The DuckDB oracle computes the same aggregate over the ORIGINAL
+    * parquet — any type lossiness across the JDBC boundary (timestamps,
+    * doubles, identifier casing) or a duplicated/dropped range-shard row
+    * forks the hash. The slice is key-bounded so the entry gates the
+    * PATH, not Derby's single-node insert throughput. */
+  def jdbcRoundtripReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val src = Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 20000)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    val db = "graftv02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    src.write.format("jdbc").option("url", url).option("dbtable", "orders_rt")
+      .mode("overwrite").save()
+    val back = Jdbc(url, "orders_rt", user = "app", password = "",
+      partitionColumn = Some("o_orderkey"), lowerBound = 0L,
+      upperBound = 20000L, numPartitions = 4).load(s)
+    back.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+      .orderBy("o_orderstatus")
+  }
 }
