@@ -435,6 +435,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SelfHammingRule)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.FastDecimalCastRule)
     // same builder table as install(): the two registration paths expose
     // one identical SQL surface by construction
     GraftFunctions.sqlBuilders.foreach { case (name, builder) =>

@@ -34,7 +34,7 @@ object Rules {
   /** Attach graft optimizer rules to an existing session (the
     * SparkSessionExtensions path in GraftExtensions covers new sessions). */
   def install(spark: SparkSession): Unit = {
-    val rules = Seq(SelfHammingRule, IntervalJoinRule)
+    val rules = Seq(SelfHammingRule, IntervalJoinRule, FastDecimalCastRule)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty) {
       spark.experimental.extraOptimizations =
