@@ -473,7 +473,15 @@ object GraftCli {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.table(table)
+    // base tables go through the layout-aware fan-out: the whole stats
+    // pass (multi-distinct Expand included) is partition-invariant, and
+    // on the one-row-group test layout it otherwise runs as ONE task
+    // (measured 2.7 s of s14's 3.3 s in a single partial-agg task)
+    val df = spark.conf.getOption("spark.graft.sfDir") match {
+      case Some(dir) if Tables.all.contains(table.toLowerCase(java.util.Locale.ROOT)) =>
+        Tables.fanout(spark, dir, table.toLowerCase(java.util.Locale.ROOT))
+      case _ => spark.table(table)
+    }
     val fields = df.schema.fields
     def asText(c: Column, dt: DataType): Column = dt match {
       case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -84,6 +84,63 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
 
+  /** Hash key per table for [[fanout]] — high-cardinality, deterministic. */
+  private val fanKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Row groups in a SINGLE parquet file (memoized; -1 = not a single
+    * file, i.e. a real multi-file table directory). */
+  private def rowGroups(spark: SparkSession, p: String): Int =
+    rowGroupMemo.computeIfAbsent(p, _ => {
+      val f = new java.io.File(p)
+      if (!f.isFile) -1
+      else try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.size
+        finally r.close()
+      } catch { case _: Exception => -1 }
+    })
+
+  /** Scan fan-out for row-group-starved layouts (guide §2.5
+    * "unsplittable input"): parquet cannot split inside a row group, so
+    * a table written as one row group per file — the driver's test
+    * corpus — scans as ONE task however many cores the session has, and
+    * every narrow kernel fused into that scan (shingling, signatures,
+    * decimal aggregation, binary header decode) serializes with it.
+    * When, and only when, the file's row-group count underfills the
+    * session's parallelism, hash-repartition by the table's key so the
+    * heavy per-row work downstream spreads across the cluster; on a
+    * production layout (row groups ≥ cores) this is the identity and
+    * the plan is untouched. Hash partitioning on a high-cardinality key
+    * — never round-robin — keeps the exchange deterministic under task
+    * retry (no sort-before-repartition pass) and the results are
+    * partitioning-invariant by the layout-invariance property the sf10
+    * sweep pins. Opt-in per entry: only operators whose post-scan
+    * per-row work dominates use it (a trivial scan would pay the
+    * exchange for nothing). */
+  def fanout(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") spread(spark, dir, name, events(spark, dir))
+    else spread(spark, dir, name, df(spark, dir, name))
+
+  private def spread(spark: SparkSession, dir: String, name: String,
+                     base: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val groups = rowGroups(spark, path(dir, name))
+    if (groups < 0 || groups >= par) base
+    else base.repartition(par, fanKeys(name).map(col): _*)
+  }
+
   /** Register all tables as temp views so `spark.sql` queries (CTEs,
     * correlated subqueries) can reference them by name. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =
