@@ -59,7 +59,12 @@ object SkewJoin {
     * broadcast, because a broadcast join has no shuffle and would hide the
     * skew being measured. */
   private def hotInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val large = Tables.lineitem(s, d).select(
+    // layout-aware fan-out of the probe side: the skew under measurement
+    // lives in the JOIN shuffle (hash by k), which is identical either
+    // way; fanning only parallelizes the one-row-group scan + projection
+    // feeding it, for all four arms equally (x01/x02/x07/x08 share this
+    // input and x01's oracle)
+    val large = Tables.fanout(s, d, "lineitem").select(
       when(pmod(col("l_orderkey"), lit(100)) < 90, 0L)
         .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
       col("l_quantity"))

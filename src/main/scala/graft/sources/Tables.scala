@@ -89,7 +89,9 @@ object Tables {
     "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
     "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    // l_orderkey alone: ~4 rows/key spreads fine, and the narrower key
+    // keeps l_linenumber out of otherwise-pruned scans
+    "lineitem" -> Seq("l_orderkey"),
     "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 

@@ -29,6 +29,18 @@ object PerfProbe {
     SparkEntry.queries("q01_agg_groupby")(spark, sfDir).queryExecution.toRdd.count()
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val showStages = sys.env.contains("SPARK_GRAFT_PROBE_STAGES")
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.synchronized { stages += ((si.stageId,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          si.numTasks, si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead)) }
+      }
+    })
     println(f"${"entry"}%-24s ${"build"}%8s ${"plan"}%8s ${"exec"}%8s ${"total"}%8s")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -36,6 +48,7 @@ object PerfProbe {
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
       System.gc(); Thread.sleep(100)
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
@@ -45,6 +58,14 @@ object PerfProbe {
       val t3 = System.nanoTime()
       def s(a: Long, b: Long): Double = (b - a) / 1e9
       println(f"$name%-24s ${s(t0, t1)}%8.3f ${s(t1, t2)}%8.3f ${s(t2, t3)}%8.3f ${s(t0, t3)}%8.3f")
+      if (showStages) {
+        Thread.sleep(300)
+        val snap = stages.synchronized(stages.toList)
+        println(s"  ${snap.size} stages, slowest:")
+        snap.sortBy(-_._2).take(8).foreach { case (id, ms, nt, sw, sr) =>
+          println(f"    stage $id%5d $ms%6d ms $nt%4d tasks  swrite=${sw / 1024}%8d KiB  sread=${sr / 1024}%8d KiB")
+        }
+      }
     }
     spark.stop()
   }
