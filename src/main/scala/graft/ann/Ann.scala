@@ -276,8 +276,7 @@ object Ann {
     * native CosineSimilarity kernel is float-typed; the dequantized
     * vectors here are doubles). */
   private def cosD(u: Column, v: Column): Column = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    def dot(a: Column, b: Column): Column = GraftFunctions.dotD(a, b)
     dot(u, v) / (sqrt(dot(u, u)) * sqrt(dot(v, v)))
   }
 
@@ -753,8 +752,7 @@ object Ann {
     val dim = book.head._2.length
     val sub = dim / PqM
 
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    def dot(a: Column, b: Column): Column = GraftFunctions.dotD(a, b)
 
     // per-subspace argmin over the 16 codewords — one slice + one x·x
     // fold per subspace, then 16 cheap x·c folds against codeword
@@ -814,8 +812,7 @@ object Ann {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
     val dim = book.head._2.length
     val sub = dim / PqM
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    def dot(a: Column, b: Column): Column = GraftFunctions.dotD(a, b)
     def cwSlice(full: Seq[Double], m: Int): Seq[Double] =
       full.slice(m * sub, m * sub + sub)
     def ccOf(cw: Seq[Double]): Double = cw.foldLeft(0.0)((a, v) => a + v * v)
@@ -1081,8 +1078,7 @@ object Ann {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def dot(a: Column, b: Column): Column = GraftFunctions.dotD(a, b)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"))
     val m2 = emb.agg(max(dot(col("e"), col("e"))).as("m2"))

@@ -20,6 +20,11 @@ object GraftFunctions {
   /** Cosine similarity of two array<float> embedding columns. */
   def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
+  /** Exact sequential-fold dot product of two array<double> columns —
+    * bit-identical to aggregate(zip_with(a, b, _*_), 0D, _+_) without
+    * the CodegenFallback HOF cost. */
+  def dotD(a: Column, b: Column): Column = c(DotProductD(e(a), e(b)))
+
   /** k-permutation MinHash signature (array<bigint>) of an array<string>. */
   def minhashSig(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
 

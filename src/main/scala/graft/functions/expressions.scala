@@ -27,6 +27,22 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** Sequential left-fold dot product over two double arrays — the
+    * bit-exact scalar core of [[graft.DotProductD]]; null (boxed) when
+    * the HOF form would be NULL. */
+  def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** FNV-1a 64 over UTF8 bytes, then mixed — deterministic string hash. */
   def hash64(s: UTF8String, seed: Long): Long = {
     val bytes = s.getBytes
@@ -1221,6 +1237,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** dot_product_d(array<double>, array<double>) -> double — the exact
+  * sequential left fold `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+  * (acc, e) -> acc + e)` as ONE codegen call: same IEEE addition order,
+  * same null semantics (null input, length mismatch, or a null element
+  * all yield NULL — zip_with pads the shorter side with nulls and the
+  * fold absorbs them), none of the higher-order-function machinery.
+  * HOFs are CodegenFallback: each row pays interpreted lambda eval plus
+  * an intermediate products array — the a11/a13/a18 ADC/PQ hot path
+  * measured 2-3x slower than this kernel on the same arithmetic. */
+case class DotProductD(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.Kernels.dotD($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
     copy(left = l, right = r)
 }
 

@@ -633,4 +633,30 @@ class ExpressionsSpec extends GraftSpec {
       assert(row.getDouble(2) == ecx && row.getDouble(3) == ecy)
     }
   }
+
+  test("dotD matches the aggregate(zip_with(...)) fold bit-for-bit") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with}
+    val rnd = new scala.util.Random(191L)
+    val rows = (1 to 300).map { i =>
+      val n = rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextDouble() * math.pow(10, rnd.nextInt(8) - 4) - 0.5),
+        Seq.fill(n)(rnd.nextDouble() - 0.5))
+    } ++ Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, 2.0), Seq(3.0)),                       // length mismatch -> null
+      (Seq(Double.NaN, 1.0), Seq(1.0, 2.0)),           // NaN propagates
+      (Seq(Double.PositiveInfinity), Seq(0.0)))        // inf * 0 = NaN
+    val df = rows.toDF("a", "b")
+    def hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    val got = df.select(dotD(col("a"), col("b")).as("v"), hof.as("w")).collect()
+    got.zip(rows).foreach { case (r, in) =>
+      val (v, w) = (r.get(0), r.get(1))
+      assert(v == w ||
+        (v != null && w != null &&
+          java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToLongBits(w.asInstanceOf[Double])),
+        s"input $in: kernel=$v hof=$w")
+    }
+  }
 }
