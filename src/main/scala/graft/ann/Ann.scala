@@ -128,8 +128,8 @@ object Ann {
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(nPlanes, Dim)(rnd.nextGaussian())
     (0 until nPlanes).map { p =>
-      val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
+      when(GraftFunctions.dotFD(col("embedding"),
+          typedLit(planes(p).toSeq)) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

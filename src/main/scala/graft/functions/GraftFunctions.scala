@@ -25,6 +25,10 @@ object GraftFunctions {
     * the CodegenFallback HOF cost. */
   def dotD(a: Column, b: Column): Column = c(DotProductD(e(a), e(b)))
 
+  /** Float-corpus dot against a double array (the hyperplane kernel):
+    * exact per-element float->double widening, then the same fold. */
+  def dotFD(a: Column, b: Column): Column = c(FloatDotProductD(e(a), e(b)))
+
   /** k-permutation MinHash signature (array<bigint>) of an array<string>. */
   def minhashSig(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
 

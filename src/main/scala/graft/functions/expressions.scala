@@ -27,6 +27,21 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** [[Kernels.dotD]]'s float-left variant: float widens exactly to
+    * double per element (zip_with's implicit cast), then the same fold. */
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** Sequential left-fold dot product over two double arrays — the
     * bit-exact scalar core of [[graft.DotProductD]]; null (boxed) when
     * the HOF form would be NULL. */
@@ -1267,6 +1282,32 @@ case class DotProductD(left: Expression, right: Expression)
     """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+}
+
+/** dot_product_fd(array<float>, array<double>) -> double — the float-
+  * corpus variant of [[DotProductD]]: each float widens exactly to
+  * double before the multiply, replicating `zip_with(f, d, (x, y) ->
+  * x * y)`'s implicit cast, same fold order and null semantics. The
+  * a03/a08 hyperplane-signature hot path (16-64 planes per row). */
+case class FloatDotProductD(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.Kernels.dotFD($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDotProductD =
     copy(left = l, right = r)
 }
 

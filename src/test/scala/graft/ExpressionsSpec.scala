@@ -659,4 +659,22 @@ class ExpressionsSpec extends GraftSpec {
         s"input $in: kernel=$v hof=$w")
     }
   }
+
+  test("dotFD matches the float-widening zip_with fold bit-for-bit") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with}
+    val rnd = new scala.util.Random(192L)
+    val rows = (1 to 200).map { _ =>
+      val n = rnd.nextInt(70)
+      (Seq.fill(n)(rnd.nextFloat() * 100 - 50),
+        Seq.fill(n)(rnd.nextDouble() - 0.5))
+    } ++ Seq((Seq.empty[Float], Seq.empty[Double]),
+      (Seq(1.0f), Seq(1.0, 2.0)))
+    val df = rows.toDF("a", "b")
+    def hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    df.select(dotFD(col("a"), col("b")).as("v"), hof.as("w")).collect()
+      .zip(rows).foreach { case (r, in) =>
+        assert(r.get(0) == r.get(1), s"input $in: kernel=${r.get(0)} hof=${r.get(1)}")
+      }
+  }
 }
