@@ -180,8 +180,7 @@ object Dedup {
       col("sig").as("sig_a"), col("ss").as("ss_a"))
     val b = withSets.select((col("doc_id") - 1).as("id_a"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"), col("ss").as("ss_b"))
-    val est = expr(
-      s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    val est = GraftFunctions.zipEqCount(col("sig_a"), col("sig_b"))
       .cast("double") / MinhashK
     val exact = size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
       size(array_union(col("ss_a"), col("ss_b")))
@@ -358,11 +357,9 @@ object Dedup {
     val nPlanes = 16
     val rnd = new java.util.Random(42)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val bit: Int => Column = p => {
-      val planeSql = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $planeSql, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
+    val bit: Int => Column = p =>
+      when(GraftFunctions.dotFD(col("embedding"), typedLit(planes(p).toSeq)) > 0,
         lit(1L << p)).otherwise(lit(0L))
-    }
     val emb = Tables.embeddings(s, d)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       (0 until nPlanes).map(bit).reduce(_ + _).as("bucket"))

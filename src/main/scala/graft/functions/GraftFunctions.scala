@@ -29,6 +29,10 @@ object GraftFunctions {
     * exact per-element float->double widening, then the same fold. */
   def dotFD(a: Column, b: Column): Column = c(FloatDotProductD(e(a), e(b)))
 
+  /** Equal-position count of two array<bigint> signatures — the
+    * zip_with/IF/aggregate agreement fold as one codegen call. */
+  def zipEqCount(a: Column, b: Column): Column = c(ZipEqCount(e(a), e(b)))
+
   /** k-permutation MinHash signature (array<bigint>) of an array<string>. */
   def minhashSig(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
 

@@ -27,6 +27,20 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** Equal-position count over two long arrays — [[graft.ZipEqCount]]'s
+    * scalar core: common-prefix positions where both sides are non-null
+    * and equal (the HOF form's padded/null positions contribute 0). */
+  def zipEqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** [[Kernels.dotD]]'s float-left variant: float widens exactly to
     * double per element (zip_with's implicit cast), then the same fold. */
   def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -1282,6 +1296,31 @@ case class DotProductD(left: Expression, right: Expression)
     """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+}
+
+/** zip_eq_count(array<bigint>, array<bigint>) -> int — the exact value
+  * of `aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v)
+  * -> acc + v)`: equal positions count 1; a null element, or a position
+  * only one side has (zip_with pads the shorter side with nulls), makes
+  * `x = y` NULL and IF(NULL,...) takes the 0 branch — so the count runs
+  * over the common prefix and the result is never null for non-null
+  * inputs. The d09 signature-agreement hot path (128 positions per
+  * candidate pair through interpreted HOF eval before this). */
+case class ZipEqCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.zipEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zipEqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZipEqCount =
     copy(left = l, right = r)
 }
 

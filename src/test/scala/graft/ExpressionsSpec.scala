@@ -677,4 +677,23 @@ class ExpressionsSpec extends GraftSpec {
         assert(r.get(0) == r.get(1), s"input $in: kernel=${r.get(0)} hof=${r.get(1)}")
       }
   }
+
+  test("zipEqCount matches the IF-equality zip_with fold") {
+    import org.apache.spark.sql.functions.expr
+    val rnd = new scala.util.Random(193L)
+    val rows = (1 to 200).map { _ =>
+      val n = rnd.nextInt(50)
+      (Seq.fill(n)(rnd.nextInt(4).toLong), Seq.fill(n)(rnd.nextInt(4).toLong))
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq(1L)),          // padded positions count 0
+      (Seq(7L), Seq(7L, 7L, 7L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(zipEqCount(col("a"), col("b")).as("v"),
+      expr("aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)").as("w"))
+      .collect()
+    got.zip(rows).foreach { case (r, in) =>
+      assert(r.get(0) == r.get(1), s"input $in: kernel=${r.get(0)} hof=${r.get(1)}")
+    }
+  }
 }
